@@ -1,0 +1,220 @@
+"""Presto-named scalar functions as Spark SQL UDFs.
+
+Reference: SURVEY §2.9 — Presto's scalar surface lives in
+presto-main/.../operator/scalar/ (StringFunctions.java, MathFunctions.java,
+DateTimeFunctions.java, Array*/Map*/Json* files) and is registered in
+metadata/BuiltInTypeAndFunctionNamespaceManager.java:735-1010.
+
+Here every function whose semantics are expressible as a pure Spark SQL
+expression is declared as ``name -> (signature, body)`` and registered via
+``CREATE OR REPLACE TEMPORARY FUNCTION`` — so it is inlined by Catalyst
+into whole-stage codegen (JVM-side, no Python round-trip; the 100 TB-safe
+path).  Functions needing build-time logic (e.g. Presto→Java datetime
+format translation) live in presto.py as Column helpers instead.
+
+Naming note: where Spark already has the same name AND same semantics
+(length, substr 1-based, upper, lower, concat, replace, split_part,
+levenshtein, sequence, element_at, ...) we register nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+__all__ = ["SQL_UDFS", "register_sql_udfs"]
+
+# name: (arg signature, return type, body expression)
+SQL_UDFS: dict[str, tuple[str, str, str]] = {
+    # ---- string (StringFunctions.java) ----
+    "strpos": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
+    "codepoint": ("x STRING", "INT", "ascii(x)"),
+    "from_utf8": ("x BINARY", "STRING", "decode(x, 'UTF-8')"),
+    "to_utf8": ("x STRING", "BINARY", "encode(x, 'UTF-8')"),
+    "hamming_distance": (
+        "a STRING, b STRING",
+        "BIGINT",
+        "aggregate(sequence(1, length(a)), 0L,"
+        " (acc, i) -> acc + IF(substr(a, i, 1) = substr(b, i, 1), 0L, 1L))",
+    ),
+    "levenshtein_distance": ("a STRING, b STRING", "INT", "levenshtein(a, b)"),
+    "starts_with": ("x STRING, p STRING", "BOOLEAN", "startswith(x, p)"),
+    # ---- math (MathFunctions.java) ----
+    "truncate": (
+        "x DOUBLE",
+        "DOUBLE",
+        "CAST(IF(x < 0, ceil(x), floor(x)) AS DOUBLE)",
+    ),
+    "is_nan": ("x DOUBLE", "BOOLEAN", "isnan(x)"),
+    "is_finite": (
+        "x DOUBLE",
+        "BOOLEAN",
+        "NOT isnan(x) AND abs(x) <> CAST('Infinity' AS DOUBLE)",
+    ),
+    "is_infinite": ("x DOUBLE", "BOOLEAN", "abs(x) = CAST('Infinity' AS DOUBLE)"),
+    "infinity": ("", "DOUBLE", "CAST('Infinity' AS DOUBLE)"),
+    "nan": ("", "DOUBLE", "CAST('NaN' AS DOUBLE)"),
+    "from_base": ("x STRING, b INT", "BIGINT", "CAST(conv(x, b, 10) AS BIGINT)"),
+    "to_base": ("x BIGINT, b INT", "STRING", "lower(conv(CAST(x AS STRING), 10, b))"),
+    "cosine_similarity_arrays": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        " / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v))"
+        " * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)))",
+    ),
+    "wilson_interval_lower": (
+        "successes BIGINT, trials BIGINT, z DOUBLE",
+        "DOUBLE",
+        "(successes + z * z / 2) / (trials + z * z)"
+        " - z / (trials + z * z) * sqrt(successes * (trials - successes)"
+        " / CAST(trials AS DOUBLE) + z * z / 4)",
+    ),
+    "wilson_interval_upper": (
+        "successes BIGINT, trials BIGINT, z DOUBLE",
+        "DOUBLE",
+        "(successes + z * z / 2) / (trials + z * z)"
+        " + z / (trials + z * z) * sqrt(successes * (trials - successes)"
+        " / CAST(trials AS DOUBLE) + z * z / 4)",
+    ),
+    # ---- bitwise (BitwiseFunctions.java) ----
+    "bitwise_and": ("a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    "bitwise_or": ("a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    "bitwise_xor": ("a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    "bitwise_not": ("a BIGINT", "BIGINT", "~a"),
+    "bitwise_left_shift": ("a BIGINT, s INT", "BIGINT", "shiftleft(a, s)"),
+    "bitwise_right_shift": ("a BIGINT, s INT", "BIGINT", "shiftright(a, s)"),
+    # ---- date/time (DateTimeFunctions.java); arg-translating variants in presto.py ----
+    "to_unixtime": ("ts TIMESTAMP", "DOUBLE", "CAST(unix_micros(ts) AS DOUBLE) / 1e6"),
+    "from_iso8601_timestamp": ("s STRING", "TIMESTAMP", "to_timestamp(s)"),
+    "to_iso8601": (
+        "ts TIMESTAMP",
+        "STRING",
+        "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")",
+    ),
+    "last_day_of_month": ("ts TIMESTAMP", "DATE", "last_day(CAST(ts AS DATE))"),
+    "day_of_week": ("ts TIMESTAMP", "INT", "CAST(date_format(ts, 'e') AS INT)"),
+    "day_of_year": ("ts TIMESTAMP", "INT", "dayofyear(ts)"),
+    "week_of_year": ("ts TIMESTAMP", "INT", "weekofyear(ts)"),
+    "millisecond": ("ts TIMESTAMP", "INT", "CAST(unix_micros(ts) % 1000000 / 1000 AS INT)"),
+    # ---- array (Array*.java) ----
+    "cardinality": ("a ARRAY<STRING>", "INT", "size(a)"),
+    "array_sum": (
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + coalesce(v, 0.0))",
+    ),
+    "array_average": (
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE), (s, v) -> s + coalesce(v, 0.0))"
+        " / size(filter(a, v -> v IS NOT NULL))",
+    ),
+    "array_cum_sum": (
+        "a ARRAY<DOUBLE>",
+        "ARRAY<DOUBLE>",
+        "transform(sequence(1, size(a)),"
+        " i -> aggregate(slice(a, 1, i), CAST(0.0 AS DOUBLE), (s, v) -> s + v))",
+    ),
+    "array_normalize": (
+        "a ARRAY<DOUBLE>, p DOUBLE",
+        "ARRAY<DOUBLE>",
+        "transform(a, v -> v / power(aggregate(a, CAST(0.0 AS DOUBLE),"
+        " (s, x) -> s + power(abs(x), p)), 1.0 / p))",
+    ),
+    "array_has_duplicates": (
+        "a ARRAY<STRING>",
+        "BOOLEAN",
+        "size(a) <> size(array_distinct(a))",
+    ),
+    "array_duplicates": (
+        "a ARRAY<STRING>",
+        "ARRAY<STRING>",
+        "array_distinct(filter(a, x -> size(filter(a, y -> y = x)) > 1))",
+    ),
+    "arrays_overlap_compat": ("a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN", "arrays_overlap(a, b)"),
+    "contains": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
+    "ngrams": (
+        "a ARRAY<STRING>, n INT",
+        "ARRAY<ARRAY<STRING>>",
+        "IF(size(a) < n, array(a),"
+        " transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)))",
+    ),
+    "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>", "slice(a, 1, size(a) - n)"),
+    "find_first": ("a ARRAY<STRING>, p STRING", "STRING", "filter(a, x -> x = p)[0]"),
+    "find_first_index": (
+        "a ARRAY<STRING>, p STRING",
+        "BIGINT",
+        "CAST(array_position(a, p) AS BIGINT)",
+    ),
+    # ---- map (Map*.java) ----
+    "map_subset": (
+        "m MAP<STRING, STRING>, ks ARRAY<STRING>",
+        "MAP<STRING, STRING>",
+        "map_filter(m, (k, v) -> array_contains(ks, k))",
+    ),
+    "map_normalize": (
+        "m MAP<STRING, DOUBLE>",
+        "MAP<STRING, DOUBLE>",
+        "transform_values(m, (k, v) -> v / aggregate(map_values(m),"
+        " CAST(0.0 AS DOUBLE), (s, x) -> s + x))",
+    ),
+    "multimap_from_entries": (
+        "es ARRAY<STRUCT<k: STRING, v: STRING>>",
+        "MAP<STRING, ARRAY<STRING>>",
+        "map_from_entries(transform(array_distinct(transform(es, e -> e.k)),"
+        " kk -> struct(kk AS k, transform(filter(es, e -> e.k = kk), e -> e.v) AS v)))",
+    ),
+    # ---- json (JsonFunctions.java) ----
+    "json_extract_scalar": ("j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    "json_extract_compat": ("j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    "json_array_contains_str": (
+        "j STRING, x STRING",
+        "BOOLEAN",
+        "array_contains(from_json(j, 'array<string>'), x)",
+    ),
+    "json_array_length_compat": ("j STRING", "INT", "json_array_length(j)"),
+    "json_format": ("j STRING", "STRING", "j"),
+    "json_size": (
+        "j STRING, p STRING",
+        "INT",
+        "coalesce(json_array_length(get_json_object(j, p)),"
+        " size(from_json(get_json_object(j, p), 'map<string,string>')),"
+        " IF(get_json_object(j, p) IS NOT NULL, 0, NULL))",
+    ),
+    # ---- binary/crypto (VarbinaryFunctions.java) ----
+    "to_hex": ("x BINARY", "STRING", "upper(hex(x))"),
+    "from_hex": ("x STRING", "BINARY", "unhex(x)"),
+    "to_base64": ("x BINARY", "STRING", "base64(x)"),
+    "from_base64": ("x STRING", "BINARY", "unbase64(x)"),
+    "sha256_compat": ("x BINARY", "BINARY", "unhex(sha2(x, 256))"),
+    "sha512_compat": ("x BINARY", "BINARY", "unhex(sha2(x, 512))"),
+    "md5_compat": ("x BINARY", "BINARY", "unhex(md5(x))"),
+    # ---- url (UrlFunctions.java) ----
+    "url_extract_protocol": ("u STRING", "STRING", "parse_url(u, 'PROTOCOL')"),
+    "url_extract_host": ("u STRING", "STRING", "parse_url(u, 'HOST')"),
+    "url_extract_path": ("u STRING", "STRING", "parse_url(u, 'PATH')"),
+    "url_extract_query": ("u STRING", "STRING", "parse_url(u, 'QUERY')"),
+    "url_extract_fragment": ("u STRING", "STRING", "parse_url(u, 'REF')"),
+    "url_extract_port": ("u STRING", "BIGINT", "CAST(parse_url(u, 'PORT') AS BIGINT)"),
+    "url_extract_parameter": ("u STRING, k STRING", "STRING", "parse_url(u, 'QUERY', k)"),
+    "url_encode": ("u STRING", "STRING", "url_encode(u)"),
+    "url_decode": ("u STRING", "STRING", "url_decode(u)"),
+    # ---- conditional / misc ----
+    "typeof_compat": ("x STRING", "STRING", "typeof(x)"),
+    "index": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
+    "cbrt_compat": ("x DOUBLE", "DOUBLE", "cbrt(x)"),
+}
+
+
+def register_sql_udfs(spark: SparkSession) -> list[str]:
+    """Register all compat functions; returns names that failed (if any)."""
+    failed = []
+    for name, (sig, ret, body) in SQL_UDFS.items():
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+                f"RETURNS {ret} RETURN {body}"
+            )
+        except Exception:  # pragma: no cover - defensive
+            failed.append(name)
+    return failed

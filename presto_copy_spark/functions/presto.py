@@ -1,0 +1,254 @@
+"""Presto functions needing build-time (Python) logic — Column helpers.
+
+These cover DateTimeFunctions.java behaviors whose *argument conventions*
+differ from Spark (unit-string first arg, MySQL-style format strings) and
+aggregate-shaped helpers (Presto aggregate names → Spark aggregate
+Columns).  All emit pure Catalyst expressions — JVM-side evaluation, no
+Python UDFs.
+
+Reference: presto-main/.../operator/scalar/DateTimeFunctions.java (1473
+LoC), aggregation registrations in
+metadata/BuiltInTypeAndFunctionNamespaceManager.java:655-1010.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "date_add",
+    "date_diff",
+    "date_trunc",
+    "date_parse",
+    "date_format_presto",
+    "approx_percentile",
+    "approx_distinct",
+    "arbitrary",
+    "array_agg",
+    "map_agg",
+    "map_union",
+    "multimap_agg",
+    "checksum",
+    "geometric_mean",
+    "max_by",
+    "min_by",
+    "max_n",
+    "min_n",
+    "histogram",
+    "numeric_histogram",
+    "approx_most_frequent",
+    "reduce_agg_sum",
+]
+
+_UNIT_SECONDS = {
+    "millisecond": None,  # special-cased
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _col(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# --------------------------------------------------------------------------
+# datetime (Presto arg order: unit first)
+# --------------------------------------------------------------------------
+def date_add(unit: str, value, ts) -> Column:
+    """Presto date_add('unit', n, ts): add n units to a timestamp."""
+    unit = unit.lower()
+    ts = _col(ts)
+    value = F.lit(value) if not isinstance(value, Column) else value
+    if unit == "millisecond":
+        return F.timestamp_micros(F.unix_micros(ts) + value * F.lit(1000))
+    if unit in _UNIT_SECONDS:
+        secs = value * F.lit(_UNIT_SECONDS[unit])
+        return F.timestamp_seconds(F.unix_seconds(ts) + secs).alias("date_add")
+    if unit == "month":
+        return F.add_months(ts, value)
+    if unit == "quarter":
+        return F.add_months(ts, value * F.lit(3))
+    if unit == "year":
+        return F.add_months(ts, value * F.lit(12))
+    raise ValueError(f"unsupported unit {unit}")
+
+
+def date_diff(unit: str, start, end) -> Column:
+    """Presto date_diff('unit', t1, t2) = t2 - t1 in units (truncating)."""
+    unit = unit.lower()
+    start, end = _col(start), _col(end)
+    if unit == "millisecond":
+        return (F.unix_micros(end) - F.unix_micros(start)) / F.lit(1000)
+    if unit in _UNIT_SECONDS:
+        delta = F.unix_seconds(end) - F.unix_seconds(start)
+        return (delta / F.lit(_UNIT_SECONDS[unit])).cast("bigint")
+    if unit in ("month", "quarter", "year"):
+        months = (F.year(end) - F.year(start)) * 12 + F.month(end) - F.month(start)
+        div = {"month": 1, "quarter": 3, "year": 12}[unit]
+        return (months / div).cast("bigint")
+    raise ValueError(f"unsupported unit {unit}")
+
+
+def date_trunc(unit: str, ts) -> Column:
+    """Presto date_trunc('unit', ts) — Spark's arg order is the same name
+    but (fmt, ts) with different unit spellings; normalize."""
+    return F.date_trunc(unit.upper(), _col(ts))
+
+
+_MYSQL_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%i", "mm"),
+    ("%s", "ss"),
+    ("%f", "SSSSSS"),
+    ("%T", "HH:mm:ss"),
+    ("%j", "DDD"),
+    ("%a", "EEE"),
+    ("%W", "EEEE"),
+    ("%M", "MMMM"),
+    ("%b", "MMM"),
+    ("%e", "d"),
+    ("%k", "H"),
+    ("%%", "%"),
+]
+
+
+def _mysql_format_to_java(fmt: str) -> str:
+    for a, b in _MYSQL_TO_JAVA:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def date_parse(s, fmt: str) -> Column:
+    """Presto date_parse(string, mysql_format) -> timestamp."""
+    return F.to_timestamp(_col(s), _mysql_format_to_java(fmt))
+
+
+def date_format_presto(ts, fmt: str) -> Column:
+    """Presto date_format(ts, mysql_format) -> string."""
+    return F.date_format(_col(ts), _mysql_format_to_java(fmt))
+
+
+# --------------------------------------------------------------------------
+# aggregates (Presto name -> Spark Column)
+# --------------------------------------------------------------------------
+def approx_percentile(col, percentage, accuracy: int = 10000) -> Column:
+    return F.percentile_approx(_col(col), percentage, accuracy)
+
+
+def approx_distinct(col, rsd: float = 0.023) -> Column:
+    return F.approx_count_distinct(_col(col), rsd)
+
+
+def arbitrary(col) -> Column:
+    return F.first(_col(col), ignorenulls=True)
+
+
+def array_agg(col) -> Column:
+    return F.collect_list(_col(col))
+
+
+def map_agg(key, value) -> Column:
+    """map_agg(k, v) ≈ map_from_entries(collect_list(struct(k, v)))."""
+    return F.map_from_entries(F.collect_list(F.struct(_col(key), _col(value))))
+
+
+def map_union(col) -> Column:
+    """map_union(m): merge maps across rows (later rows win on dup keys)."""
+    return F.aggregate(
+        F.collect_list(_col(col)),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, m: F.map_concat(F.map_filter(acc, lambda k, _: ~F.map_contains_key(m, k)), m),
+    )
+
+
+def multimap_agg(key, value) -> Column:
+    k, v = _col(key), _col(value)
+    entries = F.collect_list(F.struct(k.alias("k"), v.alias("v")))
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(F.transform(entries, lambda e: e["k"])),
+            lambda kk: F.struct(
+                kk.alias("k"),
+                F.filter(entries, lambda e: e["k"] == kk).alias("grp").getField("v").alias("v"),
+            ),
+        )
+    )
+
+
+def checksum(col) -> Column:
+    """Order-independent checksum: sum of xxhash64 (Presto ChecksumAggregationFunction)."""
+    return F.sum(F.xxhash64(_col(col)))
+
+
+def geometric_mean(col) -> Column:
+    return F.exp(F.avg(F.log(_col(col))))
+
+
+def max_by(value, ordering) -> Column:
+    return F.max_by(_col(value), _col(ordering))
+
+
+def min_by(value, ordering) -> Column:
+    return F.min_by(_col(value), _col(ordering))
+
+
+def max_n(col, n: int) -> Column:
+    """Presto max(x, n): array of the n largest values."""
+    return F.slice(F.reverse(F.array_sort(F.collect_list(_col(col)))), 1, n)
+
+
+def min_n(col, n: int) -> Column:
+    return F.slice(F.array_sort(F.collect_list(_col(col))), 1, n)
+
+
+def histogram(col) -> Column:
+    """Presto histogram(x) -> map(x, count)."""
+    c = _col(col)
+    values = F.collect_list(c)
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(values),
+            lambda v: F.struct(v.alias("k"), F.size(F.filter(values, lambda x: x == v)).alias("v")),
+        )
+    )
+
+
+def numeric_histogram(buckets: int, col, lo, hi) -> Column:
+    """Fixed-bucket numeric histogram via width_bucket + map."""
+    b = F.width_bucket(_col(col), F.lit(lo), F.lit(hi), F.lit(buckets))
+    values = F.collect_list(b)
+    return F.map_from_entries(
+        F.transform(
+            F.array_sort(F.array_distinct(values)),
+            lambda v: F.struct(v.alias("k"), F.size(F.filter(values, lambda x: x == v)).alias("v")),
+        )
+    )
+
+
+def approx_most_frequent(buckets: int, col) -> Column:
+    """approx_most_frequent(k, x): top-k value -> count map.
+
+    Exact top-k via sorted count pairs (at scale, push the groupBy down —
+    see operators/aggregates.py:top_k_values for the distributed form).
+    """
+    c = _col(col)
+    values = F.collect_list(c)
+    pairs = F.transform(
+        F.array_distinct(values),
+        lambda v: F.struct(F.size(F.filter(values, lambda x: x == v)).alias("cnt"), v.alias("val")),
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, buckets)
+    return F.map_from_entries(F.transform(top, lambda s: F.struct(s["val"], s["cnt"])))
+
+
+def reduce_agg_sum(col) -> Column:
+    """reduce_agg with (+) — degenerate but demonstrates the mapping."""
+    return F.aggregate(F.collect_list(_col(col)), F.lit(0.0), lambda a, b: a + b)

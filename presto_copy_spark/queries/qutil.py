@@ -1,0 +1,52 @@
+"""Determinism helpers shared by query implementations and their oracles.
+
+Floating-point sums are order-dependent; Spark's partial aggregation and
+DuckDB's serial aggregation can differ in the last ulp, which flips a
+rounded value when the true sum sits on a rounding boundary.  The fixture
+columns carry at most 4 decimal digits, so we sum ``round(expr * 10^4)``
+as exact BIGINTs and divide once at the end — bit-identical on both
+engines, at any parallelism, at any scale (sum magnitude at SF100k still
+< 2^63).  This mirrors what Presto does natively with DECIMAL aggregation
+(presto-main/.../operator/aggregation/DecimalSumAggregation.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 10_000
+
+
+# ---- Spark side -----------------------------------------------------------
+def scaled_sum(expr: Column) -> Column:
+    """Exact integer sum of expr scaled by 10^4."""
+    return F.sum(F.round(expr * SCALE).cast("long"))
+
+
+def exact_sum(expr: Column, alias: str) -> Column:
+    """Deterministic double sum via exact integer aggregation.
+
+    No final round(): Spark rounds doubles through their shortest decimal
+    string (HALF_UP) while DuckDB rounds the binary value, so round() at a
+    boundary like x.595 diverges.  The unrounded quotient is bit-identical
+    on both engines.
+    """
+    return (scaled_sum(expr).cast("double") / float(SCALE)).alias(alias)
+
+
+def exact_avg(expr: Column, alias: str) -> Column:
+    return (scaled_sum(expr).cast("double") / float(SCALE) / F.count(F.lit(1))).alias(alias)
+
+
+# ---- oracle (DuckDB SQL) side --------------------------------------------
+def sql_scaled_sum(e: str) -> str:
+    return f"CAST(sum(CAST(round(({e}) * 10000) AS BIGINT)) AS DOUBLE)"
+
+
+def sql_exact_sum(e: str, alias: str) -> str:
+    return f"{sql_scaled_sum(e)} / 10000.0 AS {alias}"
+
+
+def sql_exact_avg(e: str, alias: str) -> str:
+    return f"{sql_scaled_sum(e)} / 10000.0 / count(*) AS {alias}"

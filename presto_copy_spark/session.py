@@ -1,0 +1,87 @@
+"""SparkSession bootstrap tuned for the engine.
+
+The reference engine (Presto, /root/reference) provisions its execution
+environment in presto-main's TaskExecutor + memory pools; on Spark all of
+that is session configuration.  This module is the single place where the
+engine's performance posture is declared:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) — the Spark analogue of Presto's
+  ``DetermineJoinDistributionType`` / ``RuntimeReorderJoinSides`` rules.
+- CBO + join reorder on — analogue of ``ReorderJoins`` /
+  ``EliminateCrossJoins`` (needs ANALYZE stats to bite).
+- Runtime bloom filters + dynamic partition pruning — analogue of
+  Presto's ``DynamicFilterSourceOperator`` dynamic filtering.
+- Nested schema pruning — analogue of ``PushdownSubfields``.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  match the DuckDB oracle.
+
+Scale note: these settings are cluster-neutral.  ``shuffle_partitions``
+defaults small for local test SFs; at 100 TB you'd raise it (or rely on
+AQE coalescing from a high initial number, which is why
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` is wired).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "default_parallelism"]
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "presto-copy-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``getOrCreate`` semantics: if a session already exists, dynamic confs
+    are applied where possible; tests share one JVM.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(min(cpus, 32)))
+        )
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution (runtime re-plan ≈ Presto AQE-ish rules) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- cost-based optimization (≈ ReorderJoins + stats rules) ---
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # --- runtime filtering (≈ DynamicFilterSourceOperator) ---
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # --- scan efficiency ---
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- python<->jvm transfer ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- local-mode niceties (harmless on a cluster where overridden) ---
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
