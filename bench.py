@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol mirrors the reference's benchto setup at small scale
+(presto-benchto-benchmarks/.../tpch.yaml: prewarm + measured runs,
+median reported): 1 prewarm + 3 measured here to keep wall time sane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from presto_copy_spark.functions import register_all
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("presto-copy-spark-bench")
+    register_all(spark)
+
+    # Headline set: TPC-H core + one representative per extra family.
+    names = [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]
+    for extra in sorted(registry.QUERIES):
+        if not extra.startswith("tpch_") and extra.split("_")[0] in (
+            "window",
+            "events",
+            "dedup",
+            "text",
+            "sim",
+        ):
+            names.append(extra)
+
+    prewarm = int(os.environ.get("BENCH_PREWARM", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        try:
+            for _ in range(prewarm):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as e:  # a broken query shouldn't zero the whole bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "median_query_seconds_total",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
