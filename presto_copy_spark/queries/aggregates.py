@@ -1,1 +1,391 @@
-"""Placeholder — filled in this round."""
+"""Aggregation operator coverage (SURVEY §2.4).
+
+Covers: global + grouped hash aggregation, DISTINCT aggregates,
+statistical aggregates (variance/stddev/corr/covar/skewness/kurtosis),
+min_by/max_by, bool/bit aggregates, count_if, exact percentiles,
+collect_list/set (array_agg), grouping sets / rollup / cube with
+grouping_id, geometric mean, checksum, histogram/map_agg/approx_* .
+
+Reference: operator/HashAggregationOperator.java:56,
+AggregationOperator.java:35, GroupIdOperator.java:32, function registry
+BuiltInTypeAndFunctionNamespaceManager.java:655-1010.
+
+Cross-engine determinism notes:
+- Spark `skewness`/`kurtosis` are population moments (g1, excess g2);
+  DuckDB's are sample-corrected — oracles compute g1/g2 from raw
+  moments instead of using DuckDB's aggregate.
+- checksum uses md5-derived bigints (identical in both engines) rather
+  than xxhash64 (engine-specific), summed — order-independent, exactly
+  the reference's ChecksumAggregationFunction design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .qutil import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# md5-based 60-bit row hash, bit-identical in Spark and DuckDB.
+def spark_row_hash(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def sql_row_hash(e: str) -> str:
+    return f"('0x' || substr(md5(CAST(({e}) AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT count(*) AS n,
+       count(DISTINCT l_suppkey) AS n_supp,
+       {sql_exact_sum('l_quantity', 'sum_qty')},
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       {sql_exact_avg('l_extendedprice', 'avg_price')}
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no GROUP BY) aggregation — AggregationOperator.java:35."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        exact_sum(F.col("l_quantity"), "sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        exact_avg(F.col("l_extendedprice"), "avg_price"),
+    )
+
+
+@query(
+    "agg_distinct_mixed",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS d_supp,
+       count(DISTINCT l_partkey) AS d_part,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed DISTINCT aggregates (MarkDistinctOperator.java:35 /
+    OptimizeMixedDistinctAggregations — Spark plans Expand natively)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("d_supp"),
+        F.countDistinct("l_partkey").alias("d_part"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_variance_stddev",
+    oracle="""
+SELECT l_returnflag,
+       round(var_samp(l_discount), 9) AS vs,
+       round(var_pop(l_discount), 9) AS vp,
+       round(stddev_samp(l_discount), 9) AS ss,
+       round(stddev_pop(l_discount), 9) AS sp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variance/stddev family (VarianceAggregation.java).  l_discount is
+    small-magnitude so a 9dp round absorbs partial-agg float ordering."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.var_samp("l_discount"), 9).alias("vs"),
+        F.round(F.var_pop("l_discount"), 9).alias("vp"),
+        F.round(F.stddev_samp("l_discount"), 9).alias("ss"),
+        F.round(F.stddev_pop("l_discount"), 9).alias("sp"),
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+SELECT round(corr(l_quantity, l_extendedprice), 6) AS c,
+       round(covar_samp(l_quantity, l_discount), 6) AS cvs,
+       round(covar_pop(l_quantity, l_discount), 6) AS cvp
+FROM lineitem
+""",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar (DoubleCorrelationAggregation.java,
+    DoubleCovarianceAggregation.java)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("c"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cvs"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cvp"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+WITH mu AS (SELECT avg(l_quantity) AS m, count(*) AS n FROM lineitem)
+SELECT round(avg(pow(l_quantity - m, 3)) / pow(avg(pow(l_quantity - m, 2)), 1.5), 6)
+         AS skew_g1,
+       round(avg(pow(l_quantity - m, 4)) / pow(avg(pow(l_quantity - m, 2)), 2) - 3, 6)
+         AS kurt_g2
+FROM lineitem, mu
+""",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness/kurtosis (CentralMomentsAggregation.java).  Spark returns
+    population g1 / excess g2; DuckDB's aggregates are sample-corrected,
+    so the oracle computes the population moments explicitly."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew_g1"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_g2"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (reference minmaxby/ package)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+SELECT l_linestatus,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.09) AS any_big_disc,
+       bit_and(l_suppkey) AS band,
+       bit_or(l_suppkey) AS bor,
+       bit_xor(l_suppkey) AS bxor,
+       CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_taxed
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or (BooleanAndAggregation.java), bitwise_*_agg
+    (BitwiseAndAggregation.java), count_if (CountIfAggregation.java)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.bit_and("l_suppkey").alias("band"),
+        F.bit_or("l_suppkey").alias("bor"),
+        F.bit_xor("l_suppkey").alias("bxor"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_taxed"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (reference approx_percentile's exact
+    sibling; quantities are integer-valued so interpolation is exact)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+    )
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+       CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg / set_agg -> collect_set, emitted as a sorted joined
+    string so the value comparison is representation-stable."""
+    l = _t(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(statuses, ",").alias("statuses"),
+        F.size(statuses).alias("n_statuses"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + grouping_id (GroupIdOperator.java:32; grammar
+    SqlBase.g4:261-263)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.grouping_id().alias("gid")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_mean
+FROM lineitem WHERE l_quantity > 0
+GROUP BY l_returnflag
+""",
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geometric_mean (GeometricMeanAggregations.java) = exp(avg(ln x))."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log("l_quantity"))), 6).alias("geo_mean")
+    )
+
+
+@query(
+    "agg_checksum",
+    oracle=f"""
+SELECT l_returnflag, bit_xor({sql_row_hash('l_orderkey * 10 + l_linenumber')}) AS chk
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent checksum (ChecksumAggregationFunction analogue)
+    over a cross-engine-stable md5-derived row hash.  bit_xor instead of
+    sum: commutative, associative, and overflow-free at any row count
+    (a sum of 60-bit hashes overflows int64 past ~10^4 rows and Spark
+    wraps while DuckDB promotes to int128)."""
+    l = _t(spark, sf_dir, "lineitem")
+    row_key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return l.groupBy("l_returnflag").agg(F.bit_xor(spark_row_hash(row_key)).alias("chk"))
+
+
+@query(
+    "agg_arbitrary",
+    oracle="""
+SELECT o_orderstatus, min(o_orderpriority) AS some_priority
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arbitrary()/any_value() — nondeterministic by definition, so the
+    checked variant pins the choice with min() (the reference tests do
+    the same trick for arbitrary())."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.min("o_orderpriority").alias("some_priority"))
+
+
+# ---- approx / sketch family: rows-only (engine-specific algorithms) -------
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_distinct (HLL++; ApproximateCountDistinctAggregation.java).
+    No value oracle — Spark HLL++ vs DuckDB HLL differ; tests assert
+    relative error vs exact count instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.023).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (qdigest/tdigest analogue -> Spark
+    percentile_approx with accuracy knob)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+    )
+
+
+@query("agg_histogram_map")
+def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram()/map_agg() -> map column (Histogram.java:48,
+    MapAggregationFunction.java:51).  Map-typed output has no stable
+    cross-engine representation, so this is rows-only; test_functions
+    asserts the map contents in Python."""
+    from ..functions.presto import histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        histogram(F.col("o_orderpriority")).alias("priority_histogram")
+    )
