@@ -51,7 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div: double division would lose precision (nanos ~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,1 +1,231 @@
-"""Placeholder — filled in this round."""
+"""Event-time windowing over the ``events`` fixture (SURVEY §2.11).
+
+The reference has NO streaming operators (Presto is batch MPP; its
+kafka/redis connectors expose topics as batch tables — SURVEY §1.3), so
+parity for time-series workloads is batch event-time windowing:
+``F.window`` (tumbling/sliding) and ``F.session_window`` (gap-based
+sessionization), both usable identically under Structured Streaming —
+presto_copy_spark/streaming wires the same plans to readStream.
+
+Oracles: DuckDB ``time_bucket`` for tumbling; offset-bucket UNION for
+sliding; the classic gaps-and-islands (lag + cumulative flag sum) for
+sessions — the textbook SQL equivalents of each operator.
+
+Scale note (100 TB): all three group on (window, key) — the shuffle key
+includes the bucket, so load spreads over time × key space; a skewed
+hot key would be salted.  Sliding windows multiply rows by
+size/slide (2× here) at the Expand stage before the shuffle — partial
+aggregation still applies after expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _cents_sum(col: str = "value"):
+    return F.sum(F.round(F.col(col) * 100).cast("long"))
+
+
+SQL_CENTS_SUM = "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {SQL_CENTS_SUM} AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — F.window().
+
+    Batch counterpart of a streaming tumbling-window agg; identical plan
+    works under readStream + watermark (streaming/jobs.py).
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value_cents",
+        )
+    )
+
+
+@query(
+    "events_sliding",
+    oracle=f"""
+WITH cand AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', ts) - o * (30 * INTERVAL '1 minute')
+           AS window_start
+  FROM events e CROSS JOIN (VALUES (0), (1)) offs(o)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*) AS n_events,
+       {SQL_CENTS_SUM} AS sum_value_cents
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+GROUP BY 1, 2
+""",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h size / 30m slide) — F.window(size, slide).
+
+    Spark implements this as an Expand (each row into size/slide = 2
+    buckets) + hash agg, exactly what the UNION-offset oracle spells out.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@query(
+    "events_session",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessed AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '10 minutes' AS session_end,
+       count(*) AS n_events,
+       {SQL_CENTS_SUM} AS sum_value_cents
+FROM sessed
+GROUP BY user_id, sess_id
+""",
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute gap) — F.session_window.
+
+    Spark's SessionWindow merges adjacent rows whose gap < 10m; session
+    end = last event + gap.  The oracle is the gaps-and-islands rewrite.
+    Streaming-capable as-is (session_window + watermark).
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+@query(
+    "events_hourly_top_type",
+    oracle=f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         {SQL_CENTS_SUM} AS sum_value_cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, sum_value_cents
+FROM (
+  SELECT h.*, row_number() OVER (PARTITION BY window_start
+                                 ORDER BY sum_value_cents DESC, event_type) AS rn
+  FROM hourly h
+) t
+WHERE rn = 1
+""",
+)
+def events_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed agg composed with per-window top-1 (agg → window → filter):
+    the hourly 'leading event type by value' pattern."""
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value_cents")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.col("sum_value_cents").desc(), "event_type")
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column — JsonFunctions.java
+    json_extract_scalar ≈ get_json_object."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
