@@ -1,0 +1,181 @@
+"""Text-analysis primitives for the documents pipeline.
+
+These are the building blocks a large-scale training-data pipeline needs
+(tokenization, shingling, fingerprinting, minhash/simhash signatures),
+expressed as JVM-side Column expressions — no Python UDFs in the hot
+path, so everything stays inside whole-stage codegen and scales to any
+corpus size by partitioning.
+
+Cross-engine determinism contract: every hash is a 60-bit integer
+derived from md5 (identical bytes in Spark and DuckDB), so the DuckDB
+oracles can replay the exact pipeline.  Reference analogues: Presto's
+ngrams()/word-stem scalar functions (operator/scalar/WordStemFunction
+.java, ArrayNgramsFunction) and the checksum pattern
+(operator/aggregation/ChecksumAggregationFunction.java).
+
+Every ``X`` Column helper has a ``sql_X`` twin emitting the equivalent
+DuckDB SQL so query oracles stay literally parallel to the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list used by quality scoring / lang-id (fixture vocabulary).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+# ---- hashing --------------------------------------------------------------
+def hash60(col: Column) -> Column:
+    """60-bit non-negative integer hash via md5 (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(e: str) -> str:
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+# ---- tokenization ---------------------------------------------------------
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (Presto split(text, ...) ≈ Spark split)."""
+    return F.split(F.trim(col), "\\s+")
+
+
+def sql_tokens(e: str) -> str:
+    return f"regexp_split_to_array(trim({e}), '\\s+')"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex (regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def sql_bpe_token_count(e: str) -> str:
+    return f"len(regexp_extract_all({e}, '{BPE_RE}'))"
+
+
+# ---- shingles -------------------------------------------------------------
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a token array (ngrams())."""
+    parts = lambda i: [F.element_at(tok, i + j + 1) for j in range(k)]  # noqa: E731
+    arr = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - k),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+    return F.when(F.size(tok) >= k, F.array_distinct(arr)).otherwise(F.array())
+
+
+def sql_shingles_cte(k: int = 3, src: str = "documents", text: str = "text") -> str:
+    """CTE body producing (doc_id, shingle) DISTINCT rows — the inverted
+    index the Spark side builds with explode(shingles(...))."""
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(k))
+    return f"""
+  SELECT DISTINCT doc_id, {grams} AS shingle
+  FROM (SELECT doc_id, {sql_tokens(text)} AS tk FROM {src}) t,
+       unnest(generate_series(1, len(tk) - {k - 1})) AS g(i)
+"""
+
+
+# ---- minhash --------------------------------------------------------------
+def minhash_cols(shingle: Column, n_hashes: int = 16) -> list[Column]:
+    """Per-shingle hash columns h_0..h_{n-1}; min() of each per doc is the
+    MinHash signature (one aggregation pass, no UDF)."""
+    return [
+        hash60(F.concat(F.lit(f"{i}:"), shingle)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def sql_minhash_min_terms(n_hashes: int = 16, shingle: str = "shingle") -> str:
+    return ",\n         ".join(
+        f"min({sql_hash60(f''''{i}:' || {shingle}''')}) AS h{i}" for i in range(n_hashes)
+    )
+
+
+def spark_band_exprs(n_hashes: int, n_bands: int) -> list[Column]:
+    """Band signatures: md5 over each contiguous row of the signature
+    matrix.  Docs sharing any band signature are candidates.  Must be
+    called with an active SparkSession (builds JVM Columns)."""
+    rows = n_hashes // n_bands
+    return [
+        F.md5(F.concat_ws(",", *[F.col(f"h{b * rows + j}").cast("string") for j in range(rows)]))
+        for b in range(n_bands)
+    ]
+
+
+def sql_band_exprs(n_hashes: int, n_bands: int) -> list[str]:
+    """Pure-string SQL twin of spark_band_exprs (safe at import time)."""
+    rows = n_hashes // n_bands
+    return [
+        "md5(" + " || ',' || ".join(f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)) + ")"
+        for b in range(n_bands)
+    ]
+
+
+# ---- simhash --------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def simhash_sum_cols(tok_hash: Column) -> list[Column]:
+    """Per-bit ±1 sums; sign of each sum is one SimHash bit."""
+    return [
+        F.sum(F.shiftright(tok_hash, b).bitwiseAND(1) * 2 - 1).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_assemble() -> Column:
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out.alias("simhash")
+
+
+def sql_simhash_terms(hash_expr: str) -> str:
+    """DuckDB: per-bit sum terms over (doc_id, token-hash h) rows."""
+    return ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(SIMHASH_BITS)
+    )
+
+
+def sql_simhash_assemble() -> str:
+    return (
+        "("
+        + " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(SIMHASH_BITS))
+        + ") AS simhash"
+    )
+
+
+# ---- quality metrics ------------------------------------------------------
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Per-doc quality signals (all engine-portable expressions)."""
+    tok = tokens(text)
+    n_tok = F.size(tok)
+    stop_hits = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(tok)).cast("double") / n_tok
+    mean_len = (F.length(F.concat_ws("", tok)).cast("double")) / n_tok
+    return {
+        "n_tokens": n_tok,
+        "stop_ratio": stop_hits.cast("double") / n_tok,
+        "distinct_ratio": distinct_ratio,
+        "mean_token_len": mean_len,
+    }
+
+
+SQL_QUALITY = {
+    "n_tokens": "len(tk)",
+    "stop_ratio": (
+        "len(list_filter(tk, t -> t IN ({stops})))::DOUBLE / len(tk)"
+    ),
+    "distinct_ratio": "len(list_distinct(tk))::DOUBLE / len(tk)",
+    "mean_token_len": "length(list_aggregate(tk, 'string_agg', ''))::DOUBLE / len(tk)",
+}
+
+
+def sql_quality(name: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return SQL_QUALITY[name].format(stops=stops)
