@@ -1,1 +1,273 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` fixture (array<float> x 64).
+
+Three tiers, mirroring a production ANN stack:
+- brute-force cosine top-k (the correctness baseline; broadcast the
+  query set, scan the corpus once, per-query TopN via window)
+- sign-LSH bucketed near-dup pairs (candidate generation by equi-join
+  on bucket — the O(collisions) scale path)
+- IVF probe (centroid per partition/label, probe nearest 2 cells, scan
+  only those cells)
+
+All cosine math uses operators/similarity.py quantized-integer dot
+products — deterministic on both engines at any parallelism.
+
+Scale design (100 TB): the corpus side never materializes pairs beyond
+bucket/cell collisions; query sets and centroid tables are broadcast;
+per-query TopN is a WindowGroupLimit (partial top-k before shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    CSCALE,
+    cosine_from_q,
+    qdot,
+    sign_bucket,
+    sql_cosine_from_q,
+    sql_qdot,
+    sql_sign_bucket,
+)
+from .registry import query
+
+TOPK = 5
+NEARDUP_T = 0.9
+N_QUERIES = 5  # vec_id < 5 is the query set
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# DuckDB fragments shared by the oracles.
+_SQL_NORM = sql_qdot("embedding", "embedding")
+_SQL_BASE = f"SELECT vec_id, label, embedding, {_SQL_NORM} AS nq FROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH base AS ({_SQL_BASE}),
+q AS (SELECT vec_id AS qid, embedding AS qe, nq AS qnq FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         {sql_cosine_from_q(sql_qdot('q.qe', 'b.embedding'), 'q.qnq', 'b.nq')} AS cosine
+  FROM q CROSS JOIN base b
+  WHERE b.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, rn
+FROM (SELECT s.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored s) t
+WHERE rn <= {TOPK}
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set x corpus scan.
+
+    The crossJoin side is broadcast (N_QUERIES rows), so the plan is a
+    single corpus scan with per-row cosine eval + WindowGroupLimit
+    top-k — the exact-ANN baseline that scales linearly in corpus size.
+    """
+    e = _emb(spark, sf_dir)
+    base = e.select("vec_id", "embedding", qdot(F.col("embedding"), F.col("embedding")).alias("nq"))
+    q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nq").alias("qnq"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_from_q(qdot(F.col("qe"), F.col("embedding")), F.col("qnq"), F.col("nq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOPK)
+
+
+@query(
+    "sim_ann_lsh_neardup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+base AS (
+  SELECT vec_id, embedding, {_SQL_NORM} AS nq,
+         {sql_sign_bucket('embedding')} AS bucket
+  FROM corpus
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {sql_cosine_from_q(sql_qdot('a.embedding', 'b.embedding'), 'a.nq', 'b.nq')} AS cosine
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, cosine FROM pairs WHERE cosine >= {NEARDUP_T}
+""",
+)
+def sim_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection via sign-LSH buckets.
+
+    Candidates come from an equi-join on the 8-bit sign bucket (exact
+    duplicates always collide -> 100% recall at cosine=1), then cosine
+    verification on candidates only.  The fixture has no near-dups, so
+    a shifted copy of every 50th vector is unioned in to exercise the
+    operator (same pattern as dedup_exact).
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    base = (
+        e.unionByName(planted)
+        .select(
+            "vec_id",
+            "embedding",
+            qdot(F.col("embedding"), F.col("embedding")).alias("nq"),
+            sign_bucket(F.col("embedding")).alias("bucket"),
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        cosine_from_q(
+            qdot(F.col("a.embedding"), F.col("b.embedding")), F.col("a.nq"), F.col("b.nq")
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= NEARDUP_T)
+
+
+@query(
+    "sim_ivf_probe",
+    oracle=f"""
+WITH coords AS (
+  SELECT vec_id, label, i, CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+centroids AS (
+  SELECT label, i,
+         CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM coords GROUP BY label, i
+),
+qc AS (SELECT vec_id AS qid, i, qv FROM coords WHERE vec_id < {N_QUERIES}),
+cell_dist AS (
+  SELECT qc.qid, c.label,
+         CAST(sum((qc.qv - c.cv) * (qc.qv - c.cv)) AS BIGINT) AS dist
+  FROM qc JOIN centroids c ON qc.i = c.i
+  GROUP BY qc.qid, c.label
+),
+probed AS (
+  SELECT qid, label FROM (
+    SELECT cd.*, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+    FROM cell_dist cd) t
+  WHERE rn <= 2
+),
+base AS ({_SQL_BASE}),
+q AS (SELECT vec_id AS qid, embedding AS qe, nq AS qnq FROM base WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         {sql_cosine_from_q(sql_qdot('q.qe', 'b.embedding'), 'q.qnq', 'b.nq')} AS cosine
+  FROM q JOIN probed p ON p.qid = q.qid
+         JOIN base b ON b.label = p.label AND b.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, rn
+FROM (SELECT s.*, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored s) t
+WHERE rn <= 3
+""",
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroid per cell (label = cell id), probe the 2
+    nearest cells per query, exact cosine only inside probed cells.
+
+    Centroid coordinates and query-cell distances are fully integer
+    (scaled 1e6, floor-divided) so both engines agree bit-for-bit.
+    At scale: centroids are a tiny broadcast table; the cell scan is a
+    partition-pruned read when the corpus is partitioned by cell.
+    """
+    e = _emb(spark, sf_dir)
+    coords = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    )
+    centroids = coords.groupBy("label", "i").agg(
+        F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+    )
+    qc = coords.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "i", "qv"
+    )
+    cell_dist = (
+        qc.join(F.broadcast(centroids), "i")
+        .groupBy("qid", "label")
+        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
+    )
+    wp = Window.partitionBy("qid").orderBy("dist", "label")
+    probed = (
+        cell_dist.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 2).select("qid", "label")
+    )
+    base = e.select(
+        "vec_id", "label", "embedding", qdot(F.col("embedding"), F.col("embedding")).alias("nq")
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nq").alias("qnq"),
+    )
+    scored = (
+        base.join(F.broadcast(probed), "label")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_from_q(qdot(F.col("qe"), F.col("embedding")), F.col("qnq"), F.col("nq")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "sim_norm_histogram",
+    oracle=f"""
+SELECT label,
+       count(*) AS n,
+       CAST(sum({_SQL_NORM}) AS BIGINT) AS sum_norm_q,
+       min({_SQL_NORM}) AS min_norm_q,
+       max({_SQL_NORM}) AS max_norm_q
+FROM embeddings
+GROUP BY label
+""",
+)
+def sim_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm statistics per cell — the sanity profile a pipeline
+    runs before indexing (detects unnormalized / degenerate vectors)."""
+    e = _emb(spark, sf_dir)
+    nq = qdot(F.col("embedding"), F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(nq).alias("sum_norm_q"),
+        F.min(nq).alias("min_norm_q"),
+        F.max(nq).alias("max_norm_q"),
+    )
