@@ -36,7 +36,7 @@ def main() -> None:
     names = [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]
     for extra in sorted(registry.QUERIES):
         if not extra.startswith("tpch_") and extra.split("_")[0] in (
-            "window",
+            "win",
             "events",
             "dedup",
             "text",

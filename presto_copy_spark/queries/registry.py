@@ -35,4 +35,4 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import all query modules so their registrations run."""
-    from . import tpch, relational, aggregates, windows, events, text, similarity  # noqa: F401
+    from . import tpch, tpch_extra, relational, aggregates, windows, events, text, similarity  # noqa: F401
