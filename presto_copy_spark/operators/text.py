@@ -81,18 +81,41 @@ def sql_shingles_cte(k: int = 3, src: str = "documents", text: str = "text") -> 
 
 
 # ---- minhash --------------------------------------------------------------
+# One md5 per shingle, then n_hashes cheap universal-hash mixers
+# h_i = (h * A_i + B_i) mod M over the base hash — 16x fewer md5 calls
+# than hashing per-function.  M prime < 2^31 keeps every product under
+# 2^62: no 64-bit overflow, so Spark (Java wrap) and DuckDB (overflow
+# error) behave identically.
+MINHASH_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mix_constants(n: int) -> list[tuple[int, int]]:
+    """Deterministic LCG-derived (A, B) pairs, identical in SQL twins."""
+    out, x = [], 1_103_515_245
+    for _ in range(n):
+        a = x % (MINHASH_M - 2) + 1
+        x = (x * 1_103_515_245 + 12_345) % (2**31)
+        b = x % MINHASH_M
+        x = (x * 1_103_515_245 + 12_345) % (2**31)
+        out.append((a, b))
+    return out
+
+
 def minhash_cols(shingle: Column, n_hashes: int = 16) -> list[Column]:
     """Per-shingle hash columns h_0..h_{n-1}; min() of each per doc is the
     MinHash signature (one aggregation pass, no UDF)."""
+    base = hash60(shingle) % MINHASH_M
     return [
-        hash60(F.concat(F.lit(f"{i}:"), shingle)).alias(f"h{i}")
-        for i in range(n_hashes)
+        ((base * a + b) % MINHASH_M).alias(f"h{i}")
+        for i, (a, b) in enumerate(_mix_constants(n_hashes))
     ]
 
 
 def sql_minhash_min_terms(n_hashes: int = 16, shingle: str = "shingle") -> str:
+    base = f"({sql_hash60(shingle)} % {MINHASH_M})"
     return ",\n         ".join(
-        f"min({sql_hash60(f''''{i}:' || {shingle}''')}) AS h{i}" for i in range(n_hashes)
+        f"min((({base}) * {a} + {b}) % {MINHASH_M}) AS h{i}"
+        for i, (a, b) in enumerate(_mix_constants(n_hashes))
     )
 
 

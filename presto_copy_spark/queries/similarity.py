@@ -39,7 +39,11 @@ N_QUERIES = 5  # vec_id < 5 is the query set
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # single small parquet file -> 1 scan task, but per-row vector math is
+    # heavy: spread rows across cores before the compute (see
+    # queries/text.py _shingle_index for the scale rationale)
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # DuckDB fragments shared by the oracles.
