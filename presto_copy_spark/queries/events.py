@@ -207,6 +207,41 @@ def events_hourly_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_streaming_tumbling",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {SQL_CENTS_SUM} AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window agg executed as a Structured Streaming job
+    (file source -> watermark -> window agg -> AvailableNow -> memory
+    sink) and validated against the SAME batch oracle — streaming-batch
+    parity.  See streaming/jobs.py."""
+    from ..streaming.jobs import run_stream_to_batch, stream_events, tumbling_agg
+
+    out = run_stream_to_batch(tumbling_agg(stream_events(spark, sf_dir)))
+    return out.select("window_start", "window_end", "event_type", "n_events", "sum_value_cents")
+
+
+@query("events_streaming_session")  # rows-only: append mode finalizes only
+# watermark-expired sessions, so the tail differs from the batch oracle
+def events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (session_window + watermark,
+    update-mode state merge) run via AvailableNow.  Weaker rows-only
+    check by design: append mode emits only watermark-finalized
+    sessions."""
+    from ..streaming.jobs import run_stream_to_batch, session_agg, stream_events
+
+    return run_stream_to_batch(session_agg(stream_events(spark, sf_dir)), mode="append")
+
+
+@query(
     "events_json_props",
     oracle="""
 SELECT event_type,

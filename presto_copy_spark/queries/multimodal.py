@@ -1,0 +1,95 @@
+"""Multimodal-column pipeline queries (operators/multimodal.py).
+
+The blob table is synthesized deterministically from documents (text
+bytes as media bytes), so the JVM-side stages (metadata stats, frame
+sampling) are DuckDB-oracle-checkable, while the mapInPandas feature
+extraction — whose fake embedding is a Python md5 chain — gets the
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import blob_table_from_documents, extract_features, sample_frames
+from .registry import query
+
+_SQL_MEDIA = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST(n_chars % 480 AS INT) AS height,
+         CAST(n_chars * 10 AS INT) AS duration_ms
+  FROM documents
+"""
+
+
+@query(
+    "multimodal_meta_stats",
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT media_type,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       min(width) AS min_width, max(width) AS max_width,
+       min(height) AS min_height, max(height) AS max_height,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+FROM media GROUP BY media_type
+""",
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata profiling over the binary media table — the stats a
+    pipeline prunes on before touching any bytes (nested-field pushdown:
+    only meta.* and length(content) are read)."""
+    m = blob_table_from_documents(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.min("meta.width").alias("min_width"),
+        F.max("meta.width").alias("max_width"),
+        F.min("meta.height").alias("min_height"),
+        F.max("meta.height").alias("max_height"),
+        F.sum("meta.duration_ms").alias("total_duration_ms"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA})
+SELECT media_id, off AS offset_ms,
+       upper(hex(encode(substr(text, 1, 16)))) AS frame_hex
+FROM media, unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS g(off)
+WHERE media_type = 'video'
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per 1000 ms offset (JVM-side explode;
+    frame decode stubbed to a byte slice, hex-encoded for comparison)."""
+    m = blob_table_from_documents(spark, sf_dir)
+    return sample_frames(m, every_ms=1000).select(
+        "media_id",
+        F.col("offset_ms").cast("long").alias("offset_ms"),
+        F.hex(F.col("frame_stub")).alias("frame_hex"),
+    )
+
+
+@query("multimodal_features")  # rows-only: fake embedding is a Python md5
+# chain inside mapInPandas — not SQL-replayable by design (stands in for
+# a model forward pass)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (decode stubbed -> deterministic fake embedding; plumbing real)."""
+    m = blob_table_from_documents(spark, sf_dir)
+    feats = extract_features(m)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.size("feature").alias("dim"),
+        F.element_at("feature", 1).alias("f0"),
+    )

@@ -35,4 +35,14 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import all query modules so their registrations run."""
-    from . import tpch, tpch_extra, relational, aggregates, windows, events, text, similarity  # noqa: F401
+    from . import (  # noqa: F401
+        aggregates,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        tpch,
+        tpch_extra,
+        windows,
+    )

@@ -1,0 +1,126 @@
+"""Sources & sinks (SURVEY §2.1).
+
+Reference surface: TableScanOperator.java:51 / TableWriterOperator.java:78
+/ TableFinishOperator.java:68 (commit) / DeleteOperator.java:40 /
+DevNullOperator.java (blackhole) plus the Hive connector's storage
+formats (HiveStorageFormat.java:49-106: ORC, PARQUET, AVRO, JSON,
+TEXTFILE, CSV, ...).
+
+Spark-first mapping: every format is a DataSource V2 `spark.read.format`
+/ `df.write.format`; the commit protocol (TableWriterMergeOperator +
+TableFinishOperator) is Spark's FileCommitProtocol; DELETE without a
+transactional table format is the partition-overwrite rewrite (Presto's
+MetadataDeleteOperator is the same idea: drop whole partitions, else
+rewrite).  At 100 TB writes scale by partitioning: `partition_by` maps
+to hive-style directory partitioning (partition pruning on read),
+AQE coalesces write tasks (ScaledWriterRule analogue).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "FORMATS",
+    "read_table",
+    "write_table",
+    "blackhole",
+    "create_table_as",
+    "insert_into",
+    "delete_where",
+    "values_table",
+]
+
+# format name -> (reader options, writer options)
+FORMATS: dict[str, tuple[dict[str, str], dict[str, str]]] = {
+    "parquet": ({}, {}),
+    "orc": ({}, {}),
+    "json": ({}, {}),
+    "csv": ({"header": "true", "inferSchema": "true"}, {"header": "true"}),
+    "text": ({}, {}),
+}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Scan `path` as `fmt` — ConnectorPageSource ≈ DataSource read.
+
+    Passing an explicit `schema` skips inference (csv/json): one fewer
+    full pass over the data, mandatory at scale.
+    """
+    opts = dict(FORMATS.get(fmt, ({}, {}))[0])
+    opts.update(options)
+    reader = spark.read.format(fmt).options(**opts)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write via the Spark commit protocol (TableWriter+TableFinish)."""
+    opts = dict(FORMATS.get(fmt, ({}, {}))[1])
+    opts.update(options)
+    w = df.write.format(fmt).mode(mode).options(**opts)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def blackhole(df: DataFrame) -> None:
+    """DevNullOperator.java:96 — execute the plan, discard the output."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def create_table_as(spark: SparkSession, name: str, df: DataFrame, fmt: str = "parquet") -> None:
+    """CTAS into the session warehouse (StatementAnalyzer CTAS path)."""
+    df.write.format(fmt).mode("overwrite").saveAsTable(name)
+
+
+def insert_into(name: str, df: DataFrame) -> None:
+    """INSERT INTO (append semantics — TableWriterOperator append)."""
+    df.write.insertInto(name, overwrite=False)
+
+
+def delete_where(spark: SparkSession, path: str, condition: str, fmt: str = "parquet") -> int:
+    """DELETE FROM <path> WHERE <condition> on a plain-file table.
+
+    Without a transactional format this is the rewrite pattern (read,
+    anti-filter, rewrite) — Presto's row-delete needs connector support
+    too (DeleteOperator.java:40); its MetadataDeleteOperator fast path
+    corresponds to dropping whole hive partitions.  Production tables use
+    Delta/Iceberg where this becomes a native `DELETE FROM`.
+
+    Returns number of rows deleted.  The rewrite stages to a temp dir
+    then swaps, so a mid-write failure can't lose the table.
+    """
+    df = read_table(spark, path, fmt)
+    keep = df.filter(f"NOT ({condition})")
+    deleted = df.count() - keep.count()
+    tmp = path.rstrip("/") + "._delete_tmp"
+    write_table(keep, tmp, fmt)
+    final = read_table(spark, tmp, fmt)
+    write_table(final, path, fmt)
+    # cleanup staging
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return deleted
+
+
+def values_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """ValuesOperator.java:27 — inline literal table."""
+    return spark.createDataFrame(rows, schema=schema)

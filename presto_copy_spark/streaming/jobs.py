@@ -1,0 +1,117 @@
+"""Structured Streaming jobs over the events fixture (SURVEY §2.11).
+
+The reference has no streaming operators (Presto treats Kafka topics as
+batch-scannable tables), so this module is the *upgrade path*: the exact
+logical plans of queries/events.py — tumbling window, session window —
+re-bound to a file-source readStream with an event-time watermark.
+Because the transformations are identical DataFrame expressions, batch
+and streaming share one code path; the driver's correctness oracle for
+the batch query applies verbatim to the streaming result when run with
+Trigger.AvailableNow over the complete input (streaming-batch parity —
+exactly how Structured Streaming is meant to be validated).
+
+Scale posture: file source -> Kafka source is a one-line swap; the
+watermark bounds state (10 min + window), state lives in the HDFS-backed
+state store keyed by (window, group keys) — the same shuffle keys as the
+batch agg, so skew behavior is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_events", "run_stream_to_batch", "tumbling_agg", "session_agg"]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the nanos->micros fix of
+    catalog.load_table (streaming needs an explicit schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source streams a *directory*; glob down to the one fixture
+    df = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _cents_sum():
+    return F.sum(F.round(F.col("value") * 100).cast("long"))
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Same plan as queries/events.py events_tumbling, plus a watermark
+    (no-op under AvailableNow on complete input; bounds state live)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value_cents",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization — session_window works identically in
+    batch and streaming (update mode state merge)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _cents_sum().alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def run_stream_to_batch(
+    streaming_df: DataFrame, name: str | None = None, mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    sink and return the completed result as a batch DataFrame.
+
+    This is the reference pattern for validating a streaming pipeline
+    against its batch oracle: process ALL currently-available input,
+    emit the final state, stop.
+    """
+    spark = streaming_df.sparkSession
+    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
