@@ -195,7 +195,12 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "url_extract_path": ("u STRING", "STRING", "parse_url(u, 'PATH')"),
     "url_extract_query": ("u STRING", "STRING", "parse_url(u, 'QUERY')"),
     "url_extract_fragment": ("u STRING", "STRING", "parse_url(u, 'REF')"),
-    "url_extract_port": ("u STRING", "BIGINT", "CAST(parse_url(u, 'PORT') AS BIGINT)"),
+    # Hive parse_url has no PORT key; extract from AUTHORITY
+    "url_extract_port": (
+        "u STRING",
+        "BIGINT",
+        "CAST(split_part(parse_url(u, 'AUTHORITY'), ':', 2) AS BIGINT)",
+    ),
     "url_extract_parameter": ("u STRING, k STRING", "STRING", "parse_url(u, 'QUERY', k)"),
     "url_encode": ("u STRING", "STRING", "url_encode(u)"),
     "url_decode": ("u STRING", "STRING", "url_decode(u)"),

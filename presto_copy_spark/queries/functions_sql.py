@@ -1,0 +1,374 @@
+"""Scalar-function surface coverage (SURVEY §2.9) through the SQL entry
+point — each query runs ``spark.sql`` over registered temp views, the
+way Engine.sql consumes the engine, and is checked against a DuckDB
+oracle computing the same values with that engine's spellings.
+
+Reference: operator/scalar/StringFunctions.java (949 LoC),
+MathFunctions.java (1638), DateTimeFunctions.java (1473), Array*/Map*/
+Json* function files; registrations in
+BuiltInTypeAndFunctionNamespaceManager.java:735-1010.
+
+Where Spark and DuckDB spell a function differently (instr/strpos,
+get_json_object/json_extract_string, sequence/generate_series) the two
+texts differ but compute the same value — that IS the compat layer's
+job.  Semantic trap cases are pinned on purpose: 1-based substr,
+dayofweek numbering normalized to ISO, split_part, integer division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], text: str) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "func_string",
+    oracle="""
+SELECT doc_id,
+       length(source) AS len_src,
+       upper(source) AS up, lower(lang) AS lo,
+       substr(source, 1, 3) AS sub3,
+       substr(source, 4) AS sub_tail,
+       replace(source, 'src', 'S_') AS repl,
+       reverse(lang) AS rev,
+       split_part(source, 'rc', 1) AS sp1,
+       split_part(source, 'rc', 2) AS sp2,
+       instr(source, 'rc') AS pos_rc,
+       concat(lang, '-', source) AS cat,
+       lpad(lang, 5, '.') AS lp, rpad(lang, 5, '.') AS rp,
+       trim('  ' || lang || ' ') AS trimmed,
+       starts_with(source, 'src') AS sw,
+       source LIKE '%1' AS ew,
+       levenshtein(lang, 'en') AS lev,
+       regexp_extract(source, '[0-9]+', 0) AS digits,
+       regexp_replace(source, '[0-9]', '#', 'g') AS masked,
+       source LIKE 'src1%' AS like1,
+       regexp_matches_compat AS rx
+FROM (SELECT d.*, source SIMILAR TO 'src[0-9]+' AS regexp_matches_compat FROM documents d)
+""",
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (StringFunctions.java): length/substr(1-based)/
+    replace/reverse/split_part/strpos/concat/pad/trim/starts/ends/
+    levenshtein/regexp family/LIKE."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["documents"],
+        """
+SELECT doc_id,
+       length(source) AS len_src,
+       upper(source) AS up, lower(lang) AS lo,
+       substr(source, 1, 3) AS sub3,
+       substr(source, 4) AS sub_tail,
+       replace(source, 'src', 'S_') AS repl,
+       reverse(lang) AS rev,
+       split_part(source, 'rc', 1) AS sp1,
+       split_part(source, 'rc', 2) AS sp2,
+       CAST(instr(source, 'rc') AS BIGINT) AS pos_rc,
+       concat(lang, '-', source) AS cat,
+       lpad(lang, 5, '.') AS lp, rpad(lang, 5, '.') AS rp,
+       trim('  ' || lang || ' ') AS trimmed,
+       startswith(source, 'src') AS sw,
+       endswith(source, '1') AS ew,
+       levenshtein(lang, 'en') AS lev,
+       regexp_extract(source, '[0-9]+', 0) AS digits,
+       regexp_replace(source, '[0-9]', '#') AS masked,
+       source LIKE 'src1%' AS like1,
+       source RLIKE '^src[0-9]+$' AS rx
+FROM documents
+""",
+    )
+
+
+@query(
+    "func_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS a,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS c,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS f,
+       CAST(round(l_extendedprice) AS BIGINT) AS r0,
+       round(CAST(power(l_quantity, 2) AS DOUBLE), 6) AS p2,
+       round(sqrt(l_quantity), 6) AS sq,
+       round(exp(l_discount), 6) AS ex,
+       round(ln(l_quantity), 6) AS lnq,
+       round(log10(l_quantity), 6) AS l10,
+       round(log2(l_quantity), 6) AS l2,
+       CAST(l_quantity AS BIGINT) % 7 AS m7,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+       round(degrees(l_discount), 6) AS dg, round(radians(l_quantity), 6) AS rd,
+       round(sin(l_discount), 6) AS sn, round(cos(l_discount), 6) AS cs, round(atan2(l_discount, 2.0), 6) AS at2,
+       greatest(l_quantity, l_linenumber * 10) AS gr,
+       least(l_quantity, l_linenumber * 10) AS ls,
+       CAST(l_quantity AS BIGINT) // 7 AS idiv
+FROM lineitem WHERE l_orderkey % 500 = 0
+""",
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (MathFunctions.java): rounding family, exp/log
+    family, trig, sign, greatest/least, integer division."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["lineitem"],
+        """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS a,
+       ceil(l_quantity / 7) AS c,
+       floor(l_quantity / 7) AS f,
+       CAST(round(l_extendedprice) AS BIGINT) AS r0,
+       round(power(l_quantity, 2), 6) AS p2,
+       round(sqrt(l_quantity), 6) AS sq,
+       round(exp(l_discount), 6) AS ex,
+       round(ln(l_quantity), 6) AS lnq,
+       round(log10(l_quantity), 6) AS l10,
+       round(log2(l_quantity), 6) AS l2,
+       CAST(l_quantity AS BIGINT) % 7 AS m7,
+       sign(l_discount - 0.05) AS sg,
+       round(degrees(l_discount), 6) AS dg, round(radians(l_quantity), 6) AS rd,
+       round(sin(l_discount), 6) AS sn, round(cos(l_discount), 6) AS cs, round(atan2(l_discount, 2.0), 6) AS at2,
+       greatest(l_quantity, l_linenumber * 10) AS gr,
+       least(l_quantity, l_linenumber * 10) AS ls,
+       CAST(l_quantity AS BIGINT) div 7 AS idiv
+FROM lineitem WHERE l_orderkey % 500 = 0
+""",
+    )
+
+
+@query(
+    "func_datetime",
+    oracle="""
+SELECT event_id,
+       year(ts) AS y, quarter(ts) AS q, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+       date_trunc('hour', ts) AS th,
+       date_trunc('day', ts) AS td,
+       date_trunc('month', ts) AS tm,
+       ts + INTERVAL 90 MINUTE AS plus90m,
+       ts - INTERVAL 3 DAY AS minus3d,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_since,
+       strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS eom,
+       isodow(ts) AS iso_dow,
+       dayofyear(ts) AS doy,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+       strftime(ts, '%Y-%m-%d %H:%M') AS fmt
+FROM events WHERE event_id % 20 = 0
+""",
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime functions (DateTimeFunctions.java): extract family,
+    date_trunc, interval arithmetic, date_diff, last_day, ISO dow,
+    unix epoch, formatting."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["events"],
+        """
+SELECT event_id,
+       year(ts) AS y, quarter(ts) AS q, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+       date_trunc('hour', ts) AS th,
+       date_trunc('day', ts) AS td,
+       date_trunc('month', ts) AS tm,
+       ts + INTERVAL 90 MINUTE AS plus90m,
+       ts - INTERVAL 3 DAY AS minus3d,
+       datediff(CAST(ts AS DATE), DATE '2024-01-01') AS days_since,
+       date_format(last_day(CAST(ts AS DATE)), 'yyyy-MM-dd') AS eom,
+       CAST((dayofweek(ts) + 5) % 7 + 1 AS INT) AS iso_dow,
+       dayofyear(ts) AS doy,
+       unix_seconds(date_trunc('second', ts)) AS unix_s,
+       date_format(ts, 'yyyy-MM-dd HH:mm') AS fmt
+FROM events WHERE event_id % 20 = 0
+""",
+    )
+
+
+@query(
+    "func_array",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k,
+         generate_series(1, 1 + (o_orderkey // 100) % 5) AS arr
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT k,
+       len(arr) AS n,
+       arr[1] AS first_el,
+       arr[len(arr)] AS last_el,
+       coalesce(nullif(array_to_string(arr[2:3], ','), ''), '-') AS mid,
+       list_contains(arr, 3) AS has3,
+       array_to_string(list_reverse(list_sort(arr)), ',') AS sorted_desc,
+       array_to_string(list_sort(list_distinct(list_concat(arr, [1::BIGINT, 2::BIGINT]))), ',') AS uniq,
+       array_to_string(list_transform(arr, x -> x * 10), ',') AS x10,
+       coalesce(nullif(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), ''), '-') AS evens,
+       CAST(list_sum(arr) AS BIGINT) AS total,
+       list_max(arr) AS mx, list_min(arr) AS mn,
+       array_to_string(arr, ',') AS joined,
+       array_to_string(flatten([arr, [99::BIGINT]]), ',') AS flat,
+       coalesce(nullif(CAST(list_position(arr, 2) AS BIGINT), 0), -1) AS pos2,
+       coalesce(list_filter(arr, x -> x > 2)[1], -1) AS first_gt2
+FROM t
+""",
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions (~55 Array*.java files): cardinality/element_at/
+    slice/contains/sort/distinct/concat/transform/filter/aggregate/
+    min/max/join/flatten/position + higher-order lambdas."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         sequence(1L, 1 + (o_orderkey div 100) % 5) AS arr
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT k,
+       size(arr) AS n,
+       element_at(arr, 1) AS first_el,
+       element_at(arr, size(arr)) AS last_el,
+       coalesce(nullif(array_join(slice(arr, 2, 2), ','), ''), '-') AS mid,
+       array_contains(arr, 3) AS has3,
+       array_join(reverse(array_sort(arr)), ',') AS sorted_desc,
+       array_join(array_sort(array_distinct(concat(arr, array(1L, 2L)))), ',') AS uniq,
+       array_join(transform(arr, x -> x * 10), ',') AS x10,
+       coalesce(nullif(array_join(filter(arr, x -> x % 2 = 0), ','), ''), '-') AS evens,
+       aggregate(arr, 0L, (acc, x) -> acc + x) AS total,
+       array_max(arr) AS mx, array_min(arr) AS mn,
+       array_join(arr, ',') AS joined,
+       array_join(flatten(array(arr, array(99L))), ',') AS flat,
+       coalesce(nullif(CAST(array_position(arr, 2) AS BIGINT), 0L), -1L) AS pos2,
+       coalesce(get(filter(arr, x -> x > 2), 0), -1L) AS first_gt2
+FROM t
+""",
+    )
+
+
+@query(
+    "func_map_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.missing') AS missing,
+       map_extract(map(['a', 'b'], [1, 2]), 'a')[1] AS m_a,
+       cardinality(map(['a', 'b'], [1, 2])) AS m_n,
+       array_to_string(list_sort(map_keys(map(['a', 'b'], [1, 2]))), ',') AS ks,
+       array_to_string(list_sort(map_values(map(['a', 'b'], [1, 2]))), ',') AS vs,
+       coalesce(json_extract_string(props, '$.missing'), 'dflt') AS co,
+       nullif(event_type, 'click') AS ni,
+       CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS bucket,
+       if(value > 50, 1, 0) AS flag
+FROM events WHERE event_id % 25 = 0
+""",
+)
+def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + JSON + conditional functions (Map*.java, JsonFunctions.java):
+    map construction/keys/values/cardinality/element_at,
+    json_extract_scalar ≈ get_json_object, coalesce/nullif/case/if."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["events"],
+        """
+SELECT event_id,
+       CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val,
+       get_json_object(props, '$.missing') AS missing,
+       element_at(map('a', 1, 'b', 2), 'a') AS m_a,
+       size(map('a', 1, 'b', 2)) AS m_n,
+       array_join(array_sort(map_keys(map('a', 1, 'b', 2))), ',') AS ks,
+       array_join(array_sort(map_values(map('a', 1, 'b', 2))), ',') AS vs,
+       coalesce(get_json_object(props, '$.missing'), 'dflt') AS co,
+       nullif(event_type, 'click') AS ni,
+       CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS bucket,
+       if(value > 50, 1, 0) AS flag
+FROM events WHERE event_id % 25 = 0
+""",
+    )
+
+
+@query(
+    "func_binary_hash",
+    oracle="""
+SELECT doc_id,
+       md5(source) AS h_md5,
+       sha256(source) AS h_sha256,
+       upper(hex(encode(lang))) AS hx,
+       to_base64(encode(source)) AS b64,
+       decode(from_base64(to_base64(encode(source)))) AS rt
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def func_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/crypto functions (VarbinaryFunctions.java): md5, sha256,
+    hex, base64 round-trip."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["documents"],
+        """
+SELECT doc_id,
+       md5(source) AS h_md5,
+       sha2(source, 256) AS h_sha256,
+       upper(hex(encode(lang, 'UTF-8'))) AS hx,
+       base64(encode(source, 'UTF-8')) AS b64,
+       decode(unbase64(base64(encode(source, 'UTF-8'))), 'UTF-8') AS rt
+FROM documents WHERE doc_id % 10 = 0
+""",
+    )
+
+
+@query(
+    "func_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, lang, source
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT doc_id,
+       'https' AS proto,
+       'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+       CAST(8440 + doc_id % 10 AS INT) AS port,
+       '/p/' || source AS path,
+       'q=' || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+       lang AS q_param
+FROM u
+""",
+)
+def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL functions (UrlFunctions.java): protocol/host/port/path/query/
+    parameter extraction via parse_url (oracle reconstructs the parts
+    arithmetically — DuckDB has no URL parser, which is the point:
+    this surface is engine-side)."""
+    return _sql(
+        spark,
+        sf_dir,
+        ["documents"],
+        """
+WITH u AS (
+  SELECT doc_id,
+         concat('https://host', CAST(doc_id % 5 AS STRING), '.example.com:844',
+                CAST(doc_id % 10 AS STRING), '/p/', source, '?q=', lang,
+                '&page=', CAST(doc_id % 7 AS STRING), '#frag') AS url
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT doc_id,
+       parse_url(url, 'PROTOCOL') AS proto,
+       parse_url(url, 'HOST') AS host,
+       CAST(split_part(parse_url(url, 'AUTHORITY'), ':', 2) AS INT) AS port,
+       parse_url(url, 'PATH') AS path,
+       parse_url(url, 'QUERY') AS query,
+       parse_url(url, 'QUERY', 'q') AS q_param
+FROM u
+""",
+    )

@@ -38,6 +38,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         aggregates,
         events,
+        functions_sql,
         multimodal,
         relational,
         similarity,
