@@ -88,3 +88,30 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def explain(self, text: str, mode: str = "formatted") -> str:
+        """EXPLAIN — ExplainAnalyzeOperator analogue (plan text)."""
+        from .plans.inspect import plan_string
+
+        return plan_string(self.sql(text), mode)
+
+    def analyze(self, name: str, columns: list[str] | None = None) -> None:
+        """ANALYZE TABLE — StatisticsWriterOperator analogue; feeds CBO
+        (spark.sql.cbo.enabled is on in session.py).  Temp views can't
+        hold catalog stats, so the table is materialized into the
+        session warehouse first (what a real deployment has anyway)."""
+        if name in self.tables:
+            stats_name = f"{name}_stats"
+            self.spark.sql(f"DROP TABLE IF EXISTS {stats_name}")
+            # a prior session may have left the managed location behind
+            # (ephemeral in-memory catalog, persistent warehouse dir)
+            import shutil
+
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(
+                f"{warehouse.removeprefix('file:')}/{stats_name}", ignore_errors=True
+            )
+            self.tables[name].write.mode("overwrite").saveAsTable(stats_name)
+            name = stats_name
+        cols = f" FOR COLUMNS {', '.join(columns)}" if columns else ""
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{cols}")

@@ -1,0 +1,106 @@
+"""Plan-shape regression tests: the properties that make queries scale
+must be visible in the physical plan (SURVEY §4; plans/inspect.py).
+
+These intentionally test PLANS, not results — a query can stay correct
+while silently losing its pushdown/broadcast/partial-agg shape, which
+at 100 TB is the difference between minutes and days.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_copy_spark.catalog import load_table
+from presto_copy_spark.plans.inspect import (
+    has_broadcast_join,
+    has_window_group_limit,
+    partial_final_agg_count,
+    plan_string,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from presto_copy_spark.queries import registry
+
+registry.load_all()
+
+
+def test_q06_filter_pushdown_and_pruning(spark, sf_dir):
+    """tpch_q06: shipdate/discount/quantity predicates must reach the
+    parquet scan, and only the 4 referenced columns may be read."""
+    df = registry.QUERIES["tpch_q06"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_projection_pruning_two_columns(spark, sf_dir):
+    """A 2-column projection must scan exactly 2 columns."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    assert read_schema_columns(l) == ["l_orderkey", "l_quantity"]
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    """tpch_q03: customer-side join should be broadcast, not shuffled."""
+    assert has_broadcast_join(registry.QUERIES["tpch_q03"](spark, sf_dir))
+
+
+def test_q05_all_dims_broadcast(spark, sf_dir):
+    """Five-way star join: every dimension join is broadcast — zero
+    shuffled joins (REPLICATED distribution for all dims)."""
+    plan = plan_string(registry.QUERIES["tpch_q05"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    """tpch_q01 must plan map-side partial aggregation before the
+    exchange (Presto PARTIAL/FINAL split)."""
+    partial, total = partial_final_agg_count(registry.QUERIES["tpch_q01"](spark, sf_dir))
+    assert partial >= 1 and total >= 2
+
+
+def test_topn_row_number_uses_window_group_limit(spark, sf_dir):
+    """row_number()<=k pattern must plan as WindowGroupLimit (per-task
+    top-k before the shuffle — TopNRowNumberOperator analogue)."""
+    assert has_window_group_limit(registry.QUERIES["win_topn_row_number"](spark, sf_dir))
+
+
+def test_q06_wholestage_codegen(spark, sf_dir):
+    """Scan+filter+project+partial-agg fuse into codegen spans."""
+    assert wholestage_codegen_spans(registry.QUERIES["tpch_q06"](spark, sf_dir)) >= 1
+
+
+def test_orderby_limit_plans_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (TopNOperator),
+    not a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    df = o.orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_semi_join_planned_for_in_subquery(spark, sf_dir):
+    """IN (subquery) lowers to a semi join (HashSemiJoinOperator)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    df = spark.sql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 0)"
+    )
+    assert "LeftSemi" in plan_string(df, "simple")
+
+
+def test_scan_respects_explicit_filter_on_partitioned_data(spark, sf_dir, tmp_path):
+    """Partition pruning on hive-layout data: the pruned scan must list
+    only matching partition directories."""
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_p")
+    src.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("n_regionkey") == 2)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    # no row-group filter needed: pruning happens at partition level
+    assert df.count() == src.filter("n_regionkey = 2").count()
