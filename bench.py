@@ -41,6 +41,8 @@ def main() -> None:
             "dedup",
             "text",
             "sim",
+            "func",
+            "multimodal",
         ):
             names.append(extra)
 

@@ -389,3 +389,55 @@ def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         histogram(F.col("o_orderpriority")).alias("priority_histogram")
     )
+
+
+@query(
+    "agg_top_k_frequent",
+    oracle="""
+WITH counted AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS value, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, value, cnt, rnk
+FROM (SELECT c.*, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cnt DESC, value) AS rnk
+      FROM counted c) t
+WHERE rnk <= 3
+""",
+)
+def agg_top_k_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed approx_most_frequent (ApproximateMostFrequent.java:69)
+    — exact top-k via groupBy count + WindowGroupLimit; no per-group
+    array ever exceeds k (operators/aggregates.py:top_k_values)."""
+    from ..operators.aggregates import top_k_values
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return top_k_values(l, ["l_returnflag"], "qty", 3)
+
+
+@query(
+    "agg_numeric_histogram",
+    oracle="""
+SELECT o_orderpriority,
+       CASE WHEN cents < 0 THEN 0
+            WHEN cents >= 60000000 THEN 61
+            ELSE CAST(floor(cents / 1000000) AS BIGINT) + 1 END AS bucket,
+       count(*) AS cnt
+FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders) t
+GROUP BY 1, 2
+""",
+)
+def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed numeric_histogram (NumericHistogram.java) — one row
+    per non-empty width_bucket per group; integer cents keep bucket
+    boundaries exact on both engines."""
+    from ..operators.aggregates import value_histogram
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    out = value_histogram(o, ["o_orderpriority"], F.col("cents"), 60, 0, 60000000)
+    return out.select("o_orderpriority", F.col("bucket").cast("long").alias("bucket"), "cnt")

@@ -229,6 +229,40 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "window_end", "event_type", "n_events", "sum_value_cents")
 
 
+@query(
+    "events_stateful_profile",
+    oracle=f"""
+WITH agg AS (
+  SELECT user_id, count(*) AS n_events,
+         {SQL_CENTS_SUM} AS sum_value_cents
+  FROM events GROUP BY user_id
+), last AS (
+  SELECT user_id, event_type AS last_event_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+  WHERE rn = 1
+)
+SELECT a.user_id, a.n_events, a.sum_value_cents, l.last_event_type
+FROM agg a JOIN last l USING (user_id)
+""",
+)
+def events_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-user running profile (count, cents sum, last event type) kept in
+    the streaming state store.  Under AvailableNow on complete input the
+    final state equals the batch aggregation — checked against that
+    oracle.  See streaming/stateful.py."""
+    from ..streaming.jobs import run_stream_to_batch, stream_events
+    from ..streaming.stateful import user_profile_state
+
+    out = run_stream_to_batch(
+        user_profile_state(stream_events(spark, sf_dir)), mode="update"
+    )
+    return out.select("user_id", "n_events", "sum_value_cents", "last_event_type")
+
+
 @query("events_streaming_session")  # rows-only: append mode finalizes only
 # watermark-expired sessions, so the tail differs from the batch oracle
 def events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
