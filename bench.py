@@ -13,6 +13,7 @@ median reported): 1 prewarm + 3 measured here to keep wall time sane.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -49,9 +50,17 @@ def main() -> None:
     prewarm = int(os.environ.get("BENCH_PREWARM", "1"))
     runs = int(os.environ.get("BENCH_RUNS", "3"))
 
+    jvm_gc = spark.sparkContext._jvm.System.gc
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
+        # Measure each query at steady state, not under the previous
+        # query's GC debt: un-collected Python DataFrame refs pin JVM
+        # shuffle/broadcast blocks until both GCs run (measured 5x
+        # inflation on streaming queries without this).
+        gc.collect()
+        jvm_gc()
         try:
             for _ in range(prewarm):
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -81,6 +81,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # ContextCleaner sweep: without periodic GC, JVM-side shuffle /
+        # broadcast blocks stay pinned until a driver full-GC happens to
+        # run, which in a long-lived session means unbounded growth.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

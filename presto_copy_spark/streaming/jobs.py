@@ -95,23 +95,37 @@ def session_agg(events: DataFrame) -> DataFrame:
 def run_stream_to_batch(
     streaming_df: DataFrame, name: str | None = None, mode: str = "complete"
 ) -> DataFrame:
-    """Execute a streaming plan with Trigger.AvailableNow into a memory
+    """Execute a streaming plan with Trigger.AvailableNow into a file
     sink and return the completed result as a batch DataFrame.
 
     This is the reference pattern for validating a streaming pipeline
     against its batch oracle: process ALL currently-available input,
     emit the final state, stop.
+
+    The sink is foreachBatch -> parquet, NOT the memory sink: the memory
+    sink materializes the whole result on the driver and registers it in
+    the catalog forever (a driver-heap leak across runs, and a
+    non-starter at scale where results exceed driver memory).  Each
+    complete/update batch overwrites the output dir, so the final batch's
+    state wins — exact for complete mode always, and for update mode
+    whenever AvailableNow processes the input as one batch (our file
+    fixtures are a single file -> single batch; a multi-batch update
+    stream would need key-merge on read).
     """
     spark = streaming_df.sparkSession
-    table = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix=f"spark_graft_out_{name or uuid.uuid4().hex[:8]}_")
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    write_mode = "overwrite" if mode in ("complete", "update") else "append"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
     q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(table)
+        streaming_df.writeStream.foreachBatch(_sink)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.parquet(out_dir)
