@@ -140,7 +140,7 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         " transform(sequence(1, size(a) - n + 1), i -> slice(a, i, n)))",
     ),
     "trim_array": ("a ARRAY<STRING>, n INT", "ARRAY<STRING>", "slice(a, 1, size(a) - n)"),
-    "find_first": ("a ARRAY<STRING>, p STRING", "STRING", "filter(a, x -> x = p)[0]"),
+    "find_first": ("a ARRAY<STRING>, p STRING", "STRING", "get(filter(a, x -> x = p), 0)"),
     "find_first_index": (
         "a ARRAY<STRING>, p STRING",
         "BIGINT",

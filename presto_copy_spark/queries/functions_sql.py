@@ -372,3 +372,138 @@ SELECT doc_id,
 FROM u
 """,
     )
+
+
+_WILSON = (
+    "(successes + z * z / 2) / (trials + z * z) {sign} z / (trials + z * z)"
+    " * sqrt(successes * (trials - successes) / CAST(trials AS DOUBLE) + z * z / 4)"
+)
+
+
+def _sql_wilson(sign: str, succ: str, trials: str, z: str) -> str:
+    return (
+        _WILSON.format(sign=sign)
+        .replace("successes", succ)
+        .replace("trials", trials)
+        .replace("z", z)
+    )
+
+
+@query(
+    "func_presto_compat",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST([n_chars, 2, 4] AS DOUBLE[]) AS arr,
+         [lang, 'en', lang] AS sarr
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       hamming(lang, 'en') AS hd,
+       levenshtein(source, 'src1') AS lev,
+       ascii(substr(lang, 1, 1)) AS cp,
+       CAST(instr(source, 'rc') AS BIGINT) AS sp,
+       lower(hex(doc_id + 5)) AS b16,
+       CAST(doc_id + 5 AS BIGINT) AS b10,
+       CAST(len(sarr) AS INT) AS card,
+       list_contains(sarr, 'en') AS has_en,
+       len(list_intersect(sarr, ['en', 'xx'])) > 0 AS ov,
+       CAST(list_sum(arr) AS DOUBLE) AS asum,
+       CAST(list_sum(arr) / len(list_filter(arr, v -> v IS NOT NULL)) AS DOUBLE) AS aavg,
+       array_to_string(list_transform(generate_series(1, len(arr)),
+                                      i -> CAST(CAST(list_sum(arr[1:i]) AS DECIMAL(24,6)) AS VARCHAR)), ',') AS acum,
+       array_to_string(list_transform(arr,
+                                      v -> CAST(CAST(v / list_sum(list_transform(arr, x -> abs(x))) AS DECIMAL(24,6)) AS VARCHAR)), ',') AS anorm,
+       len(sarr) <> len(list_distinct(sarr)) AS adup,
+       array_to_string(list_distinct(list_filter(sarr, x -> len(list_filter(sarr, y -> y = x)) > 1)), ',') AS adups,
+       array_to_string(list_transform(generate_series(1, len(sarr) - 1), i -> array_to_string(sarr[i:i+1], ' ')), ',') AS ng,
+       array_to_string(sarr[1:len(sarr) - 1], ',') AS tarr,
+       list_filter(sarr, x -> x = 'de')[1] AS ff,
+       CAST(coalesce(list_position(sarr, 'de'), 0) AS BIGINT) AS ffi,
+       {_sql_wilson('-', '(doc_id % 100 + 1)', '200', '1.96')} AS wl,
+       {_sql_wilson('+', '(doc_id % 100 + 1)', '200', '1.96')} AS wu,
+       (arr[1] * 2.0 + arr[2] * 1.0 + arr[3] * 1.0)
+         / (sqrt(arr[1] * arr[1] + arr[2] * arr[2] + arr[3] * arr[3])
+            * sqrt(2.0 * 2.0 + 1.0 * 1.0 + 1.0 * 1.0)) AS cossim,
+       hex(lang) AS hx,
+       lang AS rt,
+       3 AS jsz,
+       list_contains(['en', 'de'], lang) AS jac,
+       '3' AS msub,
+       0.75 AS mnorm,
+       'a,b' AS mm,
+       CAST(-2.0 AS DOUBLE) AS tr,
+       true AS isn, true AS isi, true AS isf
+FROM t
+""",
+)
+def func_presto_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto-named compat UDFs (functions/compat.py, ≈30 of them) driven
+    through the SQL entry point: hamming_distance, codepoint, strpos,
+    from_base/to_base, array_sum/average/cum_sum/normalize/duplicates,
+    ngrams, trim_array, find_first(_index), wilson_interval_*,
+    cosine_similarity_arrays, to/from_hex, to/from_utf8, json_size,
+    json_array_contains, map_subset/map_normalize/multimap_from_entries,
+    truncate, is_nan/is_finite/is_infinite, nan()/infinity().
+
+    Reference: the matching scalar files in operator/scalar/ (SURVEY
+    §2.9); registration BuiltInTypeAndFunctionNamespaceManager.java.
+    The oracle recomputes every value in DuckDB spellings (or literal
+    ground truth where DuckDB lacks the construct — map element access
+    semantics differ, so map outputs are extracted to scalars).
+    """
+    from ..functions.compat import register_sql_udfs
+
+    register_sql_udfs(spark)
+    return _sql(
+        spark,
+        sf_dir,
+        ["documents"],
+        """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         array(CAST(n_chars AS DOUBLE), 2.0D, 4.0D) AS arr,
+         array(lang, 'en', lang) AS sarr
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       hamming_distance(lang, 'en') AS hd,
+       CAST(levenshtein_distance(source, 'src1') AS BIGINT) AS lev,
+       CAST(codepoint(substr(lang, 1, 1)) AS INT) AS cp,
+       strpos(source, 'rc') AS sp,
+       to_base(doc_id + 5, 16) AS b16,
+       from_base(to_base(doc_id + 5, 16), 16) AS b10,
+       cardinality(sarr) AS card,
+       array_contains(sarr, 'en') AS has_en,
+       arrays_overlap_compat(sarr, array('en', 'xx')) AS ov,
+       array_sum(arr) AS asum,
+       array_average(arr) AS aavg,
+       array_join(transform(array_cum_sum(arr),
+                            x -> CAST(CAST(x AS DECIMAL(24,6)) AS STRING)), ',') AS acum,
+       array_join(transform(array_normalize(arr, 1.0D),
+                            x -> CAST(CAST(x AS DECIMAL(24,6)) AS STRING)), ',') AS anorm,
+       array_has_duplicates(sarr) AS adup,
+       array_join(array_duplicates(sarr), ',') AS adups,
+       array_join(transform(ngrams(sarr, 2), g -> array_join(g, ' ')), ',') AS ng,
+       array_join(trim_array(sarr, 1), ',') AS tarr,
+       find_first(sarr, 'de') AS ff,
+       find_first_index(sarr, 'de') AS ffi,
+       wilson_interval_lower(CAST(doc_id % 100 AS BIGINT) + 1, 200, 1.96D) AS wl,
+       wilson_interval_upper(CAST(doc_id % 100 AS BIGINT) + 1, 200, 1.96D) AS wu,
+       cosine_similarity_arrays(arr, array(2.0D, 1.0D, 1.0D)) AS cossim,
+       to_hex(to_utf8(lang)) AS hx,
+       from_utf8(from_hex(to_hex(to_utf8(lang)))) AS rt,
+       json_size('{"a":[1,2,3]}', '$.a') AS jsz,
+       json_array_contains_str('["en","de"]', lang) AS jac,
+       map_subset(map('a', '1', 'b', '2', 'c', '3'), array('a', 'c'))['c'] AS msub,
+       map_normalize(map('a', 1.0D, 'b', 3.0D))['b'] AS mnorm,
+       array_join(multimap_from_entries(array(named_struct('k', 'k1', 'v', 'a'),
+                                              named_struct('k', 'k1', 'v', 'b'),
+                                              named_struct('k', 'k2', 'v', lang)))['k1'], ',') AS mm,
+       truncate(-2.7D) AS tr,
+       is_nan(nan()) AS isn,
+       is_infinite(infinity()) AS isi,
+       is_finite(CAST(n_chars AS DOUBLE)) AS isf
+FROM t
+""",
+    )
