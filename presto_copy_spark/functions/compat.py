@@ -212,7 +212,14 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
 
 
 def register_sql_udfs(spark: SparkSession) -> list[str]:
-    """Register all compat functions; returns names that failed (if any)."""
+    """Register all compat functions; returns names that failed (if any).
+
+    Idempotent per session (temporary functions survive for the session
+    lifetime, so re-running the ~70 CREATE FUNCTION statements on every
+    query call would be pure overhead)."""
+    marker = "spark.sql.prestoCompat.registered"
+    if spark.conf.get(marker, "false") == "true":
+        return []
     failed = []
     for name, (sig, ret, body) in SQL_UDFS.items():
         try:
@@ -222,4 +229,6 @@ def register_sql_udfs(spark: SparkSession) -> list[str]:
             )
         except Exception:  # pragma: no cover - defensive
             failed.append(name)
+    if not failed:
+        spark.conf.set(marker, "true")
     return failed
