@@ -366,6 +366,34 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_hll_sketch_merge")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_set / merge(HyperLogLog) / cardinality(hll) re-expressed as
+    Spark Datasketches HLL (ApproximateSetAggregation.java,
+    MergeHyperLogLogAggregation.java, HyperLogLogFunctions.java).
+
+    Two-level sketch rollup, the reference's canonical HLL-type usage:
+    partial sketch per nation (approx_set), sketches merged per region
+    (merge), estimated at the end (cardinality).  The sketch column is a
+    mergeable binary — at 100 TB the per-nation partials are tiny and the
+    re-aggregation shuffles only sketch bytes, never raw keys.  Rows-only:
+    Datasketches estimates are engine-specific."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    partial = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sketch"),
+        F.countDistinct("c_custkey").alias("exact_partial"),
+    )
+    return (
+        partial.join(F.broadcast(n), partial.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"),
+            F.sum("exact_partial").alias("exact_customers"),
+        )
+    )
+
+
 @query("agg_approx_percentile")
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (qdigest/tdigest analogue -> Spark
