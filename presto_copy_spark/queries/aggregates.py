@@ -405,17 +405,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_histogram_map")
+@query(
+    "agg_histogram_map",
+    oracle="""
+WITH counted AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       array_to_string(
+         list_sort(list(o_orderpriority || ':' || CAST(cnt AS VARCHAR))),
+         ',') AS priority_histogram,
+       CAST(count(*) AS INT) AS n_keys
+FROM counted
+GROUP BY o_orderstatus
+""",
+)
 def agg_histogram_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """histogram()/map_agg() -> map column (Histogram.java:48,
-    MapAggregationFunction.java:51).  Map-typed output has no stable
-    cross-engine representation, so this is rows-only; test_functions
-    asserts the map contents in Python."""
-    from ..functions.presto import histogram
-
+    """histogram()/map_agg() (Histogram.java:48,
+    MapAggregationFunction.java:51) in the distributed 100 TB shape:
+    groupBy(key, value).count() (map-side partial combine) then a small
+    per-key entry list — never an O(group)-sized collect_list of raw
+    rows.  The map is emitted as a sorted joined ``k:v`` string because
+    map cells have no stable cross-engine representation (driver r1
+    failed with "unhashable type: 'dict'"); identical string sort on
+    both engines keeps the value hash comparable."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        histogram(F.col("o_orderpriority")).alias("priority_histogram")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    entry = F.concat_ws(":", F.col("o_orderpriority"), F.col("cnt").cast("string"))
+    entries = F.array_sort(F.collect_list(entry))
+    return counted.groupBy("o_orderstatus").agg(
+        F.array_join(entries, ",").alias("priority_histogram"),
+        F.size(entries).alias("n_keys"),
     )
 
 
