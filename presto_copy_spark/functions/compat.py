@@ -92,12 +92,17 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")",
     ),
     "last_day_of_month": ("ts TIMESTAMP", "DATE", "last_day(CAST(ts AS DATE))"),
-    "day_of_week": ("ts TIMESTAMP", "INT", "CAST(date_format(ts, 'e') AS INT)"),
+    # ISO day-of-week (Mon=1..Sun=7). date_format 'e' is a week-based
+    # pattern banned since Spark 3.0 (fails at runtime); derive from
+    # dayofweek (Sun=1..Sat=7) instead.
+    "day_of_week": ("ts TIMESTAMP", "INT", "CAST((dayofweek(ts) + 5) % 7 + 1 AS INT)"),
     "day_of_year": ("ts TIMESTAMP", "INT", "dayofyear(ts)"),
     "week_of_year": ("ts TIMESTAMP", "INT", "weekofyear(ts)"),
     "millisecond": ("ts TIMESTAMP", "INT", "CAST(unix_micros(ts) % 1000000 / 1000 AS INT)"),
     # ---- array (Array*.java) ----
-    "cardinality": ("a ARRAY<STRING>", "INT", "size(a)"),
+    # NOTE: `cardinality` is NOT registered — Spark's builtin
+    # cardinality(array) is semantically identical, and CREATE TEMPORARY
+    # FUNCTION cannot shadow a builtin name (registration would fail).
     "array_sum": (
         "a ARRAY<DOUBLE>",
         "DOUBLE",
@@ -132,7 +137,10 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "array_distinct(filter(a, x -> size(filter(a, y -> y = x)) > 1))",
     ),
     "arrays_overlap_compat": ("a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN", "arrays_overlap(a, b)"),
-    "contains": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
+    # Presto contains(array, x); `contains` itself is Spark's string
+    # builtin (unshadowable), so this takes the _compat suffix like the
+    # other colliding names.
+    "contains_compat": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
     "ngrams": (
         "a ARRAY<STRING>, n INT",
         "ARRAY<ARRAY<STRING>>",
@@ -202,8 +210,9 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "CAST(split_part(parse_url(u, 'AUTHORITY'), ':', 2) AS BIGINT)",
     ),
     "url_extract_parameter": ("u STRING, k STRING", "STRING", "parse_url(u, 'QUERY', k)"),
-    "url_encode": ("u STRING", "STRING", "url_encode(u)"),
-    "url_decode": ("u STRING", "STRING", "url_decode(u)"),
+    # NOTE: url_encode/url_decode are NOT registered — Spark's builtins
+    # of the same name match Presto's application/x-www-form-urlencoded
+    # semantics, and builtin names cannot be shadowed.
     # ---- conditional / misc ----
     "typeof_compat": ("x STRING", "STRING", "typeof(x)"),
     "index": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
@@ -216,7 +225,12 @@ def register_sql_udfs(spark: SparkSession) -> list[str]:
 
     Idempotent per session (temporary functions survive for the session
     lifetime, so re-running the ~70 CREATE FUNCTION statements on every
-    query call would be pure overhead)."""
+    query call would be pure overhead).  Failures are surfaced with a
+    warning — every name in SQL_UDFS is expected to register (colliding
+    builtin names are excluded from the table by design), so a failure
+    here is a bug, not an expected condition.  The idempotency marker is
+    set unconditionally: re-running the same statements cannot fix a
+    name that failed once."""
     marker = "spark.sql.prestoCompat.registered"
     if spark.conf.get(marker, "false") == "true":
         return []
@@ -227,8 +241,10 @@ def register_sql_udfs(spark: SparkSession) -> list[str]:
                 f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
                 f"RETURNS {ret} RETURN {body}"
             )
-        except Exception:  # pragma: no cover - defensive
+        except Exception as exc:  # pragma: no cover - defensive
             failed.append(name)
-    if not failed:
-        spark.conf.set(marker, "true")
+            import warnings
+
+            warnings.warn(f"presto-compat UDF {name!r} failed to register: {exc}")
+    spark.conf.set(marker, "true")
     return failed

@@ -87,9 +87,15 @@ def date_diff(unit: str, start, end) -> Column:
         delta = F.unix_seconds(end) - F.unix_seconds(start)
         return (delta / F.lit(_UNIT_SECONDS[unit])).cast("bigint")
     if unit in ("month", "quarter", "year"):
-        months = (F.year(end) - F.year(start)) * 12 + F.month(end) - F.month(start)
+        # Presto truncates toward zero with day-of-month awareness (Joda
+        # monthsBetween): diff('month', Jan 31, Feb 1) = 0, not 1.
+        # months_between(roundOff=False) carries the day fraction;
+        # floor toward zero on the signed value.
+        months = F.months_between(end, start, roundOff=False)
         div = {"month": 1, "quarter": 3, "year": 12}[unit]
-        return (months / div).cast("bigint")
+        signed = months / F.lit(div)
+        truncated = F.when(signed < 0, -F.floor(-signed)).otherwise(F.floor(signed))
+        return truncated.cast("bigint")
     raise ValueError(f"unsupported unit {unit}")
 
 

@@ -433,7 +433,11 @@ SELECT doc_id,
        0.75 AS mnorm,
        'a,b' AS mm,
        CAST(-2.0 AS DOUBLE) AS tr,
-       true AS isn, true AS isi, true AS isf
+       true AS isn, true AS isi, true AS isf,
+       CAST(isodow(TIMESTAMP '2024-01-01' + to_days(CAST(doc_id % 7 AS INT))) AS INT) AS dw,
+       list_contains(sarr, 'en') AS cc,
+       'a+b%26c' AS ue,
+       'a b&c' AS ud
 FROM t
 """,
 )
@@ -503,7 +507,11 @@ SELECT doc_id,
        truncate(-2.7D) AS tr,
        is_nan(nan()) AS isn,
        is_infinite(infinity()) AS isi,
-       is_finite(CAST(n_chars AS DOUBLE)) AS isf
+       is_finite(CAST(n_chars AS DOUBLE)) AS isf,
+       day_of_week(timestampadd(DAY, CAST(doc_id % 7 AS INT), TIMESTAMP '2024-01-01')) AS dw,
+       contains_compat(sarr, 'en') AS cc,
+       url_encode('a b&c') AS ue,
+       url_decode(url_encode('a b&c')) AS ud
 FROM t
 """,
     )

@@ -104,21 +104,33 @@ def delete_where(spark: SparkSession, path: str, condition: str, fmt: str = "par
     corresponds to dropping whole hive partitions.  Production tables use
     Delta/Iceberg where this becomes a native `DELETE FROM`.
 
-    Returns number of rows deleted.  The rewrite stages to a temp dir
-    then swaps, so a mid-write failure can't lose the table.
+    Returns number of rows deleted.  The kept rows are written ONCE to a
+    staging dir, then swapped into place with directory renames — the
+    original table exists on disk until the staged copy is complete, so
+    a failure at any step leaves either the old or the new table intact
+    (the non-atomic window is two cheap metadata renames, not a data
+    write).  Row counts come from one cached scan, not extra jobs.  At
+    scale: rewrite only affected partitions, or use Delta/Iceberg.
     """
-    df = read_table(spark, path, fmt)
-    keep = df.filter(f"NOT ({condition})")
-    deleted = df.count() - keep.count()
-    tmp = path.rstrip("/") + "._delete_tmp"
-    write_table(keep, tmp, fmt)
-    final = read_table(spark, tmp, fmt)
-    write_table(final, path, fmt)
-    # cleanup staging
+    import os
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return deleted
+    df = read_table(spark, path, fmt)
+    total = df.count()
+    keep = df.filter(f"NOT ({condition})")
+    tmp = path.rstrip("/") + "._delete_tmp"
+    old = path.rstrip("/") + "._delete_old"
+    write_table(keep, tmp, fmt)
+    kept = read_table(spark, tmp, fmt).count()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original table
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return total - kept
 
 
 def values_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
