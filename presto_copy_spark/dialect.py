@@ -1,0 +1,410 @@
+"""Presto SQL -> Spark SQL transpiler (token-level).
+
+Reference: the reference engine's canonical entry point is SQL text
+through a 907-line ANTLR grammar (presto-parser/src/main/antlr4/
+com/facebook/presto/sql/parser/SqlBase.g4; SqlParser.java:49,
+AstBuilder.java).  Spark SQL already accepts the overwhelming majority
+of that ANSI surface, so this module is a *dialect shim*, not a parser:
+it tokenizes the text (so string literals and quoted identifiers are
+never touched by rewrites) and fixes the known lexical/semantic deltas:
+
+- ``"ident"`` (with ``""`` escapes) -> ```ident``` backtick quoting
+- aggregate-name renames (``approx_distinct`` -> ``approx_count_distinct``,
+  ``variance`` -> ``var_samp``, ...) applied only at call sites
+- unit-first datetime calls: ``date_add('day', n, ts)`` ->
+  ``timestampadd(DAY, n, ts)``; ``date_diff`` -> ``timestampdiff``
+  (Spark's timestampdiff matches Presto's day-aware truncating
+  semantics — DateTimeFunctions.java:760 diffTimestamp)
+- MySQL-style format strings: ``date_format(ts, '%Y-%m-%d')`` /
+  ``date_parse(s, fmt)`` -> Java patterns (DateTimeFunctions.java:996)
+- ``TRY(expr)`` (TryFunction.java) -> ``try_cast`` / ``try_divide`` /
+  ``try_add`` / ``try_subtract`` / ``try_multiply`` /
+  ``try_element_at`` for the expressible shapes; other expressions are
+  left wrapped in parens (under ANSI mode they would raise — documented)
+- ``CROSS JOIN UNNEST(e) [WITH ORDINALITY] AS t(c...)`` ->
+  ``LATERAL VIEW`` explode/posexplode/inline forms (1-based ordinality
+  preserved; empty/null arrays drop the row exactly like Presto)
+
+Everything else (``||`` concat, interval literals, window frames,
+GROUPING SETS, approx_percentile 2-arg, ...) passes through untouched
+because Spark's surface already agrees.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["transpile", "tokenize"]
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+# token kinds: str qid word num op ws comment
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<qid>"(?:[^"]|"")*")
+  | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+  | (?P<word>[A-Za-z_][A-Za-z_0-9$]*)
+  | (?P<op><=>|<>|!=|<=|>=|\|\||=>|->|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    """Split SQL into (kind, text) tokens; lossless concatenation."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(sql):
+        if m.start() != pos:  # unreachable: pattern has a catch-all
+            out.append(("op", sql[pos : m.start()]))
+        out.append((m.lastgroup, m.group()))
+        pos = m.end()
+    if pos < len(sql):
+        out.append(("op", sql[pos:]))
+    return out
+
+
+def _is_sig(tok: tuple[str, str]) -> bool:
+    return tok[0] not in ("ws", "comment")
+
+
+def _next_sig(tokens: list, i: int) -> int:
+    """Index of next significant token at/after i, or len(tokens)."""
+    while i < len(tokens) and not _is_sig(tokens[i]):
+        i += 1
+    return i
+
+
+def _match_paren(tokens: list, i: int) -> int:
+    """tokens[i] == '('; return index of matching ')'."""
+    depth = 0
+    for j in range(i, len(tokens)):
+        k, t = tokens[j]
+        if k == "op" and t == "(":
+            depth += 1
+        elif k == "op" and t == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(tokens: list, lo: int, hi: int) -> list[list]:
+    """Split tokens[lo:hi] (inside a call's parens) on top-level commas."""
+    args: list[list] = []
+    cur: list = []
+    depth = 0
+    for j in range(lo, hi):
+        k, t = tokens[j]
+        if k == "op" and t == "(":
+            depth += 1
+        elif k == "op" and t == ")":
+            depth -= 1
+        if k == "op" and t == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(tokens[j])
+    if cur or args:
+        args.append(cur)
+    return [a for a in args]
+
+
+def _strip(arg: list) -> list:
+    while arg and not _is_sig(arg[0]):
+        arg = arg[1:]
+    while arg and not _is_sig(arg[-1]):
+        arg = arg[:-1]
+    return arg
+
+
+def _render_tokens(tokens: list) -> str:
+    return "".join(t for _, t in tokens)
+
+
+def _str_value(tok: tuple[str, str]) -> str:
+    """Literal value of a 'str' token."""
+    return tok[1][1:-1].replace("''", "'")
+
+
+# ---------------------------------------------------------------------------
+# rewrite rules
+# ---------------------------------------------------------------------------
+# simple call-site renames (Presto name -> Spark name); applied only when
+# followed by '(' so column names are never touched.
+_CALL_RENAMES = {
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "array_agg": "collect_list",
+    "set_agg": "collect_set",
+    "stddev": "stddev_samp",
+    "variance": "var_samp",
+    "json_extract": "get_json_object",
+    "regexp_like": "rlike",
+}
+
+_TIME_UNITS = {
+    "microsecond": "MICROSECOND",
+    "millisecond": "MILLISECOND",
+    "second": "SECOND",
+    "minute": "MINUTE",
+    "hour": "HOUR",
+    "day": "DAY",
+    "week": "WEEK",
+    "month": "MONTH",
+    "quarter": "QUARTER",
+    "year": "YEAR",
+}
+
+_MYSQL_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%i", "mm"),
+    ("%s", "ss"),
+    ("%f", "SSSSSS"),
+    ("%T", "HH:mm:ss"),
+    ("%j", "DDD"),
+    ("%a", "EEE"),
+    ("%W", "EEEE"),
+    ("%M", "MMMM"),
+    ("%b", "MMM"),
+    ("%e", "d"),
+    ("%k", "H"),
+    ("%%", "%"),
+]
+
+
+def _mysql_to_java(fmt: str) -> str:
+    for a, b in _MYSQL_TO_JAVA:
+        fmt = fmt.replace(a, b)
+    return fmt
+
+
+def _quote_str(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+_TRY_BINOPS = {
+    "/": "try_divide",
+    "+": "try_add",
+    "-": "try_subtract",
+    "*": "try_multiply",
+}
+
+
+def _rewrite_try(arg: list) -> str:
+    """TRY(expr): map the expressible shapes onto Spark's try_* family."""
+    arg = _strip(arg)
+    if not arg:
+        return "(NULL)"
+    k0, t0 = arg[0]
+    first = t0.lower() if k0 == "word" else None
+    if first in ("cast", "element_at"):
+        nxt = _next_sig(arg, 1)
+        # only when the call spans the whole argument (TRY(CAST(..)) yes,
+        # TRY(CAST(..) / y) no — that's a division to map instead)
+        if (
+            nxt < len(arg)
+            and arg[nxt][1] == "("
+            and _match_paren(arg, nxt) == len(arg) - 1
+        ):
+            repl = "try_cast" if first == "cast" else "try_element_at"
+            return repl + _render_tokens(arg[1:])
+    # single top-level binary arithmetic op -> try_<op>(lhs, rhs)
+    depth = 0
+    op_at = -1
+    n_ops = 0
+    for j, (k, t) in enumerate(arg):
+        if k == "op" and t == "(":
+            depth += 1
+        elif k == "op" and t == ")":
+            depth -= 1
+        elif k == "op" and t in _TRY_BINOPS and depth == 0:
+            prev = None
+            for p in range(j - 1, -1, -1):
+                if _is_sig(arg[p]):
+                    prev = arg[p]
+                    break
+            # unary +/- (no preceding operand) is not a binary op
+            if prev is not None and not (prev[0] == "op" and prev[1] in "(,+-*/"):
+                op_at = j
+                n_ops += 1
+    if n_ops == 1:
+        lhs = _render_tokens(_strip(arg[:op_at]))
+        rhs = _render_tokens(_strip(arg[op_at + 1 :]))
+        return f"{_TRY_BINOPS[arg[op_at][1]]}({lhs}, {rhs})"
+    # not expressible: pass through (raises under ANSI if it errors)
+    return "(" + _render_tokens(arg) + ")"
+
+
+def _rewrite_call(name: str, args: list[list]) -> str | None:
+    """Rewrite one call site; args are token lists. None = no rewrite."""
+    low = name.lower()
+    if low == "try" and len(args) == 1:
+        return _rewrite_try(args[0])
+    if low in ("date_add", "date_diff") and len(args) == 3:
+        unit_arg = _strip(args[0])
+        if len(unit_arg) == 1 and unit_arg[0][0] == "str":
+            unit = _str_value(unit_arg[0]).lower()
+            if unit in _TIME_UNITS:
+                fn = "timestampadd" if low == "date_add" else "timestampdiff"
+                a1 = _render_tokens(_strip(args[1]))
+                a2 = _render_tokens(_strip(args[2]))
+                return f"{fn}({_TIME_UNITS[unit]}, {a1}, {a2})"
+        return None
+    if low in ("date_format", "format_datetime") and len(args) == 2:
+        fmt_arg = _strip(args[1])
+        if len(fmt_arg) == 1 and fmt_arg[0][0] == "str":
+            fmt = _str_value(fmt_arg[0])
+            java = _mysql_to_java(fmt) if low == "date_format" else fmt
+            a0 = _render_tokens(_strip(args[0]))
+            return f"date_format({a0}, {_quote_str(java)})"
+        return None
+    if low == "date_parse" and len(args) == 2:
+        fmt_arg = _strip(args[1])
+        if len(fmt_arg) == 1 and fmt_arg[0][0] == "str":
+            java = _mysql_to_java(_str_value(fmt_arg[0]))
+            a0 = _render_tokens(_strip(args[0]))
+            return f"to_timestamp({a0}, {_quote_str(java)})"
+        return None
+    return None
+
+
+def _rewrite_unnest(tokens: list, i: int) -> tuple[str, int] | None:
+    """At tokens[i] == word 'unnest' preceded by CROSS JOIN: rewrite
+
+        CROSS JOIN UNNEST(e [, e2]) [WITH ORDINALITY] AS t(c1 [, c2 ...])
+
+    into a LATERAL VIEW clause. Returns (replacement_text, next_index)
+    where replacement covers tokens[i:next_index]; the caller is expected
+    to have already dropped the preceding CROSS JOIN words.
+    """
+    j = _next_sig(tokens, i + 1)
+    if j >= len(tokens) or tokens[j][1] != "(":
+        return None
+    close = _match_paren(tokens, j)
+    exprs = [_render_tokens(_strip(a)) for a in _split_args(tokens, j + 1, close)]
+    k = _next_sig(tokens, close + 1)
+    ordinality = False
+    if k < len(tokens) and tokens[k][0] == "word" and tokens[k][1].lower() == "with":
+        k2 = _next_sig(tokens, k + 1)
+        if k2 < len(tokens) and tokens[k2][1].lower() == "ordinality":
+            ordinality = True
+            k = _next_sig(tokens, k2 + 1)
+    if k >= len(tokens) or tokens[k][0] != "word" or tokens[k][1].lower() != "as":
+        return None
+    k = _next_sig(tokens, k + 1)
+    if k >= len(tokens) or tokens[k][0] not in ("word", "qid"):
+        return None
+    alias = tokens[k][1].strip('"')
+    k = _next_sig(tokens, k + 1)
+    if k >= len(tokens) or tokens[k][1] != "(":
+        return None
+    cols_close = _match_paren(tokens, k)
+    cols = [_render_tokens(_strip(a)) for a in _split_args(tokens, k + 1, cols_close)]
+    nxt = cols_close + 1
+
+    col_list = ", ".join(cols)
+    if ordinality:
+        if len(exprs) == 1 and len(cols) == 2:
+            # 1-based ordinality via transform's index lambda; inline()
+            # drops the row for empty/null arrays exactly like UNNEST.
+            gen = (
+                f"inline(transform({exprs[0]}, (x_, i_) ->"
+                f" struct(x_, CAST(i_ + 1 AS BIGINT))))"
+            )
+        else:
+            return None
+    elif len(exprs) == 1 and len(cols) == 1:
+        gen = f"explode({exprs[0]})"
+    elif len(exprs) == 1 and len(cols) == 2:
+        # map unnest -> explode yields (key, value)
+        gen = f"explode({exprs[0]})"
+    elif len(exprs) == len(cols):
+        # multi-array zip; arrays_zip pads short arrays with NULL like Presto
+        gen = f"inline(arrays_zip({', '.join(exprs)}))"
+    else:
+        return None
+    return f"LATERAL VIEW {gen} {alias} AS {col_list}", nxt
+
+
+# ---------------------------------------------------------------------------
+# main pass
+# ---------------------------------------------------------------------------
+def _transpile_tokens(tokens: list) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        kind, text = tokens[i]
+        if kind == "qid":
+            inner = text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(f"`{inner}`")
+            i += 1
+            continue
+        if kind == "word":
+            low = text.lower()
+            # CROSS JOIN UNNEST / , UNNEST  ->  LATERAL VIEW ...
+            if low in ("cross", ","):
+                pass  # handled via lookahead below on 'unnest'
+            if low == "unnest":
+                # find the preceding significant tokens already emitted:
+                # we instead look BACK in the source token stream.
+                p1 = i - 1
+                while p1 >= 0 and not _is_sig(tokens[p1]):
+                    p1 -= 1
+                joined_by_cross = False
+                comma_join = p1 >= 0 and tokens[p1] == ("op", ",")
+                if p1 >= 0 and tokens[p1][0] == "word" and tokens[p1][1].lower() == "join":
+                    p2 = p1 - 1
+                    while p2 >= 0 and not _is_sig(tokens[p2]):
+                        p2 -= 1
+                    if p2 >= 0 and tokens[p2][0] == "word" and tokens[p2][1].lower() == "cross":
+                        joined_by_cross = True
+                if joined_by_cross or comma_join:
+                    res = _rewrite_unnest(tokens, i)
+                    if res is not None:
+                        repl, nxt = res
+                        # drop the already-emitted CROSS JOIN (or comma)
+                        drop = 2 if joined_by_cross else 1
+                        sig_seen = 0
+                        while out and sig_seen < drop:
+                            popped = out.pop()
+                            if popped.strip():
+                                sig_seen += 1
+                        out.append(" ")
+                        out.append(repl)
+                        i = nxt
+                        continue
+            # function-call rewrites
+            j = _next_sig(tokens, i + 1)
+            if j < n and tokens[j] == ("op", "("):
+                close = _match_paren(tokens, j)
+                args = _split_args(tokens, j + 1, close)
+                # rewrite inner calls first (recursive)
+                args = [tokenize(_transpile_tokens(a)) for a in args]
+                repl = _rewrite_call(text, args)
+                if repl is not None:
+                    out.append(repl)
+                    i = close + 1
+                    continue
+                if low in _CALL_RENAMES:
+                    inner = ", ".join(_render_tokens(_strip(a)) for a in args)
+                    out.append(f"{_CALL_RENAMES[low]}({inner})")
+                    i = close + 1
+                    continue
+        out.append(text)
+        i += 1
+    return "".join(out)
+
+
+def transpile(sql: str) -> str:
+    """Presto SQL text -> Spark SQL text."""
+    return _transpile_tokens(tokenize(sql))

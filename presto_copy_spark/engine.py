@@ -15,26 +15,14 @@ name gaps.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 
+from . import dialect
 from .catalog import register_tables
 from .functions import register_all
 from .session import get_spark
 
 __all__ = ["Engine"]
-
-# Presto-name -> Spark-name rewrites that can't be SQL UDFs (aggregates,
-# or functions whose arguments translate 1:1 so a token swap suffices).
-_AGG_RENAMES = {
-    "approx_distinct": "approx_count_distinct",
-    "arbitrary": "any_value",
-    "array_agg": "collect_list",
-    "set_agg": "collect_set",
-    "stddev": "stddev_samp",
-    "variance": "var_samp",
-}
 
 
 class Engine:
@@ -48,39 +36,10 @@ class Engine:
     # -- dialect -----------------------------------------------------------
     @staticmethod
     def transpile(sql: str) -> str:
-        """Presto SQL -> Spark SQL (lexical normalization only).
-
-        - double-quoted identifiers -> backticks (Presto quotes idents
-          with ``"``; Spark treats ``"`` as string literal)
-        - aggregate-name renames (approx_distinct, arbitrary, ...)
-        """
-        out = []
-        i, n = 0, len(sql)
-        while i < n:
-            c = sql[i]
-            if c == "'":  # skip string literal (with '' escape)
-                j = i + 1
-                while j < n:
-                    if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                    elif sql[j] == "'":
-                        break
-                    else:
-                        j += 1
-                out.append(sql[i : j + 1])
-                i = j + 1
-            elif c == '"':  # identifier quote -> backtick
-                j = sql.find('"', i + 1)
-                j = n - 1 if j < 0 else j
-                out.append("`" + sql[i + 1 : j] + "`")
-                i = j + 1
-            else:
-                out.append(c)
-                i += 1
-        text = "".join(out)
-        for presto, spark_name in _AGG_RENAMES.items():
-            text = re.sub(rf"\b{presto}\s*\(", f"{spark_name}(", text, flags=re.I)
-        return text
+        """Presto SQL -> Spark SQL — see presto_copy_spark.dialect for
+        the full rule set (token-level: string literals and quoted
+        identifiers are never touched by rewrites)."""
+        return dialect.transpile(sql)
 
     # -- API ---------------------------------------------------------------
     def sql(self, text: str) -> DataFrame:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .qutil import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from .qutil import exact_avg, exact_sum, scaled_long, sql_exact_avg, sql_exact_sum
 from .registry import query
 
 
@@ -488,7 +488,7 @@ def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import value_histogram
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        "o_orderpriority", scaled_long(F.col("o_totalprice"), 100).alias("cents")
     )
     out = value_histogram(o, ["o_orderpriority"], F.col("cents"), 60, 0, 60000000)
     return out.select("o_orderpriority", F.col("bucket").cast("long").alias("bucket"), "cnt")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .qutil import scaled_long
 from .registry import query
 
 
@@ -32,7 +33,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cents_sum(col: str = "value"):
-    return F.sum(F.round(F.col(col) * 100).cast("long"))
+    return F.sum(scaled_long(F.col(col), 100))
 
 
 SQL_CENTS_SUM = "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
@@ -258,7 +259,9 @@ def events_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import user_profile_state
 
     out = run_stream_to_batch(
-        user_profile_state(stream_events(spark, sf_dir)), mode="update"
+        user_profile_state(stream_events(spark, sf_dir)),
+        mode="update",
+        keys=["user_id"],
     )
     return out.select("user_id", "n_events", "sum_value_cents", "last_event_type")
 

@@ -1,9 +1,10 @@
 """Registry queries implemented THROUGH the Presto-dialect SQL front end.
 
-Each query here is expressed as Presto-spelled SQL text and executed via
-``Engine.sql`` (presto_copy_spark/engine.py), proving the transpiler on
-unit-first datetime functions, TRY(), UNNEST WITH ORDINALITY, interval
-literals, and Presto aggregate spellings.
+Each query here is Presto-spelled SQL text executed via ``Engine.sql``
+(presto_copy_spark/engine.py -> dialect.py), proving the transpiler on
+unit-first datetime functions, MySQL format strings, TRY(), UNNEST WITH
+ORDINALITY, and Presto aggregate spellings — the deltas a user porting
+reference SQL actually hits.
 
 Reference: presto-parser/src/main/antlr4/.../SqlBase.g4 (the reference's
 canonical entry is SQL text); golden files under
@@ -12,6 +13,117 @@ presto-product-tests/src/main/resources/sql-tests/testcases/.
 
 from __future__ import annotations
 
-from .registry import query  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession
 
-# Queries are registered below once the round-2 transpiler lands.
+from .registry import query
+
+
+def _via_engine(presto_sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..engine import Engine
+
+        return Engine(spark, sf_dir).sql(presto_sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# unit-first datetime + MySQL formats + TRY(CAST) — DateTimeFunctions.java
+# ---------------------------------------------------------------------------
+PRESTO_DATETIME = """
+SELECT o_orderkey,
+       date_add('day', 7, o_orderdate) AS due_ts,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00') AS age_days,
+       date_diff('month', o_orderdate, TIMESTAMP '1998-08-01 00:00:00') AS age_months,
+       date_trunc('month', o_orderdate) AS order_month,
+       date_format(o_orderdate, '%Y-%m-%d') AS order_day,
+       day_of_week(o_orderdate) AS dow,
+       TRY(CAST(o_orderpriority AS BIGINT)) AS prio_num
+FROM orders
+WHERE o_orderkey % 5 = 0
+"""
+
+_q = query(
+    "sql_presto_datetime",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 7 DAY AS due_ts,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00') AS age_days,
+       -- Presto/Spark month diff is day-aware, truncating TOWARD ZERO;
+       -- DuckDB's date_diff counts month-boundary crossings, so spell
+       -- it out: whole-month delta, minus one for positive diffs that
+       -- haven't completed the last month (end day 1 < start day; the
+       -- negative-side correction can never fire with end day = 1)
+       CAST((1998 - year(o_orderdate)) * 12 + (8 - month(o_orderdate))
+            - CASE WHEN (1998 - year(o_orderdate)) * 12
+                        + (8 - month(o_orderdate)) > 0
+                    AND 1 < day(o_orderdate) THEN 1 ELSE 0 END AS BIGINT)
+         AS age_months,
+       date_trunc('month', o_orderdate) AS order_month,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(isodow(o_orderdate) AS INT) AS dow,
+       TRY_CAST(o_orderpriority AS BIGINT) AS prio_num
+FROM orders
+WHERE o_orderkey % 5 = 0
+""",
+)(_via_engine(PRESTO_DATETIME))
+
+
+# ---------------------------------------------------------------------------
+# TRY(division) + UNNEST WITH ORDINALITY — TryFunction.java, SqlBase.g4
+# ---------------------------------------------------------------------------
+PRESTO_TRY_UNNEST = """
+SELECT d.doc_id, w.word, w.pos,
+       TRY(CAST(w.word AS BIGINT)) AS word_num,
+       TRY(CAST(100 AS DOUBLE) / (w.pos - 1)) AS inv_prev
+FROM documents d
+CROSS JOIN UNNEST(split(d.text, ' ')) WITH ORDINALITY AS w(word, pos)
+WHERE d.doc_id % 100 = 0
+"""
+
+_q = query(
+    "sql_presto_try_unnest",
+    # DuckDB zips multiple UNNESTs in one lateral projection; its double
+    # division by zero yields NULL, same as Spark's try_divide.
+    oracle="""
+SELECT d.doc_id, u.word, u.pos,
+       TRY_CAST(u.word AS BIGINT) AS word_num,
+       CAST(100 AS DOUBLE) / (u.pos - 1) AS inv_prev
+FROM documents d, LATERAL (
+  SELECT UNNEST(string_split(d.text, ' ')) AS word,
+         UNNEST(generate_series(1, len(string_split(d.text, ' ')))) AS pos
+) u
+WHERE d.doc_id % 100 = 0
+""",
+)(_via_engine(PRESTO_TRY_UNNEST))
+
+
+# ---------------------------------------------------------------------------
+# Presto aggregate spellings — BuiltInTypeAndFunctionNamespaceManager.java
+# ---------------------------------------------------------------------------
+PRESTO_AGGREGATES = """
+SELECT l_returnflag,
+       count(*) AS n,
+       count_if(l_discount > 0.05) AS n_disc,
+       round(variance(l_discount), 9) AS var_disc,
+       round(stddev(l_quantity), 9) AS std_qty,
+       array_sort(set_agg(l_linestatus)) AS statuses,
+       max_by(l_quantity, (l_orderkey * 8 + l_linenumber) * 64 + CAST(l_quantity AS BIGINT)) AS qty_of_max_key
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_q = query(
+    "sql_presto_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+       round(var_samp(l_discount), 9) AS var_disc,
+       round(stddev_samp(l_quantity), 9) AS std_qty,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       arg_max(l_quantity, (l_orderkey * 8 + l_linenumber) * 64 + CAST(l_quantity AS BIGINT)) AS qty_of_max_key
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)(_via_engine(PRESTO_AGGREGATES))

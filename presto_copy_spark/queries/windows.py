@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .qutil import scaled_long
 from .registry import query
 
 
@@ -143,7 +144,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -170,7 +171,7 @@ def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding ROWS frame (k PRECEDING..CURRENT) — FrameInfo.java:26."""
     o = _orders(spark, sf_dir).filter(F.col("o_custkey") % 50 == 1)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -200,7 +201,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy("cents").rangeBetween(-500000, 0)
     return t.select(
@@ -289,7 +290,7 @@ def win_share_of_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over an unordered partition window (whole-partition frame)
     — AggregateWindowFunction.java."""
     o = _orders(spark, sf_dir).filter(F.col("o_custkey") % 100 == 7)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = scaled_long(F.col("o_totalprice"), 100)
     w = Window.partitionBy("o_custkey")
     return o.select(
         "o_custkey",

@@ -47,7 +47,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cents_sum():
-    return F.sum(F.round(F.col("value") * 100).cast("long"))
+    from ..queries.qutil import scaled_long
+
+    return F.sum(scaled_long(F.col("value"), 100))
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
@@ -92,8 +94,31 @@ def session_agg(events: DataFrame) -> DataFrame:
     )
 
 
+# Output dirs from earlier runs in this process, swept on the next call
+# (the returned DataFrame reads the dir lazily, so the current run's dir
+# must outlive this function).
+_PREVIOUS_OUT_DIRS: list[str] = []
+
+# State-store parallelism for these short AvailableNow validation runs:
+# each shuffle partition is a state-store instance with its own
+# checkpoint delta files per batch, so 32 partitions on a 60k-row
+# fixture is pure commit overhead.  On a real cluster with a long-lived
+# stream you size this to the key cardinality instead.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _tmpdir(prefix: str) -> str:
+    """tmpfs-backed scratch dir when available (checkpoint commits are
+    many tiny files — RAM-backed beats disk by a wide margin)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def run_stream_to_batch(
-    streaming_df: DataFrame, name: str | None = None, mode: str = "complete"
+    streaming_df: DataFrame,
+    name: str | None = None,
+    mode: str = "complete",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into a file
     sink and return the completed result as a batch DataFrame.
@@ -105,27 +130,58 @@ def run_stream_to_batch(
     The sink is foreachBatch -> parquet, NOT the memory sink: the memory
     sink materializes the whole result on the driver and registers it in
     the catalog forever (a driver-heap leak across runs, and a
-    non-starter at scale where results exceed driver memory).  Each
-    complete/update batch overwrites the output dir, so the final batch's
-    state wins — exact for complete mode always, and for update mode
-    whenever AvailableNow processes the input as one batch (our file
-    fixtures are a single file -> single batch; a multi-batch update
-    stream would need key-merge on read).
-    """
-    spark = streaming_df.sparkSession
-    out_dir = tempfile.mkdtemp(prefix=f"spark_graft_out_{name or uuid.uuid4().hex[:8]}_")
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    write_mode = "overwrite" if mode in ("complete", "update") else "append"
+    non-starter at scale where results exceed driver memory).
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    Sink semantics per output mode:
+    - complete: each batch overwrites; the final batch carries the full
+      result, so last-writer-wins is exact for any number of batches.
+    - update: each batch emits only changed keys, so batches are
+      APPENDED with their batch id and the read side keeps the last
+      emission per ``keys`` (merge-on-read).  ``keys`` is required —
+      overwriting would silently drop keys not re-emitted in the final
+      batch whenever AvailableNow splits the input into >1 batch.
+    - append: plain append.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if mode == "update" and not keys:
+        raise ValueError("update mode needs `keys` for merge-on-read")
+    spark = streaming_df.sparkSession
+    while _PREVIOUS_OUT_DIRS:
+        shutil.rmtree(_PREVIOUS_OUT_DIRS.pop(), ignore_errors=True)
+    out_dir = _tmpdir(f"spark_graft_out_{name or uuid.uuid4().hex[:8]}_")
+    ckpt = _tmpdir("spark_graft_ckpt_")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "update":
+            batch_df = batch_df.withColumn("__batch_id", F.lit(batch_id))
         batch_df.write.mode(write_mode).parquet(out_dir)
 
-    q = (
-        streaming_df.writeStream.foreachBatch(_sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            streaming_df.writeStream.foreachBatch(_sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    _PREVIOUS_OUT_DIRS.append(out_dir)
+    out = spark.read.parquet(out_dir)
+    if mode == "update":
+        w = Window.partitionBy(*keys).orderBy(F.col("__batch_id").desc())
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__batch_id")
+        )
+    return out

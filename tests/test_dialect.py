@@ -1,0 +1,125 @@
+"""Presto->Spark dialect transpiler unit tests (presto_copy_spark/dialect.py).
+
+Covers the lexical rules (quoting, literals untouched) plus live
+execution of the rewritten constructs on the test session.
+"""
+
+from __future__ import annotations
+
+from presto_copy_spark.dialect import transpile
+
+
+def test_quoted_identifiers_and_escapes():
+    assert transpile('SELECT "a" FROM t') == "SELECT `a` FROM t"
+    assert transpile('SELECT "a""b" FROM t') == "SELECT `a\"b` FROM t"
+
+
+def test_string_literals_never_rewritten():
+    # the old regex shim rewrote function names inside string literals
+    sql = "SELECT 'variance(x)' AS s, variance(x) AS v FROM t"
+    out = transpile(sql)
+    assert "'variance(x)'" in out
+    assert "var_samp(x)" in out
+
+
+def test_agg_renames_only_at_call_sites():
+    out = transpile("SELECT arbitrary(x), array_agg(y), approx_distinct(z) FROM t")
+    assert out == "SELECT any_value(x), collect_list(y), approx_count_distinct(z) FROM t"
+    # a column merely NAMED like a function is untouched
+    assert transpile("SELECT variance FROM t") == "SELECT variance FROM t"
+
+
+def test_unit_first_datetime():
+    assert (
+        transpile("SELECT date_add('day', 3, ts) FROM t")
+        == "SELECT timestampadd(DAY, 3, ts) FROM t"
+    )
+    assert (
+        transpile("SELECT date_diff('month', a, b) FROM t")
+        == "SELECT timestampdiff(MONTH, a, b) FROM t"
+    )
+    # Spark's own 2-arg date_add must pass through untouched
+    assert transpile("SELECT date_add(d, 3) FROM t") == "SELECT date_add(d, 3) FROM t"
+
+
+def test_mysql_format_strings():
+    assert (
+        transpile("SELECT date_format(ts, '%Y-%m-%d %H:%i:%s') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert (
+        transpile("SELECT date_parse(s, '%Y%m%d') FROM t")
+        == "SELECT to_timestamp(s, 'yyyyMMdd') FROM t"
+    )
+
+
+def test_try_shapes():
+    assert (
+        transpile("SELECT TRY(CAST(x AS BIGINT)) FROM t")
+        == "SELECT try_cast(x AS BIGINT) FROM t"
+    )
+    assert transpile("SELECT TRY(a / b) FROM t") == "SELECT try_divide(a, b) FROM t"
+    assert transpile("SELECT TRY(a + b) FROM t") == "SELECT try_add(a, b) FROM t"
+    assert (
+        transpile("SELECT TRY(element_at(m, k)) FROM t")
+        == "SELECT try_element_at(m, k) FROM t"
+    )
+    # nested parens keep inner ops out of the top-level scan
+    assert (
+        transpile("SELECT TRY(CAST(100 AS DOUBLE) / (p - 1)) FROM t")
+        == "SELECT try_divide(CAST(100 AS DOUBLE), (p - 1)) FROM t"
+    )
+
+
+def test_unnest_rewrites():
+    out = transpile(
+        "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u(x)"
+    )
+    assert "LATERAL VIEW explode(arr) u AS x" in out
+    assert "CROSS JOIN" not in out
+    out = transpile(
+        "SELECT w, i FROM t CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(w, i)"
+    )
+    assert "LATERAL VIEW inline(transform(arr" in out
+    assert "u AS w, i" in out
+
+
+def test_nested_calls_rewritten():
+    out = transpile("SELECT array_agg(date_add('day', 1, ts)) FROM t")
+    assert out == "SELECT collect_list(timestampadd(DAY, 1, ts)) FROM t"
+
+
+# ---- live execution --------------------------------------------------------
+def test_transpiled_sql_executes(spark):
+    from presto_copy_spark.engine import Engine
+
+    rows = spark.sql(
+        transpile(
+            "SELECT date_diff('month', TIMESTAMP '2024-01-31 00:00:00',"
+            " TIMESTAMP '2024-02-01 00:00:00') AS md,"
+            " TRY(CAST('zz' AS BIGINT)) AS t1,"
+            " TRY(1 / 0) AS t2"
+        )
+    ).collect()
+    assert rows[0].md == 0  # day-aware truncation, Presto semantics
+    assert rows[0].t1 is None and rows[0].t2 is None
+
+
+def test_unnest_ordinality_live(spark):
+    rows = spark.sql(
+        transpile(
+            "SELECT x, i FROM (SELECT array('a','b','c') AS arr) t"
+            " CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(x, i)"
+        )
+    ).collect()
+    assert [(r.x, r.i) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_unnest_empty_array_drops_row(spark):
+    rows = spark.sql(
+        transpile(
+            "SELECT x, i FROM (SELECT CAST(array() AS ARRAY<STRING>) AS arr) t"
+            " CROSS JOIN UNNEST(arr) WITH ORDINALITY AS u(x, i)"
+        )
+    ).collect()
+    assert rows == []

@@ -92,6 +92,28 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     assert rows_of(stream) == rows_of(batch)
 
 
+def test_update_mode_multibatch_merge(spark, sf_dir, tmp_path):
+    """Update-mode streams must keep keys NOT re-emitted in the final
+    batch: 4 input files x maxFilesPerTrigger=1 forces 4 micro-batches,
+    where each batch emits only the groups it changed (the old
+    overwrite-per-batch sink silently dropped the rest)."""
+    from presto_copy_spark.streaming.jobs import run_stream_to_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "ev_multi")
+    ev.repartition(4).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_batch(sdf, mode="update", keys=["user_id"])
+    batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert rows_of(out) == rows_of(batch)
+
+
 # ---- multimodal plumbing ---------------------------------------------------
 def test_multimodal_feature_shape(spark, sf_dir):
     from presto_copy_spark.operators.multimodal import (
