@@ -39,6 +39,7 @@ __all__ = [
     "numeric_histogram",
     "approx_most_frequent",
     "reduce_agg_sum",
+    "entropy_from_counts",
 ]
 
 _UNIT_SECONDS = {
@@ -176,6 +177,12 @@ def map_union(col) -> Column:
 
 
 def multimap_agg(key, value) -> Column:
+    """multimap_agg(k, v) -> map(k, array(v)).
+
+    WARNING — collects the group before regrouping: O(group^2) worst
+    case, small-group parity only.  At scale express the same result as
+    groupBy(key, k).agg(collect_list(v)) + map_from_entries over the
+    per-key lists (two-shuffle shape, cf. agg_histogram_map)."""
     k, v = _col(key), _col(value)
     entries = F.collect_list(F.struct(k.alias("k"), v.alias("v")))
     return F.map_from_entries(
@@ -216,7 +223,16 @@ def min_n(col, n: int) -> Column:
 
 
 def histogram(col) -> Column:
-    """Presto histogram(x) -> map(x, count)."""
+    """Presto histogram(x) -> map(x, count).
+
+    WARNING — O(group * distinct) work and O(group) memory per group:
+    this Column-shaped form collects the group's values before counting,
+    which a single aggregate expression cannot avoid.  It exists for
+    drop-in Presto parity on SMALL groups (<= ~10k rows).  Any real
+    pipeline must use the distributed two-shuffle groupBy(key, value)
+    shape of queries/aggregates.agg_histogram_map (and the bucketed
+    operators/aggregates.py:value_histogram), which never materializes
+    a group in memory."""
     c = _col(col)
     values = F.collect_list(c)
     return F.map_from_entries(
@@ -242,8 +258,10 @@ def numeric_histogram(buckets: int, col, lo, hi) -> Column:
 def approx_most_frequent(buckets: int, col) -> Column:
     """approx_most_frequent(k, x): top-k value -> count map.
 
-    Exact top-k via sorted count pairs (at scale, push the groupBy down —
-    see operators/aggregates.py:top_k_values for the distributed form).
+    WARNING — same O(group * distinct) bound as histogram() above:
+    small-group Presto parity only (<= ~10k rows/group).  The
+    distributed form is operators/aggregates.py:top_k_values
+    (groupBy count + WindowGroupLimit, bounded memory at any scale).
     """
     c = _col(col)
     values = F.collect_list(c)
@@ -258,3 +276,13 @@ def approx_most_frequent(buckets: int, col) -> Column:
 def reduce_agg_sum(col) -> Column:
     """reduce_agg with (+) — degenerate but demonstrates the mapping."""
     return F.aggregate(F.collect_list(_col(col)), F.lit(0.0), lambda a, b: a + b)
+
+
+def entropy_from_counts(cnt) -> Column:
+    """Presto entropy(bigint) (EntropyAggregation.java): log-2 Shannon
+    entropy of the empirical distribution given per-class counts, via
+    the algebraic identity H = log2(S) - sum(c*log2(c))/S — two plain
+    sums, fully distributed (partial-agg shape, no collection)."""
+    c = _col(cnt).cast("double")
+    s = F.sum(c)
+    return F.log2(s) - F.sum(c * F.log2(c)) / s

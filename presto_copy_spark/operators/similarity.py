@@ -59,19 +59,48 @@ def sql_cosine_from_q(dotq: str, n1q: str, n2q: str) -> str:
     )
 
 
-def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
-    """Sign-LSH bucket: bit b = sign of coordinate b (axis-aligned
-    hyperplanes — deterministic, engine-portable; production would use
-    seeded random hyperplanes via a stored projection matrix)."""
+# Sign-LSH: bit b = sign(<vec, r_b>) with r_b a SEEDED Rademacher (+/-1)
+# hyperplane.  16 bits -> 65,536 buckets; with 8 bits (the previous
+# axis-aligned form) a billion-vector corpus collapses into 256 buckets
+# and the candidate self-join degenerates toward all-pairs.  +/-1
+# components keep the projection exact-integer-free but engine-portable:
+# both sides sum the SAME +/-coordinate terms left-to-right as DOUBLEs,
+# so the sign agrees bit-for-bit.  Identical vectors always share a
+# bucket -> exact-duplicate recall stays 100% at any width.
+SIGN_BITS = 16
+EMB_DIM = 64
+
+
+def _sign_matrix(n_bits: int = SIGN_BITS, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic LCG-seeded +/-1 hyperplane matrix (shared by the
+    Spark expression and the SQL twin)."""
+    rows, x = [], 0x5EED
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            x = (x * 1_103_515_245 + 12_345) % (2**31)
+            row.append(1 if x & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+def sign_bucket(vec: Column, n_bits: int = SIGN_BITS, dim: int = EMB_DIM) -> Column:
     out = F.lit(0)
-    for b in range(n_bits):
-        out = out + F.when(F.element_at(vec, b + 1) >= 0, F.lit(1 << b)).otherwise(0)
+    for b, signs in enumerate(_sign_matrix(n_bits, dim)):
+        dot = None
+        for i, s in enumerate(signs):
+            term = F.element_at(vec, i + 1).cast("double")
+            term = term if s > 0 else -term
+            dot = term if dot is None else dot + term
+        out = out + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
     return out
 
 
-def sql_sign_bucket(vec: str, n_bits: int = 8) -> str:
-    return (
-        "("
-        + " + ".join(f"CASE WHEN {vec}[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END" for b in range(n_bits))
-        + ")"
-    )
+def sql_sign_bucket(vec: str, n_bits: int = SIGN_BITS, dim: int = EMB_DIM) -> str:
+    cases = []
+    for b, signs in enumerate(_sign_matrix(n_bits, dim)):
+        dot = " + ".join(
+            f"{'' if s > 0 else '-'}{vec}[{i + 1}]::DOUBLE" for i, s in enumerate(signs)
+        )
+        cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(cases) + ")"

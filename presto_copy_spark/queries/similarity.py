@@ -97,6 +97,14 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOPK)
 
 
+# Buckets larger than this are dropped before the candidate self-join: a
+# degenerate bucket with d members emits d^2/2 pairs, so one hot bucket
+# (all-zero vectors, corrupt shards) can dominate the whole job.  Real
+# near-dup clusters are tiny; anything above the cap is noise at corpus
+# scale.  The oracle applies the identical cap.
+BUCKET_CAP = 128
+
+
 @query(
     "sim_ann_lsh_neardup",
     oracle=f"""
@@ -105,11 +113,13 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
 ),
-base AS (
+base0 AS (
   SELECT vec_id, embedding, {_SQL_NORM} AS nq,
          {sql_sign_bucket('embedding')} AS bucket
   FROM corpus
 ),
+ok AS (SELECT bucket FROM base0 GROUP BY bucket HAVING count(*) <= {BUCKET_CAP}),
+base AS (SELECT base0.* FROM base0 JOIN ok USING (bucket)),
 pairs AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2,
          {sql_cosine_from_q(sql_qdot('a.embedding', 'b.embedding'), 'a.nq', 'b.nq')} AS cosine
@@ -121,18 +131,20 @@ SELECT v1, v2, cosine FROM pairs WHERE cosine >= {NEARDUP_T}
 def sim_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection via sign-LSH buckets.
 
-    Candidates come from an equi-join on the 8-bit sign bucket (exact
-    duplicates always collide -> 100% recall at cosine=1), then cosine
-    verification on candidates only.  The fixture has no near-dups, so
-    a shifted copy of every 50th vector is unioned in to exercise the
-    operator (same pattern as dedup_exact).
+    Candidates come from an equi-join on the 16-bit seeded-hyperplane
+    sign bucket (operators/similarity.sign_bucket; exact duplicates
+    always collide -> 100% recall at cosine=1) after dropping
+    degenerate buckets above BUCKET_CAP, then cosine verification on
+    candidates only.  The fixture has no near-dups, so a shifted copy
+    of every 50th vector is unioned in to exercise the operator (same
+    pattern as dedup_exact).
     """
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     planted = (
         e.filter(F.col("vec_id") % 50 == 0)
         .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    base = (
+    base0 = (
         e.unionByName(planted)
         .select(
             "vec_id",
@@ -141,6 +153,13 @@ def sim_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sign_bucket(F.col("embedding")).alias("bucket"),
         )
     )
+    ok = (
+        base0.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= BUCKET_CAP)
+        .select("bucket")
+    )
+    base = base0.join(F.broadcast(ok), "bucket")
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))

@@ -26,3 +26,26 @@ def test_query_runs(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# ---- invariants for the sketch queries (no cross-engine oracle) -----------
+def test_kll_quantile_rollup_error_bounds(spark, sf_dir):
+    """Merged-KLL quantile estimates must sit within a small relative
+    error of the exact percentiles (default k -> ~1.65% rank error)."""
+    rows = registry.QUERIES["agg_kll_quantile_rollup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.sketch_n > 0
+        assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.10
+        assert abs(r.approx_p95 - r.exact_p95) / r.exact_p95 < 0.10
+
+
+def test_theta_setops_error_bounds(spark, sf_dir):
+    """Theta union/intersection estimates vs exact distinct counts.
+    The union estimate must be >= each side's exact count (minus sketch
+    error); intersection <= min side (plus error)."""
+    [r] = registry.QUERIES["agg_theta_sketch_setops"](spark, sf_dir).collect()
+    lo, hi = 0.9, 1.1
+    assert r.approx_union >= max(r.n_o, r.n_f) * lo
+    assert r.approx_union <= (r.n_o + r.n_f) * hi
+    assert r.approx_intersection <= min(r.n_o, r.n_f) * hi
