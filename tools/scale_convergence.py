@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Scale-convergence measurement: Spark vs DuckDB on identical layouts.
+
+BASELINE.md's claim is that the bench gap at sf0.1 is overhead-bound
+(single-row-group files -> 1-task scans + per-job fixed costs) and
+shrinks with scale.  This script measures it instead of asserting it:
+
+  layout A  sf0.1 as-is          (single file per table, 1 row group)
+  layout B  sf0.1 split          (same rows, 32 parquet files)
+  layout C  sf1-ish              (10x key-shifted copies, 32 files)
+
+Layout C multiplies the fact tables with SHIFTED join keys (copy i adds
+i * 10^7 to orderkey/custkey/partkey/suppkey) so join cardinalities
+scale linearly like a real sf1 — plain row duplication would square
+join outputs.  Dimension tables nation/region are shared.
+
+Both engines read the SAME parquet directories; DuckDB runs the literal
+oracle SQL of each query.  Usage:
+
+    python tools/scale_convergence.py [--queries q01,q03,...]
+
+Writes a markdown table to stdout (BASELINE.md's convergence section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = "/tmp/spark_graft_scale"
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000
+COPIES = 10
+
+KEYED = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+SHARED = ["nation", "region"]
+
+
+def build_layouts(spark) -> dict[str, str]:
+    from pyspark.sql import functions as F
+
+    layouts = {"sf0.1": SRC}
+    split_dir = f"{OUT}/sf0.1_split"
+    big_dir = f"{OUT}/sf1x"
+    for d in (split_dir, big_dir):
+        os.makedirs(d, exist_ok=True)
+    for name in list(KEYED) + SHARED:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        sp = f"{split_dir}/{name}.parquet"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            n = 32 if name in ("lineitem", "orders") else 4
+            src.repartition(n).write.mode("overwrite").parquet(sp)
+        bp = f"{big_dir}/{name}.parquet"
+        if not os.path.exists(f"{bp}/_SUCCESS"):
+            if name in KEYED:
+                copies = [
+                    src.select(
+                        *[
+                            (F.col(c) + i * OFF).alias(c) if c in KEYED[name] else F.col(c)
+                            for c in src.columns
+                        ]
+                    )
+                    for i in range(COPIES)
+                ]
+                big = copies[0]
+                for c in copies[1:]:
+                    big = big.unionByName(c)
+            else:
+                big = src
+            n = 32 if name in ("lineitem", "orders") else 4
+            big.repartition(n).write.mode("overwrite").parquet(bp)
+    layouts["sf0.1_split"] = split_dir
+    layouts["sf1x"] = big_dir
+    return layouts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default="tpch_q01,tpch_q03,tpch_q05,tpch_q06,tpch_q09,tpch_q10,tpch_q18,tpch_q21")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    names = args.queries.split(",")
+
+    import duckdb
+
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("scale-convergence")
+    layouts = build_layouts(spark)
+
+    print(f"| layout | engine | {' | '.join(n.removeprefix('tpch_') for n in names)} | total |")
+    print("|---|---|" + "---|" * (len(names) + 1))
+    for lname, ldir in layouts.items():
+        spark_t, duck_t = {}, {}
+        for q in names:
+            df = registry.QUERIES[q](spark, ldir)
+            df.write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            spark_t[q] = statistics.median(samples)
+        con = duckdb.connect()
+        for t in list(KEYED) + SHARED:
+            p = f"{ldir}/{t}.parquet"
+            glob = p if os.path.isfile(p) else f"{p}/*.parquet"
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+        for q in names:
+            con.sql(registry.ORACLES[q]).fetchall()  # warm
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                con.sql(registry.ORACLES[q]).fetchall()
+                samples.append(time.perf_counter() - t0)
+            duck_t[q] = statistics.median(samples)
+        con.close()
+        for eng, td in (("spark", spark_t), ("duckdb", duck_t)):
+            cells = " | ".join(f"{td[q]:.3f}" for q in names)
+            print(f"| {lname} | {eng} | {cells} | {sum(td.values()):.3f} |")
+        ratio = sum(spark_t.values()) / sum(duck_t.values())
+        print(f"| {lname} | ratio | {' | '.join(f'{spark_t[q]/duck_t[q]:.1f}x' for q in names)} | {ratio:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
