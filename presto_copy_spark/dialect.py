@@ -335,6 +335,54 @@ def _rewrite_unnest(tokens: list, i: int) -> tuple[str, int] | None:
     return f"LATERAL VIEW {gen} {alias} AS {col_list}", nxt
 
 
+def _rewrite_view_ddl(tokens: list) -> str | None:
+    """``CREATE [OR REPLACE] VIEW name [COMMENT 's'] [SECURITY
+    DEFINER|INVOKER] AS query`` (SqlBase.g4 createView; reference
+    CreateViewTask) -> Spark ``CREATE [OR REPLACE] TEMPORARY VIEW``.
+
+    TEMPORARY because the engine's base tables are temp views over the
+    parquet fixtures and Spark refuses persistent views that reference
+    temp relations; semantics otherwise match (logical view, expanded at
+    query time, fails on duplicate unless OR REPLACE).  COMMENT and
+    SECURITY clauses are metadata-only here and are dropped.  DROP VIEW
+    passes through untouched — Spark resolves temp views first.
+    """
+    i = _next_sig(tokens, 0)
+    if i >= len(tokens) or tokens[i][0] != "word" or tokens[i][1].lower() != "create":
+        return None
+    j = _next_sig(tokens, i + 1)
+    replace = ""
+    if j < len(tokens) and tokens[j][0] == "word" and tokens[j][1].lower() == "or":
+        k = _next_sig(tokens, j + 1)
+        if k < len(tokens) and tokens[k][0] == "word" and tokens[k][1].lower() == "replace":
+            replace = "OR REPLACE "
+            j = _next_sig(tokens, k + 1)
+        else:
+            return None
+    if j >= len(tokens) or tokens[j][0] != "word" or tokens[j][1].lower() != "view":
+        return None
+    m = _next_sig(tokens, j + 1)
+    name_parts: list = []
+    while m < len(tokens):
+        k0, t0 = tokens[m]
+        if k0 == "word" and t0.lower() in ("comment", "security", "as"):
+            break
+        name_parts.append(tokens[m])
+        m = _next_sig(tokens, m + 1)
+    if not name_parts:
+        return None
+    while m < len(tokens) and tokens[m][1].lower() in ("comment", "security"):
+        m = _next_sig(tokens, m + 1)  # the clause argument (str / word)
+        m = _next_sig(tokens, m + 1)
+    if m >= len(tokens) or tokens[m][0] != "word" or tokens[m][1].lower() != "as":
+        return None
+    name = _render_tokens(
+        tokenize(_transpile_tokens(name_parts))  # normalize "q"->`q` quoting
+    )
+    body = _transpile_tokens(tokens[m + 1 :]).strip()
+    return f"CREATE {replace}TEMPORARY VIEW {name} AS {body}"
+
+
 # ---------------------------------------------------------------------------
 # main pass
 # ---------------------------------------------------------------------------
@@ -407,4 +455,8 @@ def _transpile_tokens(tokens: list) -> str:
 
 def transpile(sql: str) -> str:
     """Presto SQL text -> Spark SQL text."""
-    return _transpile_tokens(tokenize(sql))
+    tokens = tokenize(sql)
+    view_ddl = _rewrite_view_ddl(tokens)
+    if view_ddl is not None:
+        return view_ddl
+    return _transpile_tokens(tokens)

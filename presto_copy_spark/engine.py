@@ -48,6 +48,20 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    # -- view DDL ----------------------------------------------------------
+    # Reference: CreateViewTask / DropViewTask (presto-main/.../execution);
+    # views are logical (SQL text expanded at query time), which is exactly
+    # Spark's view semantics.  The dialect shim maps Presto's CREATE VIEW
+    # to TEMPORARY (base tables are temp views); Presto-spelled SQL works
+    # in the body.
+    def create_view(self, name: str, presto_sql: str, replace: bool = True) -> None:
+        rep = "OR REPLACE " if replace else ""
+        self.sql(f"CREATE {rep}VIEW {name} AS {presto_sql}")
+
+    def drop_view(self, name: str, if_exists: bool = True) -> None:
+        ex = "IF EXISTS " if if_exists else ""
+        self.sql(f"DROP VIEW {ex}{name}")
+
     def explain(self, text: str, mode: str = "formatted") -> str:
         """EXPLAIN — ExplainAnalyzeOperator analogue (plan text)."""
         from .plans.inspect import plan_string

@@ -113,6 +113,50 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# ---------------------------------------------------------------------------
+# CREATE VIEW DDL + query-through-view — SqlBase.g4 createView,
+# CreateViewTask; logical view expanded at query time
+# ---------------------------------------------------------------------------
+PRESTO_VIEW_DDL = """
+CREATE OR REPLACE VIEW v_order_age SECURITY INVOKER AS
+SELECT o_orderkey, o_custkey, o_totalprice,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00') AS age_days
+FROM orders
+WHERE o_orderkey % 3 = 0
+"""
+
+PRESTO_VIEW_QUERY = """
+SELECT o_custkey % 10 AS bucket,
+       count(*) AS n,
+       min(age_days) AS min_age,
+       max(age_days) AS max_age
+FROM v_order_age
+GROUP BY o_custkey % 10
+"""
+
+
+def _view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(PRESTO_VIEW_DDL)  # Presto-spelled DDL through the dialect shim
+    return eng.sql(PRESTO_VIEW_QUERY)
+
+
+_q = query(
+    "sql_presto_view",
+    oracle="""
+SELECT o_custkey % 10 AS bucket,
+       count(*) AS n,
+       min(date_diff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00')) AS min_age,
+       max(date_diff('day', o_orderdate, TIMESTAMP '1998-08-01 00:00:00')) AS max_age
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_custkey % 10
+""",
+)(_view_roundtrip)
+
+
 _q = query(
     "sql_presto_aggregates",
     oracle="""

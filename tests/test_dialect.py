@@ -123,3 +123,18 @@ def test_unnest_empty_array_drops_row(spark):
         )
     ).collect()
     assert rows == []
+
+
+def test_view_ddl_rewrite():
+    out = transpile(
+        "CREATE VIEW v SECURITY DEFINER AS SELECT date_add('day', 1, ts) AS d FROM t"
+    )
+    assert out == (
+        "CREATE TEMPORARY VIEW v AS SELECT timestampadd(DAY, 1, ts) AS d FROM t"
+    )
+    out = transpile("CREATE OR REPLACE VIEW v COMMENT 'c' AS SELECT 1 AS one")
+    assert out == "CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1 AS one"
+    # DROP VIEW passes through (Spark resolves temp views first)
+    assert transpile("DROP VIEW IF EXISTS v") == "DROP VIEW IF EXISTS v"
+    # non-view CREATE is untouched
+    assert transpile("CREATE TABLE t (x INT)") == "CREATE TABLE t (x INT)"

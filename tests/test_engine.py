@@ -92,3 +92,17 @@ def test_unsupported_gap_is_documented():
 
     eng_spark = Engine.transpile  # no-op use to keep import form
     assert callable(eng_spark)
+
+
+def test_create_and_drop_view(engine):
+    engine.create_view(
+        "v_eng_test", "SELECT n_nationkey, upper(n_name) AS nm FROM nation"
+    )
+    rows = rows_of(engine.sql("SELECT count(*) AS n FROM v_eng_test"))
+    assert rows == [(25,)]
+    # OR REPLACE swaps the definition in place
+    engine.create_view("v_eng_test", "SELECT 1 AS one")
+    assert rows_of(engine.sql("SELECT * FROM v_eng_test")) == [(1,)]
+    engine.drop_view("v_eng_test")
+    assert not engine.spark.catalog.tableExists("v_eng_test")
+    engine.drop_view("v_eng_test")  # IF EXISTS: no error on double drop
