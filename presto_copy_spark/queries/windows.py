@@ -299,3 +299,71 @@ def win_share_of_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("cust_total_cents"),
         F.count(F.lit(1)).over(w).alias("cust_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPS frames (WindowFrame.java:28-30 frame type GROUPS).  Spark has no
+# native GROUPS mode; the exact rewrite is: materialize the peer-group
+# index g = dense_rank() over (partition, order), then run the aggregate
+# with RANGE BETWEEN k PRECEDING AND k' FOLLOWING over ORDER BY g —
+# integer-valued RANGE distance on g IS peer-group distance.  Both
+# windows share the partition key, so Spark plans ONE shuffle + sort.
+# ---------------------------------------------------------------------------
+def groups_frame_window(
+    part_cols: list[str], order_cols: list[str], start: int, end: int
+):
+    """Return (peer_index_column, window) implementing
+    GROUPS BETWEEN |start| PRECEDING AND end FOLLOWING."""
+    g = F.dense_rank().over(Window.partitionBy(*part_cols).orderBy(*order_cols))
+    w = Window.partitionBy(*part_cols).orderBy("_peer_g").rangeBetween(start, end)
+    return g, w
+
+
+@query(
+    "win_groups_frame",
+    # DuckDB doesn't implement GROUPS mode either, so the oracle derives
+    # the same semantics a DIFFERENT way (stronger check than mirroring
+    # our rewrite): aggregate per peer group (priority, date), take
+    # lag/lead neighbors, join back to the rows.
+    oracle="""
+WITH t AS (SELECT o_orderkey, o_orderpriority, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 20 = 0),
+d AS (SELECT o_orderpriority, o_orderdate, count(*) AS n, sum(cents) AS s
+      FROM t GROUP BY o_orderpriority, o_orderdate),
+dd AS (SELECT o_orderpriority, o_orderdate,
+              n + coalesce(lag(n) OVER w, 0) + coalesce(lead(n) OVER w, 0) AS n_adj,
+              s + coalesce(lag(s) OVER w, 0) + coalesce(lead(s) OVER w, 0) AS s_adj
+       FROM d WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+SELECT t.o_orderkey, t.o_orderdate,
+       dd.n_adj AS n_adjacent_days,
+       CAST(dd.s_adj AS BIGINT) AS sum_adjacent_days
+FROM t JOIN dd ON t.o_orderpriority = dd.o_orderpriority
+              AND t.o_orderdate = dd.o_orderdate
+""",
+)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame via the dense_rank->RANGE rewrite above: the frame
+    spans the current ORDER-BY peer group plus one whole peer group on
+    each side (here: all orders on the same / previous / next distinct
+    order date within a priority class).  The oracle derives the same
+    frame by per-peer-group aggregation + lag/lead + join-back — an
+    independent construction proving the rewrite exact, including tied
+    rows sharing one frame, which ROWS frames cannot express."""
+    o = _orders(spark, sf_dir).filter(F.col("o_orderkey") % 20 == 0)
+    t = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    g, w = groups_frame_window(["o_orderpriority"], ["o_orderdate"], -1, 1)
+    return (
+        t.withColumn("_peer_g", g)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w).alias("n_adjacent_days"),
+            F.sum("cents").over(w).alias("sum_adjacent_days"),
+        )
+    )
