@@ -40,6 +40,20 @@ __all__ = [
     "approx_most_frequent",
     "reduce_agg_sum",
     "entropy_from_counts",
+    "classification_precision",
+    "classification_recall",
+    "classification_miss_rate",
+    "classification_fall_out",
+    "classification_thresholds",
+    "gaussian_noise",
+    "noisy_count_gaussian",
+    "noisy_count_if_gaussian",
+    "noisy_sum_gaussian",
+    "noisy_avg_gaussian",
+    "value_at_quantile",
+    "values_at_quantiles",
+    "quantile_at_value",
+    "merge_qdigest",
 ]
 
 _UNIT_SECONDS = {
@@ -286,3 +300,167 @@ def entropy_from_counts(cnt) -> Column:
     c = _col(cnt).cast("double")
     s = F.sum(c)
     return F.log2(s) - F.sum(c * F.log2(c)) / s
+
+
+# --------------------------------------------------------------------------
+# classification_* metric aggregates
+# (operator/aggregation/ClassificationPrecisionAggregation.java,
+# ...Recall / ...MissRate / ...FallOut / ...Thresholds; shared counting in
+# ClassificationMetricUtils.java).  Semantics: `buckets` evenly spaced
+# thresholds t_i = i/buckets, i in 0..buckets-1; a row is predicted
+# positive at t_i iff pred >= t_i; each function returns the per-threshold
+# metric as array<double>.
+#
+# Shape: each array element is ONE conditional sum, so the whole family
+# is `buckets` parallel count_ifs in a single aggregation pass —
+# partial-aggregation-friendly, no per-group collection, any group size.
+# --------------------------------------------------------------------------
+def _cls_sums(buckets: int, pred, outcome):
+    """Per-threshold (tp, fp, fn, tn) aggregate Columns."""
+    p, y = _col(pred), _col(outcome)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def s(cond):
+        return F.sum(F.when(cond, one).otherwise(zero))
+
+    out = []
+    for i in range(buckets):
+        t = F.lit(i / buckets)
+        pos = p >= t
+        out.append((s(pos & y), s(pos & ~y), s(~pos & y), s(~pos & ~y)))
+    return out
+
+
+def classification_precision(buckets: int, pred, outcome) -> Column:
+    """array of TP/(TP+FP) at each threshold."""
+    return F.array(
+        *[
+            (tp.cast("double") / (tp + fp).cast("double"))
+            for tp, fp, _, _ in _cls_sums(buckets, pred, outcome)
+        ]
+    )
+
+
+def classification_recall(buckets: int, pred, outcome) -> Column:
+    """array of TP/(TP+FN) at each threshold."""
+    return F.array(
+        *[
+            (tp.cast("double") / (tp + fn).cast("double"))
+            for tp, _, fn, _ in _cls_sums(buckets, pred, outcome)
+        ]
+    )
+
+
+def classification_miss_rate(buckets: int, pred, outcome) -> Column:
+    """array of FN/(TP+FN) at each threshold."""
+    return F.array(
+        *[
+            (fn.cast("double") / (tp + fn).cast("double"))
+            for tp, _, fn, _ in _cls_sums(buckets, pred, outcome)
+        ]
+    )
+
+
+def classification_fall_out(buckets: int, pred, outcome) -> Column:
+    """array of FP/(FP+TN) at each threshold."""
+    return F.array(
+        *[
+            (fp.cast("double") / (fp + tn).cast("double"))
+            for _, fp, _, tn in _cls_sums(buckets, pred, outcome)
+        ]
+    )
+
+
+def classification_thresholds(buckets: int) -> Column:
+    """array of the threshold values themselves."""
+    return F.array(*[F.lit(i / buckets) for i in range(buckets)])
+
+
+# --------------------------------------------------------------------------
+# noisy_* differential-privacy aggregates
+# (operator/aggregation/noisyaggregation/NoisyCountGaussianAggregation.java,
+# NoisySumGaussianAggregation.java, NoisyAvgGaussianAggregation.java;
+# registrations BuiltInTypeAndFunctionNamespaceManager.java:696-703).
+# Exact aggregate + one Gaussian draw of std `noise_scale` per group.
+#
+# noise_scale == 0 -> exact (the oracle-checked path).  With
+# `random_seed` the draw is a DETERMINISTIC expression: Box-Muller over
+# two uniforms derived from xxhash64(seed, salt, group_key...) — same
+# seed, same key, same noise on any cluster at any parallelism (the
+# reference's seeded mode exists for exactly this testability).  Without
+# a seed, randn() draws per-group at evaluation time (non-reproducible,
+# like the reference's default mode).
+# --------------------------------------------------------------------------
+import math as _math
+
+
+def gaussian_noise(noise_scale: float, random_seed=None, *key_cols) -> Column:
+    """One N(0, noise_scale) draw as a Column expression."""
+    if noise_scale == 0:
+        return F.lit(0.0)
+    if random_seed is None:
+        return F.randn() * F.lit(float(noise_scale))
+    h1 = F.abs(F.xxhash64(F.lit(int(random_seed)), F.lit(1), *key_cols))
+    h2 = F.abs(F.xxhash64(F.lit(int(random_seed)), F.lit(2), *key_cols))
+    m = 1_000_000_007
+    u1 = ((h1 % m).cast("double") + 0.5) / m  # (0,1): no log(0)
+    u2 = (h2 % m).cast("double") / m
+    z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2 * _math.pi) * u2)
+    return z * F.lit(float(noise_scale))
+
+
+def noisy_count_gaussian(col, noise_scale: float, random_seed=None, *key_cols) -> Column:
+    """count + N(0, scale), clipped at 0 (a count can't go negative)."""
+    base = F.count(_col(col)).cast("double")
+    noisy = base + gaussian_noise(noise_scale, random_seed, *key_cols)
+    return F.greatest(F.round(noisy).cast("long"), F.lit(0).cast("long"))
+
+
+def noisy_count_if_gaussian(cond, noise_scale: float, random_seed=None, *key_cols) -> Column:
+    base = F.sum(F.when(_col(cond), 1).otherwise(0)).cast("double")
+    noisy = base + gaussian_noise(noise_scale, random_seed, *key_cols)
+    return F.greatest(F.round(noisy).cast("long"), F.lit(0).cast("long"))
+
+
+def noisy_sum_gaussian(col, noise_scale: float, random_seed=None, *key_cols) -> Column:
+    return F.sum(_col(col)).cast("double") + gaussian_noise(
+        noise_scale, random_seed, *key_cols
+    )
+
+
+def noisy_avg_gaussian(col, noise_scale: float, random_seed=None, *key_cols) -> Column:
+    return F.avg(_col(col)).cast("double") + gaussian_noise(
+        noise_scale, random_seed, *key_cols
+    )
+
+
+# --------------------------------------------------------------------------
+# qdigest/tdigest scalar accessors (scalar/QuantileDigestFunctions.java:
+# value_at_quantile, values_at_quantiles, quantile_at_value, merge;
+# TDigestFunctions.java equivalents) over Spark's Datasketches KLL
+# binary sketch — mergeable, so rollups shuffle KB sketches, not rows.
+# --------------------------------------------------------------------------
+def value_at_quantile(sketch, q) -> Column:
+    """Presto value_at_quantile(qdigest, q) -> the approximate q-quantile."""
+    return F.kll_sketch_get_quantile_double(_col(sketch), F.lit(q) if not isinstance(q, Column) else q)
+
+
+def values_at_quantiles(sketch, qs: list[float]) -> Column:
+    """Presto values_at_quantiles(qdigest, array) -> array<double>."""
+    s = _col(sketch)
+    return F.array(*[F.kll_sketch_get_quantile_double(s, F.lit(q)) for q in qs])
+
+
+def quantile_at_value(sketch, value) -> Column:
+    """Presto quantile_at_value(qdigest, v) -> rank of v in [0,1].
+
+    Spark's kll_sketch_get_rank_double requires a FOLDABLE (constant)
+    value argument; pass a Python number or a literal Column."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return F.kll_sketch_get_rank_double(_col(sketch), v)
+
+
+def merge_qdigest(a, b) -> Column:
+    """Presto scalar merge(qdigest, qdigest) -> combined sketch."""
+    return F.kll_sketch_merge_double(_col(a), _col(b))

@@ -561,10 +561,15 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partial.groupBy("l_returnflag").agg(
         F.kll_merge_agg_double("sk").alias("sk"),
     )
+    from ..functions.presto import quantile_at_value, values_at_quantiles
+
     rolled = merged.select(
         "l_returnflag",
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("approx_median"),
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("approx_p95"),
+        # Presto scalar-accessor parity (QuantileDigestFunctions.java):
+        values_at_quantiles("sk", [0.1, 0.5, 0.9]).alias("approx_deciles"),
+        quantile_at_value("sk", 50000.0).alias("rank_of_50k"),
         F.kll_sketch_get_n_double("sk").alias("sketch_n"),
     )
     exact = l.groupBy("l_returnflag").agg(
@@ -640,4 +645,122 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.groupBy("o_orderstatus").agg(
         F.round(entropy_from_counts(F.col("cnt")), 9).alias("entropy"),
         F.count(F.lit(1)).alias("n_classes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classification_* metric aggregates (ClassificationPrecisionAggregation.java
+# and siblings; shared ClassificationMetricUtils.java) — VERDICT r1 gap #5.
+# ---------------------------------------------------------------------------
+_CLS_B = 5
+
+
+def _cls_oracle() -> str:
+    """DuckDB twin of the classification_* family: one conditional sum
+    per (threshold, confusion-cell), assembled with list_value."""
+
+    def s(cond: str) -> str:
+        return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
+
+    prec, rec, miss, fall, ths = [], [], [], [], []
+    for i in range(_CLS_B):
+        t = repr(i / _CLS_B)
+        pos, neg = f"pred >= {t}", f"pred < {t}"
+        tp = s(f"{pos} AND outcome")
+        fp = s(f"{pos} AND NOT outcome")
+        fn = s(f"{neg} AND outcome")
+        tn = s(f"{neg} AND NOT outcome")
+        prec.append(f"{tp} / ({tp} + {fp})")
+        rec.append(f"{tp} / ({tp} + {fn})")
+        miss.append(f"{fn} / ({tp} + {fn})")
+        fall.append(f"{fp} / ({fp} + {tn})")
+        ths.append(t)
+    # NOTE: thresholds (a constant array) is NOT in the output — DuckDB
+    # returns constant-folded list columns as numpy MaskedArray, which
+    # the driver's canonicalizer can't hash.  classification_thresholds
+    # is unit-tested Spark-side instead.
+    return f"""
+WITH t AS (
+  SELECT o_orderpriority,
+         (o_orderkey % 97) / 96.0 AS pred,
+         o_totalprice > 150000 AS outcome
+  FROM orders
+)
+SELECT o_orderpriority,
+       list_value({', '.join(prec)}) AS precision_at,
+       list_value({', '.join(rec)}) AS recall_at,
+       list_value({', '.join(miss)}) AS miss_rate_at,
+       list_value({', '.join(fall)}) AS fall_out_at
+FROM t
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_classification", oracle=_cls_oracle())
+def agg_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classification_precision/recall/miss_rate/fall_out/thresholds:
+    per-threshold confusion-matrix metrics as array<double>.  Every
+    array element is a conditional sum, so the whole family runs as
+    4*buckets parallel count_ifs in ONE aggregation pass — map-side
+    partial aggregation, no per-group state beyond 4*buckets longs."""
+    from ..functions.presto import (
+        classification_fall_out,
+        classification_miss_rate,
+        classification_precision,
+        classification_recall,
+        classification_thresholds,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        ((F.col("o_orderkey") % 97) / 96.0).alias("pred"),
+        (F.col("o_totalprice") > 150000).alias("outcome"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        classification_precision(_CLS_B, "pred", "outcome").alias("precision_at"),
+        classification_recall(_CLS_B, "pred", "outcome").alias("recall_at"),
+        classification_miss_rate(_CLS_B, "pred", "outcome").alias("miss_rate_at"),
+        classification_fall_out(_CLS_B, "pred", "outcome").alias("fall_out_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# noisy_* DP aggregates (noisyaggregation/NoisyCountGaussianAggregation.java
+# et al.) — VERDICT r1 gap #9.  noise_scale=0 is the exact, oracle-checked
+# path (reference semantics: zero noise degenerates to the plain
+# aggregate); the seeded-noise path is pytest-verified for determinism
+# and distribution shape in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_noisy_zero_scale",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS noisy_n,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS noisy_n_disc,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         AS noisy_sum_cents,
+       CAST(avg(l_quantity) AS DOUBLE) AS noisy_avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_noisy_zero_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """noisy_count/count_if/sum/avg_gaussian with noise_scale=0: the DP
+    machinery on its exact path (the only oracle-able one — any real
+    noise diverges from DuckDB by construction)."""
+    from ..functions.presto import (
+        noisy_avg_gaussian,
+        noisy_count_gaussian,
+        noisy_count_if_gaussian,
+        noisy_sum_gaussian,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    cents = scaled_long(F.col("l_extendedprice"), 100)
+    return l.groupBy("l_returnflag").agg(
+        noisy_count_gaussian("l_orderkey", 0).alias("noisy_n"),
+        noisy_count_if_gaussian(F.col("l_discount") > 0.05, 0).alias("noisy_n_disc"),
+        noisy_sum_gaussian(cents, 0).alias("noisy_sum_cents"),
+        noisy_avg_gaussian("l_quantity", 0).alias("noisy_avg_qty"),
     )

@@ -62,7 +62,7 @@ def _canon(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
-    if type(v).__name__ == "ndarray":  # numpy array (duckdb/arrow lists)
+    if type(v).__name__ in ("ndarray", "MaskedArray"):  # numpy (duckdb/arrow lists)
         return tuple(_canon(x) for x in v.tolist())
     if isinstance(v, dict):
         return tuple(sorted((k, _canon(x)) for k, x in v.items()))

@@ -17,3 +17,90 @@ def test_sign_matrix_rows_distinct_and_balanced():
     for a, b in itertools.combinations(m, 2):
         corr = abs(sum(x * y for x, y in zip(a, b))) / len(a)
         assert corr < 0.6
+
+
+def test_classification_thresholds_values(spark):
+    from presto_copy_spark.functions.presto import classification_thresholds
+
+    row = spark.range(1).select(classification_thresholds(4).alias("t")).first()
+    assert row["t"] == [0.0, 0.25, 0.5, 0.75]
+
+
+def test_noisy_gaussian_seeded_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        gaussian_noise,
+        noisy_count_gaussian,
+        noisy_sum_gaussian,
+    )
+
+    df = spark.range(1000).withColumn("g", F.col("id") % 10)
+
+    def run():
+        return sorted(
+            (r["g"], r["nc"], r["ns"])
+            for r in df.groupBy("g")
+            .agg(
+                noisy_count_gaussian("id", 5.0, 42, F.first("g")).alias("nc"),
+                noisy_sum_gaussian("id", 100.0, 42, F.first("g")).alias("ns"),
+            )
+            .collect()
+        )
+
+    a, b = run(), run()
+    assert a == b  # seeded noise is deterministic across runs
+    # noise actually perturbs but stays within 6 sigma of exact
+    exact = {r["g"]: (r["n"], r["s"]) for r in
+             df.groupBy("g").agg(F.count("id").alias("n"), F.sum("id").alias("s")).collect()}
+    assert any(nc != exact[g][0] for g, nc, _ in a)
+    for g, nc, ns in a:
+        assert abs(nc - exact[g][0]) <= 30  # 6 sigma at scale 5
+        assert abs(ns - exact[g][1]) <= 600  # 6 sigma at scale 100
+    # distribution sanity: 20k seeded draws ~ N(0,1)
+    z = spark.range(20000).select(gaussian_noise(1.0, 3, F.col("id")).alias("z"))
+    st = z.agg(F.avg("z").alias("m"), F.stddev("z").alias("s")).first()
+    assert abs(st["m"]) < 0.05 and abs(st["s"] - 1.0) < 0.05
+
+
+def test_noisy_count_clips_at_zero(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import noisy_count_gaussian
+
+    # 1-row groups + huge scale: some draws go negative, all clip to >= 0
+    df = spark.range(200).withColumn("g", F.col("id"))
+    rows = df.groupBy("g").agg(
+        noisy_count_gaussian("id", 50.0, 7, F.first("g")).alias("nc")
+    ).collect()
+    assert all(r["nc"] >= 0 for r in rows)
+    assert any(r["nc"] == 0 for r in rows)
+
+
+def test_qdigest_accessor_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        merge_qdigest,
+        quantile_at_value,
+        value_at_quantile,
+        values_at_quantiles,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("x"))
+    sk = df.agg(F.kll_sketch_agg_double("x").alias("sk"))
+    row = sk.select(
+        value_at_quantile("sk", 0.5).alias("med"),
+        values_at_quantiles("sk", [0.1, 0.9]).alias("vq"),
+        quantile_at_value("sk", 250.0).alias("rank_250"),
+    ).first()
+    assert abs(row["med"] - 500) < 30  # uniform 0..999
+    assert abs(row["vq"][0] - 100) < 30 and abs(row["vq"][1] - 900) < 30
+    assert abs(row["rank_250"] - 0.25) < 0.02  # rank(v) ~= quantile of v
+    # scalar merge of two halves ~= sketch of the whole
+    lo = df.filter("x < 500").agg(F.kll_sketch_agg_double("x").alias("a"))
+    hi = df.filter("x >= 500").agg(F.kll_sketch_agg_double("x").alias("b"))
+    m = lo.crossJoin(hi).select(
+        value_at_quantile(merge_qdigest("a", "b"), 0.5).alias("med")
+    ).first()
+    assert abs(m["med"] - 500) < 30
