@@ -1,0 +1,162 @@
+"""Geospatial queries: ST_* point subset, Bing tiles, grid distance join.
+
+Reference: geospatial/GeoFunctions.java + BingTileFunctions.java +
+operator/SpatialJoinOperator.java (see functions/geo.py and
+operators/spatial.py for the Spark-first designs).  Coordinates are
+derived deterministically from customer/supplier keys (the fixtures have
+no geo columns), with the identical arithmetic spelled in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.geo import (
+    bing_tile_at,
+    bing_tile_quadkey,
+    st_contains,
+    st_distance,
+    st_envelope_struct,
+    st_point,
+    st_x,
+    st_y,
+)
+from ..operators.spatial import distance_join
+from .registry import query
+
+# synthetic planar coords in [0, 100): key * prime % 1000 / 10
+_X = "CAST(({k} * 37) % 1000 AS DOUBLE) / 10.0"
+_Y = "CAST(({k} * 101) % 1000 AS DOUBLE) / 10.0"
+
+
+def _pt(key):
+    return st_point((key * 37) % 1000 / F.lit(10.0), (key * 101) % 1000 / F.lit(10.0))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "geo_point_functions",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {_X.format(k='c_custkey')} AS x,
+         {_Y.format(k='c_custkey')} AS y
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, x, y,
+       sqrt((x - 50.0) * (x - 50.0) + (y - 50.0) * (y - 50.0)) AS dist_center,
+       (x >= 20.0 AND x <= 60.0 AND y >= 30.0 AND y <= 70.0) AS in_region
+FROM pts
+""",
+)
+def geo_point_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Point / ST_X / ST_Y / ST_Distance / ST_Contains(envelope) —
+    GeoFunctions.java stPoint/stX/stY/stDistance/stContains on the
+    planar-point subset.  Pure Column arithmetic: identical IEEE ops on
+    both engines, bit-reproducible at any parallelism."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    p = _pt(F.col("c_custkey"))
+    center = st_point(F.lit(50.0), F.lit(50.0))
+    region = st_envelope_struct(F.lit(20.0), F.lit(30.0), F.lit(60.0), F.lit(70.0))
+    return c.select(
+        "c_custkey",
+        st_x(p).alias("x"),
+        st_y(p).alias("y"),
+        st_distance(p, center).alias("dist_center"),
+        st_contains(region, p).alias("in_region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_ZOOM = 8
+
+
+@query(
+    "geo_bing_tiles",
+    # Identical Web-Mercator arithmetic spelled in DuckDB; quadkey digits
+    # unrolled with the same literal shifts as functions/geo.py.
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 13) % 160 AS DOUBLE) - 80.0 + 0.5 AS lat,
+         CAST((c_custkey * 29) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+  FROM customer WHERE c_custkey % 10 = 0
+),
+tiles AS (
+  SELECT c_custkey, lat, lon,
+         GREATEST(0, LEAST(CAST(floor((lon + 180.0) / 360.0 * {1 << _ZOOM}) AS BIGINT), {(1 << _ZOOM) - 1})) AS tile_x,
+         GREATEST(0, LEAST(CAST(floor((0.5 - ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))) / (4.0 * pi())) * {1 << _ZOOM}) AS BIGINT), {(1 << _ZOOM) - 1})) AS tile_y
+  FROM pts
+)
+SELECT c_custkey, tile_x, tile_y,
+       {' || '.join(f"CAST(CAST(floor(tile_y / {1 << i}) % 2 AS INT) * 2 + CAST(floor(tile_x / {1 << i}) % 2 AS INT) AS VARCHAR)" for i in range(_ZOOM - 1, -1, -1))}
+         AS quadkey,
+       count(*) OVER (PARTITION BY tile_x, tile_y) AS tile_density
+FROM tiles
+""",
+)
+def geo_bing_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bing_tile_at + quadkey + per-tile density rollup
+    (BingTileFunctions.java bingTileAt/toQuadKey) — the tile-grid
+    aggregation pattern the reference uses for map workloads."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    lat = ((F.col("c_custkey") * 13) % 160).cast("double") - 80.0 + 0.5
+    lon = ((F.col("c_custkey") * 29) % 360).cast("double") - 180.0 + 0.5
+    t = c.select(
+        "c_custkey", bing_tile_at(lat, lon, _ZOOM).alias("tile")
+    ).select(
+        "c_custkey",
+        F.col("tile")["tile_x"].alias("tile_x"),
+        F.col("tile")["tile_y"].alias("tile_y"),
+        bing_tile_quadkey(F.col("tile"), _ZOOM).alias("quadkey"),
+    )
+    from pyspark.sql import Window
+
+    return t.withColumn(
+        "tile_density", F.count(F.lit(1)).over(Window.partitionBy("tile_x", "tile_y"))
+    )
+
+
+# ---------------------------------------------------------------------------
+_RADIUS = 1.5
+
+
+@query(
+    "geo_distance_join",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_X.format(k='c_custkey')} AS x,
+         {_Y.format(k='c_custkey')} AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         {_X.format(k='(s_suppkey * 7 + 3)')} AS x,
+         {_Y.format(k='(s_suppkey * 7 + 3)')} AS y
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) AS dist
+FROM cust c, supp s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= {_RADIUS} * {_RADIUS}
+""",
+)
+def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join customer x supplier within radius — the
+    SpatialJoinOperator workload on the grid-partitioned plan
+    (operators/spatial.py): one cell-id shuffle + row-local verify; the
+    oracle is the exhaustive cross join, proving the grid plan finds
+    exactly the same pairs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _pt(F.col("c_custkey")).alias("cp")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", _pt(F.col("s_suppkey") * 7 + 3).alias("sp")
+    )
+    return distance_join(c, s, "cp", "sp", _RADIUS).select(
+        "c_custkey", "s_suppkey", "dist"
+    )
