@@ -52,6 +52,7 @@ DRIVER_PRIORITY: list[str] = [
     "win_first_last_nth",
     "win_ntile",
     "win_share_of_partition",
+    "win_groups_frame",
     # Dedup (4) + text (3 representatives)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -65,15 +66,23 @@ DRIVER_PRIORITY: list[str] = [
     "sim_ann_lsh_neardup",
     "sim_ivf_probe",
     "sim_norm_histogram",
-    # Round-2 fixes / additions that need a driver row
+    # Round-2 fixes / additions that need a driver row (slots 44-50)
     "agg_histogram_map",
     "agg_entropy",
     "agg_decimal_exact",
-    "agg_kll_quantile_rollup",
     "sql_presto_datetime",
     "sql_presto_try_unnest",
     "sql_presto_aggregates",
-    # Representatives of already-proven families (kept under the cut)
+    "sql_presto_view",
+    # ---- the 50-entry cut lands here ----
+    # Below: pytest-oracle-proven this round; rotate above the cut next
+    # round once the entries above have green driver rows.
+    "agg_classification",
+    "agg_noisy_zero_scale",
+    "geo_point_functions",
+    "geo_bing_tiles",
+    "geo_distance_join",
+    "agg_kll_quantile_rollup",  # rows-only (no oracle): weak row either way
     "events_session",
     "multimodal_frame_sample",
     "join_full_outer",
@@ -89,6 +98,7 @@ def load_all() -> None:
         aggregates,
         events,
         functions_sql,
+        geo,
         multimodal,
         relational,
         similarity,
