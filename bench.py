@@ -44,6 +44,7 @@ def main() -> None:
             "sim",
             "func",
             "multimodal",
+            "geo",
         ):
             names.append(extra)
 
