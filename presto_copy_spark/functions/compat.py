@@ -217,6 +217,33 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "typeof_compat": ("x STRING", "STRING", "typeof(x)"),
     "index": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
     "cbrt_compat": ("x DOUBLE", "DOUBLE", "cbrt(x)"),
+    # ---- specialty: ipaddress (IpPrefixFunctions.java; IPv4 dotted-quad
+    # subset — IPv6 needs 128-bit ints the SQL-macro layer lacks) ----
+    "ip_prefix": (
+        "ip STRING, p INT",
+        "STRING",
+        "concat(concat(CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) % 256 AS STRING)), '/', CAST(p AS STRING))",
+    ),
+    "ip_subnet_min": ("cidr STRING", "STRING", "concat(CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) % 256 AS STRING))"),
+    "ip_subnet_max": (
+        "cidr STRING",
+        "STRING",
+        "concat(CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) % 256 AS STRING))",
+    ),
+    "is_subnet_of": (
+        "cidr STRING, ip STRING",
+        "BOOLEAN",
+        "(CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT)) BETWEEN (((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) AND ((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1)",
+    ),
+    # ---- specialty: durations / data sizes (DateTimeFunctions.java
+    # parse_duration -> seconds as DOUBLE here, not INTERVAL — Spark SQL
+    # macros cannot return intervals; DataSizeFunctions.java
+    # parse_presto_data_size -> bytes as DOUBLE, Presto returns
+    # DECIMAL(38,0)) ----
+    "parse_duration": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE lower(regexp_extract(s, '([a-zA-Z]+)\\s*$', 1)) WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 WHEN 's' THEN 1e0 WHEN 'm' THEN 60e0 WHEN 'h' THEN 3600e0 WHEN 'd' THEN 86400e0 END)"),
+    "parse_presto_data_size": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE regexp_extract(s, '([a-zA-Z]+)\\s*$', 1) WHEN 'B' THEN 1e0 WHEN 'kB' THEN 1024e0 WHEN 'MB' THEN 1048576e0 WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0 WHEN 'PB' THEN 1125899906842624e0 END)"),
+    # ---- specialty: Teradata (presto-teradata-functions; `index` above) --
+    "char2hexint": ("s STRING", "STRING", "upper(hex(encode(s, 'UTF-16BE')))"),
 }
 
 

@@ -54,6 +54,10 @@ __all__ = [
     "values_at_quantiles",
     "quantile_at_value",
     "merge_qdigest",
+    "find_first",
+    "find_first_index",
+    "combinations_2",
+    "map_top_n",
 ]
 
 _UNIT_SECONDS = {
@@ -464,3 +468,58 @@ def quantile_at_value(sketch, value) -> Column:
 def merge_qdigest(a, b) -> Column:
     """Presto scalar merge(qdigest, qdigest) -> combined sketch."""
     return F.kll_sketch_merge_double(_col(a), _col(b))
+
+
+# --------------------------------------------------------------------------
+# array/map specialty (ArrayFindFirstFunction.java, CombinationsFunction.java,
+# MapSqlFunctions.java map_top_n) — LAMBDA-taking shapes that the
+# CREATE FUNCTION macro layer (compat.py registers value-equality
+# find_first/map_normalize/multimap_from_entries forms) cannot express;
+# pure higher-order-function compositions, JVM-side.
+# --------------------------------------------------------------------------
+def find_first(arr, pred) -> Column:
+    """Presto find_first(array, lambda): first element matching, else NULL
+    (try_element_at: an empty filter result must not raise under ANSI)."""
+    return F.try_element_at(F.filter(_col(arr), pred), F.lit(1))
+
+
+def find_first_index(arr, pred) -> Column:
+    """Presto find_first_index: 1-based index of first match, NULL if none.
+
+    array_position on the filtered head keeps it one pass; duplicate
+    elements are fine because the first match IS the first occurrence."""
+    a = _col(arr)
+    pos = F.array_position(a, F.try_element_at(F.filter(a, pred), F.lit(1)))
+    return F.when(pos > 0, pos)
+
+
+def combinations_2(arr) -> Column:
+    """Presto combinations(array, 2): all unordered element pairs (as
+    2-element arrays), preserving input order — n(n-1)/2 output rows'
+    worth of pairs, built with index-lambda transforms (no join)."""
+    a = _col(arr)
+    idx = F.sequence(F.lit(1), F.size(a))
+    return F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(idx, i + 1, F.size(a)),
+                lambda j: F.array(F.element_at(a, i), F.element_at(a, j)),
+            ),
+        )
+    )
+
+
+def map_top_n(m, n: int) -> Column:
+    """Presto map_top_n(map, n): keep the n entries with largest values
+    (ties broken by key, like MapSqlFunctions.java)."""
+    entries = F.map_entries(_col(m))
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(entries, lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k")))
+        )
+    )
+    top = F.slice(ranked, 1, n)
+    return F.map_from_entries(
+        F.transform(top, lambda s: F.struct(s["k"].alias("key"), s["v"].alias("value")))
+    )

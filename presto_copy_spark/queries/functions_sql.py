@@ -515,3 +515,109 @@ SELECT doc_id,
 FROM t
 """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Specialty domains (SURVEY §2.9 last bullet): ipaddress (IPv4 subset,
+# IpPrefixFunctions.java), durations/data sizes (parse_duration,
+# DataSizeFunctions.java), Teradata char2hexint, lambda find_first
+# (ArrayFindFirstFunction.java).
+# ---------------------------------------------------------------------------
+@query(
+    "func_specialty",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         '10.' || CAST(c_custkey % 200 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 7) % 256 AS VARCHAR) || '.' ||
+         CAST((c_custkey * 13) % 256 AS VARCHAR) AS ip,
+         CAST(8 + c_custkey % 17 AS INT) AS p,
+         CAST(c_custkey % 50 AS VARCHAR) || 'm' AS dur,
+         CAST(c_custkey % 9 AS VARCHAR) || 'MB' AS ds,
+         right(c_name, 2) AS tail2,
+         list_value(CAST((c_custkey * 3) % 10 AS BIGINT),
+                    CAST((c_custkey * 7) % 10 AS BIGINT),
+                    CAST((c_custkey * 11) % 10 AS BIGINT)) AS digits
+  FROM customer WHERE c_custkey % 30 = 0
+),
+ipm AS (
+  SELECT t.*,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipl,
+         CAST(pow(2, 32 - p) AS BIGINT) AS msize
+  FROM t
+),
+ipn AS (SELECT ipm.*, (ipl // msize) * msize AS net FROM ipm)
+SELECT c_custkey, ip, p,
+       CAST(net // 16777216 AS VARCHAR) || '.' ||
+       CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(net % 256 AS VARCHAR) || '/' || CAST(p AS VARCHAR) AS prefix,
+       CAST((net + msize - 1) // 16777216 AS VARCHAR) || '.' ||
+       CAST(((net + msize - 1) // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST(((net + msize - 1) // 256) % 256 AS VARCHAR) || '.' ||
+       CAST((net + msize - 1) % 256 AS VARCHAR) AS subnet_max,
+       (ipl BETWEEN net AND net + msize - 1) AS in_own_subnet,
+       CAST(regexp_extract(dur, '^\\s*([0-9.]+)', 1) AS DOUBLE) * 60.0 AS dur_secs,
+       CAST(regexp_extract(ds, '^\\s*([0-9.]+)', 1) AS DOUBLE) * 1048576.0 AS ds_bytes,
+       list_filter(digits, x -> x > 4)[1] AS ff_digit,
+       printf('%04X%04X', ascii(substr(tail2, 1, 1)), ascii(substr(tail2, 2, 1)))
+         AS hex16
+FROM ipn
+""",
+)
+def func_specialty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip_prefix/ip_subnet_max/is_subnet_of (IPv4), parse_duration,
+    parse_presto_data_size, char2hexint, lambda find_first — the
+    compat-layer SQL macros plus the lambda Column helper, all inlined
+    into whole-stage codegen.  The oracle spells the same bit math with
+    DuckDB's list/string toolkit."""
+    from pyspark.sql import functions as F
+
+    from ..functions import register_all
+    from ..functions.presto import find_first
+
+    register_all(spark)
+    t = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 30 == 0)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.lit("10."),
+                (F.col("c_custkey") % 200).cast("string"),
+                F.lit("."),
+                ((F.col("c_custkey") * 7) % 256).cast("string"),
+                F.lit("."),
+                ((F.col("c_custkey") * 13) % 256).cast("string"),
+            ).alias("ip"),
+            (F.lit(8) + F.col("c_custkey") % 17).cast("int").alias("p"),
+            F.concat((F.col("c_custkey") % 50).cast("string"), F.lit("m")).alias("dur"),
+            F.concat((F.col("c_custkey") % 9).cast("string"), F.lit("MB")).alias("ds"),
+            F.substring(F.col("c_name"), -2, 2).alias("tail2"),
+            F.array(
+                (F.col("c_custkey") * 3) % 10,
+                (F.col("c_custkey") * 7) % 10,
+                (F.col("c_custkey") * 11) % 10,
+            ).alias("digits"),
+        )
+    )
+    t.createOrReplaceTempView("_specialty_t")
+    out = spark.sql(
+        """
+SELECT c_custkey, ip, p,
+       ip_prefix(ip, p) AS prefix,
+       ip_subnet_max(ip_prefix(ip, p)) AS subnet_max,
+       is_subnet_of(ip_prefix(ip, p), ip) AS in_own_subnet,
+       parse_duration(dur) AS dur_secs,
+       parse_presto_data_size(ds) AS ds_bytes,
+       char2hexint(tail2) AS hex16,
+       digits
+FROM _specialty_t
+"""
+    )
+    return out.withColumn(
+        "ff_digit", find_first(F.col("digits"), lambda x: x > 4)
+    ).drop("digits")

@@ -82,6 +82,7 @@ DRIVER_PRIORITY: list[str] = [
     "geo_point_functions",
     "geo_bing_tiles",
     "geo_distance_join",
+    "func_specialty",
     "agg_kll_quantile_rollup",  # rows-only (no oracle): weak row either way
     "events_session",
     "multimodal_frame_sample",

@@ -104,3 +104,32 @@ def test_qdigest_accessor_invariants(spark):
         value_at_quantile(merge_qdigest("a", "b"), 0.5).alias("med")
     ).first()
     assert abs(m["med"] - 500) < 30
+
+
+def test_array_map_lambda_helpers(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        combinations_2,
+        find_first,
+        find_first_index,
+        map_top_n,
+    )
+
+    row = spark.range(1).select(
+        find_first(F.array(F.lit(3), F.lit(8), F.lit(12)), lambda x: x > 5).alias("ff"),
+        find_first(F.array(F.lit(3)), lambda x: x > 5).alias("ff_none"),
+        find_first_index(F.array(F.lit(3), F.lit(8)), lambda x: x > 5).alias("ffi"),
+        find_first_index(F.array(F.lit(3)), lambda x: x > 5).alias("ffi_none"),
+        combinations_2(F.array(F.lit("a"), F.lit("b"), F.lit("c"))).alias("c2"),
+        map_top_n(
+            F.create_map(
+                F.lit("a"), F.lit(1.0), F.lit("b"), F.lit(3.0), F.lit("c"), F.lit(2.0)
+            ),
+            2,
+        ).alias("topn"),
+    ).first()
+    assert row["ff"] == 8 and row["ff_none"] is None
+    assert row["ffi"] == 2 and row["ffi_none"] is None
+    assert [list(p) for p in row["c2"]] == [["a", "b"], ["a", "c"], ["b", "c"]]
+    assert row["topn"] == {"b": 3.0, "c": 2.0}
