@@ -41,8 +41,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (LTZ); fixtures may store NTZ.
+        # The fixture values are wall-clock UTC, so the cast is lossless
+        # under the session's UTC timezone (session.py).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
