@@ -162,7 +162,17 @@ def sql_band_exprs(n_hashes: int, n_bands: int) -> list[str]:
 
 
 # ---- simhash --------------------------------------------------------------
-SIMHASH_BITS = 32
+# 60-bit signature (the full hash60 width), banded as 4 x 15 bits for
+# candidate generation — the Manku/Das/Sarma WWW'07 near-duplicate design
+# (64-bit fingerprint, k<=3, 4 band tables).  With HAMMING_T=3 and 4
+# bands, pigeonhole guarantees every pair within the threshold shares at
+# least one untouched band: recall is exact, and chance collisions per
+# band are C(n,2)/2^15 instead of the 8-bit C(n,2)/2^8 (measured at
+# sf0.1: 203k candidate pairs -> ~2k for 5000 docs).
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def simhash_sum_cols(tok_hash: Column) -> list[Column]:
