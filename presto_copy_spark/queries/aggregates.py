@@ -764,3 +764,74 @@ def agg_noisy_zero_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         noisy_sum_gaussian(cents, 0).alias("noisy_sum_cents"),
         noisy_avg_gaussian("l_quantity", 0).alias("noisy_avg_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SetDigest (type/setdigest/SetDigest.java, SetDigestFunctions.java):
+# make_set_digest / cardinality / jaccard_index / intersection_cardinality
+# as the deterministic bottom-k sketch of operators/aggregates.py.
+# ---------------------------------------------------------------------------
+def _sql_setdigest_parts() -> str:
+    from ..operators.aggregates import (
+        SET_DIGEST_K,
+        sql_digest_cardinality,
+        sql_digest_jaccard,
+        sql_union_digest,
+    )
+
+    jac = sql_digest_jaccard("u", "da", "db")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority AS g, {sql_row_hash('o_custkey')} AS h
+  FROM orders
+),
+ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed
+),
+dig AS (
+  SELECT g, list_sort(list(h)) AS digest
+  FROM ranked WHERE rn <= {SET_DIGEST_K} GROUP BY g
+),
+pairs AS (
+  SELECT a.g AS d1, b.g AS d2, a.digest AS da, b.digest AS db,
+         {sql_union_digest('a.digest', 'b.digest')} AS u
+  FROM dig a JOIN dig b ON a.g < b.g
+)
+SELECT d1, d2,
+       {sql_digest_cardinality('da')} AS est1,
+       {sql_digest_cardinality('db')} AS est2,
+       {jac} AS jaccard,
+       CAST(floor(({jac}) * ({sql_digest_cardinality('u')})) AS BIGINT) AS inter_card
+FROM pairs
+"""
+
+
+@query("agg_setdigest_jaccard", oracle=_sql_setdigest_parts())
+def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetDigest parity: per-priority digests of the customer-key set,
+    pairwise jaccard_index / intersection_cardinality, and the bottom-k
+    cardinality estimator — all accessors on one mergeable sketch.
+
+    The digest build is distinct + WindowGroupLimit bottom-K (bounded
+    everywhere — see operators/aggregates.py scale notes); the pair
+    stage joins 5 digest rows, so every sketch op is row-local."""
+    from ..operators.aggregates import (
+        digest_cardinality,
+        digest_intersection_cardinality,
+        digest_jaccard,
+        set_digest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dig = set_digest(o, ["o_orderpriority"], F.col("o_custkey").cast("string"))
+    a = dig.select(F.col("o_orderpriority").alias("d1"), F.col("digest").alias("da"))
+    b = dig.select(F.col("o_orderpriority").alias("d2"), F.col("digest").alias("db"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    return pairs.select(
+        "d1",
+        "d2",
+        digest_cardinality(F.col("da")).alias("est1"),
+        digest_cardinality(F.col("db")).alias("est2"),
+        digest_jaccard(F.col("da"), F.col("db")).alias("jaccard"),
+        digest_intersection_cardinality(F.col("da"), F.col("db")).alias("inter_card"),
+    )

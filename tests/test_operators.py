@@ -133,3 +133,53 @@ def test_array_map_lambda_helpers(spark):
     assert row["ffi"] == 2 and row["ffi_none"] is None
     assert [list(p) for p in row["c2"]] == [["a", "b"], ["a", "c"], ["b", "c"]]
     assert row["topn"] == {"b": 3.0, "c": 2.0}
+
+
+def test_set_digest_merge_and_estimator(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.operators.aggregates import (
+        SET_DIGEST_K,
+        digest_cardinality,
+        digest_jaccard,
+        merge_set_digests,
+        set_digest,
+    )
+
+    # 3 disjoint groups of 200 distinct values each (21k mod 600 cycles)
+    df = spark.range(1200).select(
+        (F.col("id") % 3).alias("g"), ((F.col("id") * 7) % 600).alias("v")
+    )
+    dig = set_digest(df, ["g"], F.col("v").cast("string"))
+    rows = {r["g"]: r["digest"] for r in dig.collect()}
+    for d in rows.values():
+        assert len(d) == SET_DIGEST_K and d == sorted(d)
+
+    # estimator sanity: K=32 gives ~1/sqrt(31) ~ 18% relative sigma, and
+    # the md5 draw is deterministic per value set — one of these fixed
+    # groups lands ~1.8x over, so the bound is a 2.2x sanity check, not a
+    # confidence interval
+    est = {
+        r["g"]: r["e"]
+        for r in dig.select("g", digest_cardinality(F.col("digest")).alias("e")).collect()
+    }
+    true_n = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g, e in est.items():
+        assert 0.45 * true_n[g] < e < 2.2 * true_n[g]
+
+    # merging the per-group digests == digest built over the whole set
+    merged = merge_set_digests(dig.withColumn("all", F.lit(1)), ["all"])
+    whole = set_digest(
+        df.withColumn("all", F.lit(1)), ["all"], F.col("v").cast("string")
+    )
+    assert merged.select("digest").first()["digest"] == whole.select("digest").first()["digest"]
+
+    # jaccard of identical digests is 1.0; of disjoint sets near 0
+    a = dig.filter("g = 0").select(F.col("digest").alias("da"))
+    j_self = a.crossJoin(a.select(F.col("da").alias("db"))).select(
+        digest_jaccard(F.col("da"), F.col("db")).alias("j")
+    ).first()["j"]
+    assert j_self == 1.0
