@@ -58,6 +58,14 @@ __all__ = [
     "find_first_index",
     "combinations_2",
     "map_top_n",
+    "normalize_string",
+    "word_stem",
+    "sql_word_stem",
+    "rgb",
+    "color",
+    "render_color",
+    "bar",
+    "sql_bar",
 ]
 
 _UNIT_SECONDS = {
@@ -522,4 +530,152 @@ def map_top_n(m, n: int) -> Column:
     top = F.slice(ranked, 1, n)
     return F.map_from_entries(
         F.transform(top, lambda s: F.struct(s["k"].alias("key"), s["v"].alias("value")))
+    )
+
+
+# --------------------------------------------------------------------------
+# i18n (scalar/WordStemFunction.java, StringFunctions.java normalize) and
+# color functions (scalar/ColorFunctions.java: color, rgb, render, bar).
+# normalize() needs real Unicode normalization tables -> the one
+# deliberate Arrow-batched Python path in the scalar surface (stdlib
+# unicodedata; vectorized per batch, never per row on the driver).
+# word_stem in the reference wraps Lucene's language stemmers; this is a
+# deterministic English suffix heuristic (Porter step-1-ish) with an
+# exact SQL twin so oracles can replay it.
+# --------------------------------------------------------------------------
+_NORMALIZE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalize_string(col, form: str = "NFC") -> Column:
+    """Presto normalize(string, form): Unicode normalization via a pandas
+    UDF (Arrow batches; no JVM-side equivalent exists in Spark)."""
+    if form not in _NORMALIZE_FORMS:
+        raise ValueError(f"normalize form must be one of {_NORMALIZE_FORMS}")
+
+    import pandas as pd  # noqa: F401  (signature needs the type)
+
+    @F.pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(lambda x: None if x is None else unicodedata.normalize(form, x))
+
+    return _norm(_col(col))
+
+
+def _drop_tail(col: Column, n: int) -> Column:
+    return col.substr(F.lit(1), F.length(col) - n)
+
+
+def word_stem(col) -> Column:
+    """English suffix-stripping stemmer (deterministic subset; see module
+    note — the reference uses Lucene stemmers, WordStemFunction.java:35)."""
+    w = _col(col)
+    ln = F.length(w)
+    return (
+        F.when(w.endswith("sses"), _drop_tail(w, 2))
+        .when(w.endswith("ies"), _drop_tail(w, 2))
+        .when(w.endswith("ss"), w)
+        .when(w.endswith("s") & (ln > 3), _drop_tail(w, 1))
+        .when(w.endswith("ing") & (ln > 5), _drop_tail(w, 3))
+        .when(w.endswith("ed") & (ln > 4), _drop_tail(w, 2))
+        .otherwise(w)
+    )
+
+
+def sql_word_stem(e: str) -> str:
+    """DuckDB twin of word_stem (identical rule order)."""
+    return f"""CASE
+      WHEN {e} LIKE '%sses' THEN substr({e}, 1, length({e}) - 2)
+      WHEN {e} LIKE '%ies' THEN substr({e}, 1, length({e}) - 2)
+      WHEN {e} LIKE '%ss' THEN {e}
+      WHEN {e} LIKE '%s' AND length({e}) > 3 THEN substr({e}, 1, length({e}) - 1)
+      WHEN {e} LIKE '%ing' AND length({e}) > 5 THEN substr({e}, 1, length({e}) - 3)
+      WHEN {e} LIKE '%ed' AND length({e}) > 4 THEN substr({e}, 1, length({e}) - 2)
+      ELSE {e} END"""
+
+
+def rgb(r, g, b) -> Column:
+    """Presto rgb(r, g, b) -> packed 24-bit color int."""
+    return (_col(r).cast("int") * 65536 + _col(g).cast("int") * 256 + _col(b).cast("int"))
+
+
+_COLOR_NAMES = {
+    "black": 0x000000, "red": 0xFF0000, "green": 0x00FF00,
+    "yellow": 0xFFFF00, "blue": 0x0000FF, "magenta": 0xFF00FF,
+    "cyan": 0x00FFFF, "white": 0xFFFFFF,
+}
+
+
+def color(s: str) -> Column:
+    """Presto color('#rrggbb' | '#rgb' | name) -> color int (literal arg)."""
+    if s.startswith("#"):
+        h = s[1:]
+        if len(h) == 3:
+            h = "".join(c * 2 for c in h)
+        return F.lit(int(h, 16))
+    return F.lit(_COLOR_NAMES[s.lower()])
+
+
+def _ansi_fg(color_int: Column) -> Column:
+    r = F.shiftright(color_int, 16).bitwiseAND(255)
+    g = F.shiftright(color_int, 8).bitwiseAND(255)
+    b = color_int.bitwiseAND(255)
+    return F.concat(
+        F.lit("\x1b[38;2;"),
+        r.cast("string"), F.lit(";"), g.cast("string"), F.lit(";"),
+        b.cast("string"), F.lit("m"),
+    )
+
+
+def render_color(s, color_int) -> Column:
+    """Presto render(x, color): wrap x in ANSI truecolor escape + reset."""
+    return F.concat(_ansi_fg(_col(color_int)), _col(s), F.lit("\x1b[0m"))
+
+
+def bar(fraction, width: int, low_rgb: int = 0xFF0000, high_rgb: int = 0x00FF00) -> Column:
+    """Presto bar(fraction, width[, low, high]): Unicode block bar with the
+    color interpolated per character from low to high across the full
+    width (ColorFunctions.java:bar).  floor(x+0.5) rounding everywhere so
+    Spark and DuckDB agree bit-for-bit."""
+    f = F.greatest(F.lit(0.0), F.least(F.lit(1.0), _col(fraction).cast("double")))
+    n = F.floor(f * width + F.lit(0.5)).cast("int")
+    lo = [(low_rgb >> s) & 255 for s in (16, 8, 0)]
+    hi = [(high_rgb >> s) & 255 for s in (16, 8, 0)]
+    denom = float(max(width - 1, 1))
+
+    def chan(i: Column, k: int) -> Column:
+        t = (i - 1).cast("double") / denom
+        return F.floor(F.lit(float(lo[k])) + (hi[k] - lo[k]) * t + F.lit(0.5)).cast("int")
+
+    cell = lambda i: F.concat(  # noqa: E731
+        _ansi_fg(chan(i, 0) * 65536 + chan(i, 1) * 256 + chan(i, 2)), F.lit("█")
+    )
+    filled = F.array_join(F.transform(F.sequence(F.lit(1), n), cell), "")
+    pad = F.repeat(F.lit(" "), F.lit(width) - n)
+    return F.when(n <= 0, F.repeat(F.lit(" "), F.lit(width))).otherwise(
+        F.concat(filled, F.lit("\x1b[0m"), pad)
+    )
+
+
+def sql_bar(frac: str, width: int, low_rgb: int = 0xFF0000, high_rgb: int = 0x00FF00) -> str:
+    """DuckDB twin of bar()."""
+    lo = [(low_rgb >> s) & 255 for s in (16, 8, 0)]
+    hi = [(high_rgb >> s) & 255 for s in (16, 8, 0)]
+    denom = float(max(width - 1, 1))
+    f = f"greatest(0.0, least(1.0, CAST({frac} AS DOUBLE)))"
+    n = f"CAST(floor({f} * {width} + 0.5) AS INT)"
+    chan = lambda k: (  # noqa: E731
+        f"CAST(floor({float(lo[k])} + ({hi[k]} - {lo[k]}) * (i - 1)::DOUBLE / {denom} + 0.5) AS INT)"
+    )
+    esc = (
+        f"chr(27) || '[38;2;' || {chan(0)} || ';' || {chan(1)} || ';' || {chan(2)} || 'm'"
+    )
+    filled = (
+        f"list_aggregate(list_transform(generate_series(1, {n}),"
+        f" i -> {esc} || chr(9608)), 'string_agg', '')"
+    )
+    return (
+        f"CASE WHEN {n} <= 0 THEN repeat(' ', {width}) "
+        f"ELSE {filled} || chr(27) || '[0m' || repeat(' ', {width} - {n}) END"
     )

@@ -18,6 +18,7 @@ dayofweek numbering normalized to ISO, split_part, integer division.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
@@ -621,3 +622,80 @@ FROM _specialty_t
     return out.withColumn(
         "ff_digit", find_first(F.col("digits"), lambda x: x > 4)
     ).drop("digits")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "func_i18n_color",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         (regexp_split_to_array(trim(text), '\\s+'))[1] AS tk1
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT doc_id,
+       nfc_normalize('e' || chr(769) || lang) AS nfc,
+       length(lang) + 2 AS nfd_len,
+       '1' || lang AS nfkc,
+       {{stem_lang}} AS stem_lang,
+       {{stem_src}} AS stem_src,
+       {{stem_tk}} AS stem_tk,
+       (doc_id % 256) * 65536 + 100 * 256 + 50 AS rgbint,
+       16746496 AS colorint,
+       chr(27) || '[38;2;255;136;0m' || lang || chr(27) || '[0m' AS rendered,
+       {{bar10}} AS bar10
+FROM t
+""".format(
+        stem_lang=__import__(
+            "presto_copy_spark.functions.presto", fromlist=["sql_word_stem"]
+        ).sql_word_stem("(lang || 'ies')"),
+        stem_src=__import__(
+            "presto_copy_spark.functions.presto", fromlist=["sql_word_stem"]
+        ).sql_word_stem("(source || 'ing')"),
+        stem_tk=__import__(
+            "presto_copy_spark.functions.presto", fromlist=["sql_word_stem"]
+        ).sql_word_stem("tk1"),
+        bar10=__import__(
+            "presto_copy_spark.functions.presto", fromlist=["sql_bar"]
+        ).sql_bar("(doc_id % 11) / 10.0", 10),
+    ),
+)
+def func_i18n_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i18n + color scalar surface: normalize (NFC/NFD/NFKC via the
+    Arrow-batched unicodedata pandas UDF), word_stem (deterministic
+    suffix heuristic; reference wraps Lucene, WordStemFunction.java),
+    rgb/color packed ints, render() ANSI truecolor, and bar() with
+    per-character red->green interpolation (ColorFunctions.java:bar).
+
+    The oracle replays everything literally except normalize forms
+    DuckDB lacks (NFD/NFKC), which are pinned by construction: NFD of a
+    precomposed accent has length+1, NFKC of a circled digit is the
+    plain digit."""
+    from ..functions.presto import (
+        bar,
+        color,
+        normalize_string,
+        render_color,
+        rgb,
+        word_stem,
+    )
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    decomp = F.concat(F.lit("é"), F.col("lang"))  # e + combining acute
+    comp = F.concat(F.lit("é"), F.col("lang"))  # precomposed
+    circled = F.concat(F.lit("①"), F.col("lang"))  # ① -> NFKC '1'
+    tk1 = F.element_at(tokens(F.col("text")), 1)
+    return d.select(
+        "doc_id",
+        normalize_string(decomp, "NFC").alias("nfc"),
+        F.length(normalize_string(comp, "NFD")).alias("nfd_len"),
+        normalize_string(circled, "NFKC").alias("nfkc"),
+        word_stem(F.concat(F.col("lang"), F.lit("ies"))).alias("stem_lang"),
+        word_stem(F.concat(F.col("source"), F.lit("ing"))).alias("stem_src"),
+        word_stem(tk1).alias("stem_tk"),
+        rgb(F.col("doc_id") % 256, F.lit(100), F.lit(50)).alias("rgbint"),
+        color("#ff8800").alias("colorint"),
+        render_color(F.col("lang"), color("#ff8800")).alias("rendered"),
+        bar((F.col("doc_id") % 11) / 10.0, 10).alias("bar10"),
+    )
