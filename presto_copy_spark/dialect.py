@@ -21,6 +21,10 @@ never touched by rewrites) and fixes the known lexical/semantic deltas:
   ``try_add`` / ``try_subtract`` / ``try_multiply`` /
   ``try_element_at`` for the expressible shapes; other expressions are
   left wrapped in parens (under ANSI mode they would raise — documented)
+- typed literals: ``decimal '1.23'`` -> ``CAST('1.23' AS DECIMAL(p,s))``
+  with Presto's literal-derived precision/scale
+- ``tpch.<schema>.<table>`` / ``hive.`` qualified names -> bare table
+  (the engine registers fixtures as unqualified temp views)
 - ``CROSS JOIN UNNEST(e) [WITH ORDINALITY] AS t(c...)`` ->
   ``LATERAL VIEW`` explode/posexplode/inline forms (1-based ordinality
   preserved; empty/null arrays drop the row exactly like Presto)
@@ -399,6 +403,36 @@ def _transpile_tokens(tokens: list) -> str:
             continue
         if kind == "word":
             low = text.lower()
+            # typed DECIMAL literal: decimal '1.23' -> CAST('1.23' AS
+            # DECIMAL(p,s)) with Presto's literal-derived precision/scale
+            # (SqlBase.g4 number: DECIMAL_VALUE; DecimalLiteral).
+            if low == "decimal":
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j][0] == "str":
+                    digits = _str_value(tokens[j]).strip().lstrip("+-")
+                    frac = digits.split(".")[1] if "." in digits else ""
+                    prec = max(1, len(digits.replace(".", "").lstrip("0") or "0"))
+                    prec = max(prec, len(frac))
+                    out.append(
+                        f"CAST({tokens[j][1]} AS DECIMAL({prec},{len(frac)}))"
+                    )
+                    i = j + 1
+                    continue
+            # catalog-qualified TPC-H names: tpch.<schema>.<table> (and
+            # hive.<schema>.<table>) -> bare table, which the engine
+            # registers as a temp view over the fixtures.
+            if low in ("tpch", "hive"):
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j] == ("op", "."):
+                    k = _next_sig(tokens, j + 1)
+                    if k < n and tokens[k][0] in ("word", "qid"):
+                        j2 = _next_sig(tokens, k + 1)
+                        if j2 < n and tokens[j2] == ("op", "."):
+                            k2 = _next_sig(tokens, j2 + 1)
+                            if k2 < n and tokens[k2][0] in ("word", "qid"):
+                                out.append(tokens[k2][1])
+                                i = k2 + 1
+                                continue
             # CROSS JOIN UNNEST / , UNNEST  ->  LATERAL VIEW ...
             if low in ("cross", ","):
                 pass  # handled via lookahead below on 'unnest'

@@ -138,3 +138,23 @@ def test_view_ddl_rewrite():
     assert transpile("DROP VIEW IF EXISTS v") == "DROP VIEW IF EXISTS v"
     # non-view CREATE is untouched
     assert transpile("CREATE TABLE t (x INT)") == "CREATE TABLE t (x INT)"
+
+
+def test_decimal_typed_literal():
+    out = transpile("SELECT decimal '0.06' + decimal '0.01' FROM t")
+    assert out == (
+        "SELECT CAST('0.06' AS DECIMAL(2,2)) + CAST('0.01' AS DECIMAL(2,2)) FROM t"
+    )
+    assert transpile("SELECT DECIMAL '123'") == "SELECT CAST('123' AS DECIMAL(3,0))"
+    # a column named decimal is untouched
+    assert transpile("SELECT decimal FROM t") == "SELECT decimal FROM t"
+
+
+def test_catalog_qualified_names_stripped():
+    assert (
+        transpile("SELECT name FROM tpch.tiny.nation WHERE name LIKE '%AN'")
+        == "SELECT name FROM nation WHERE name LIKE '%AN'"
+    )
+    assert transpile("SELECT * FROM hive.default.orders") == "SELECT * FROM orders"
+    # bare tpch as an identifier survives
+    assert transpile("SELECT tpch FROM t") == "SELECT tpch FROM t"

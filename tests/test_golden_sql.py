@@ -1,0 +1,124 @@
+"""Golden-SQL corpus: the reference's own product-test SQL files run
+through Engine.sql unmodified (VERDICT r1 item 4's acceptance bar).
+
+Two tiers, both reading the literal ``.sql`` text from the reference
+tree (skipped when it isn't mounted — the repo stays standalone):
+
+- data-independent testcases (``select_no_from``, scalar-function
+  probes): executed and compared cell-by-cell against the committed
+  ``.result`` files (numeric tolerance; Presto prints decimals with
+  trailing zeros, Spark prints the double — same value).
+- fixture-compatible TPC-H goldens (``hive_tpch`` q01/q06 — the ones
+  whose columns all exist in the driver fixtures): executed at sf0.001
+  and value-checked against DuckDB running the equivalent SQL.
+
+Reference: presto-product-tests/src/main/resources/sql-tests/testcases
+(372 .sql files; runner SqlTests.java / convention-based tests).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+TESTCASES = "/root/reference/presto-product-tests/src/main/resources/sql-tests/testcases"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTCASES), reason="reference testcase corpus not mounted"
+)
+
+# Data-independent goldens: (relative sql path) -> compared to .result.
+NO_FROM_CASES = [
+    "select_no_from/projectAggFuncs",
+    "select_no_from/projectConstants",
+    "select_no_from/projectFunctions",
+    "select_no_from/withGroupOrderHaving",
+    "select_no_from/withUnionAll",
+    "select_no_from/withWhereClause",
+    "select_no_from/withWhereFalse",
+    "math_functions/checkMathOperatorsAccessible",
+    "horology_functions/extractAccessible",
+]
+
+# Fixture-compatible TPC-H goldens (every referenced column exists in the
+# driver fixtures); value-checked against DuckDB on the same parquet.
+TPCH_CASES = ["hive_tpch/q01", "hive_tpch/q06"]
+
+
+def _read_sql(rel: str) -> str:
+    with open(os.path.join(TESTCASES, rel + ".sql")) as f:
+        text = f.read()
+    return "\n".join(
+        line for line in text.splitlines() if not line.lstrip().startswith("--")
+    ).strip()
+
+
+def _read_result(rel: str) -> list[list[str]]:
+    with open(os.path.join(TESTCASES, rel + ".result")) as f:
+        lines = [
+            line
+            for line in f.read().splitlines()
+            if line.strip() and not line.lstrip().startswith("--")
+        ]
+    rows = []
+    for line in lines:
+        cells = [c.strip() for c in line.split("|")]
+        if cells and cells[-1] == "":  # trailing delimiter
+            cells = cells[:-1]
+        rows.append(cells)
+    return rows
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:
+        f = float(v)
+        return f"{f:.6g}"
+    except (TypeError, ValueError):
+        return str(v)
+
+
+def _canon_rows(rows) -> list[tuple]:
+    return sorted(tuple(_canon_cell(c) for c in r) for r in rows)
+
+
+@pytest.mark.parametrize("rel", NO_FROM_CASES)
+def test_golden_no_from(spark, rel):
+    from presto_copy_spark.engine import Engine
+
+    out = spark.sql(Engine.transpile(_read_sql(rel))).collect()
+    got = _canon_rows([list(r) for r in out])
+    want = _canon_rows(_read_result(rel))
+    assert got == want, f"{rel}: {got} != {want}"
+
+
+@pytest.mark.parametrize("rel", TPCH_CASES)
+def test_golden_tpch_vs_duckdb(spark, rel):
+    import duckdb
+
+    from presto_copy_spark.catalog import register_tables
+    from presto_copy_spark.engine import Engine
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_tables(spark, sf_dir)
+    text = _read_sql(rel)
+    got = spark.sql(Engine.transpile(text)).toPandas()
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # DuckDB lacks Presto's typed decimal literal; inline the value.
+    duck_text = re.sub(r"(?i)decimal\s+'([^']*)'", r"\1", text)
+    want = con.sql(duck_text).df()
+
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert list(got.columns) == [c.lower() for c in want.columns]
+    g = _canon_rows(got.itertuples(index=False, name=None))
+    w = _canon_rows(want.itertuples(index=False, name=None))
+    assert g == w, f"{rel}: first diff {next(((a, b) for a, b in zip(g, w) if a != b), None)}"
