@@ -334,20 +334,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     sh = sh0.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Per-doc size as a window count carried on every index row: the
+    # pair join then has both sizes in-row (first() per group), so there
+    # is no sizes-table join-back re-deriving the capped index twice
+    # (differing prunings defeat ReuseExchange — see dedup_minhash_lsh).
+    shn = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    a, b = shn.alias("a"), shn.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     j = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        pairs.join(s1, "d1").join(s2, "d2")
-        .select("d1", "d2", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
+    return pairs.select("d1", "d2", j.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
     )
 
 
@@ -425,34 +429,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prof = _minhash_profile(spark, _docs(spark, sf_dir))
     spark_bands = spark_band_exprs(N_HASHES, N_BANDS)
+    # The shingle set and count ride THROUGH the band explode, so the
+    # whole query is one profile pass + one self-join: verification is
+    # row-local on the joined pair, and Jaccard is deterministic per
+    # pair, so distinct-after-join equals the distinct-candidates form.
+    # (The join-candidates-back-to-profile alternative re-derives the
+    # profile subtree per branch — measured 4 parquet scans vs 2 here,
+    # because differing column prunings defeat ReuseExchange.  At 100 TB
+    # the trade is shuffle volume: this form ships each doc's shingle
+    # set N_BANDS times through the band join; prefer it when profile
+    # recompute dominates, or persist() the profile and use the
+    # candidate-join form when network dominates.)
     bands = prof.select(
         "doc_id",
+        "n",
+        "sh_set",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_idx"), e.alias("band_sig"))
                 for i, e in enumerate(spark_bands)
             ])
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_sig")
+    ).select("doc_id", "n", "sh_set", "band.band_idx", "band.band_sig")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
+    j = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), j.alias("jaccard"))
         .distinct()
-    )
-    p1 = prof.select(F.col("doc_id").alias("d1"), F.col("sh_set").alias("s1"), F.col("n").alias("n1"))
-    p2 = prof.select(F.col("doc_id").alias("d2"), F.col("sh_set").alias("s2"), F.col("n").alias("n2"))
-    inter = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
-    j = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
-    return (
-        cand.join(p1, "d1")
-        .join(p2, "d2")
-        .select("d1", "d2", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
@@ -499,8 +509,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select("doc_id", hash60(F.col("shingle")).alias("h"))
     bits = hashed.groupBy("doc_id").agg(*simhash_sum_cols(F.col("h")))
     simh = bits.select("doc_id", simhash_assemble())
+    # The signature rides through the band explode (8 bytes/row), so the
+    # query is one signature pass + one self-join with row-local Hamming
+    # verification — no join back to simh, whose differing column
+    # prunings would defeat ReuseExchange and recompute the 60-sum
+    # aggregation per branch (see dedup_minhash_lsh for the trade-off).
     bands = simh.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -512,24 +528,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(SIMHASH_BANDS)
             ])
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), ham.alias("hamming"))
         .distinct()
-    )
-    s1 = simh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sim1"))
-    s2 = simh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sim2"))
-    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
-    return (
-        cand.join(s1, "d1").join(s2, "d2")
-        .select("d1", "d2", ham.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_T)
     )
 

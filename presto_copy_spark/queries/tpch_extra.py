@@ -22,7 +22,7 @@ TransformCorrelatedScalarAggregationToJoin.java:66.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -80,9 +80,13 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("l_partkey", "l_suppkey", "cost", "s_name", "n_name")
     )
-    min_cost = eligible.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    # min-per-part as a window over ONE shuffle on l_partkey instead of
+    # the groupBy+join-back decorrelation (which re-reads eligible and
+    # adds an agg exchange); ties keep all rows, same as the correlated
+    # scalar subquery.
+    w = Window.partitionBy("l_partkey")
     return (
-        eligible.join(min_cost, "l_partkey")
+        eligible.withColumn("min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(p), eligible["l_partkey"] == p["p_partkey"])
         .select("p_partkey", "p_type", "s_name", "n_name", "cost")
