@@ -104,3 +104,34 @@ def test_scan_respects_explicit_filter_on_partitioned_data(spark, sf_dir, tmp_pa
     assert "PartitionFilters" in plan
     # no row-group filter needed: pruning happens at partition level
     assert df.count() == src.filter("n_regionkey = 2").count()
+
+
+def test_index_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """IndexJoin analogue (reference sql/planner/plan/IndexJoinNode.java:
+    probe-side lookups against an indexed source): Spark's distributed
+    equivalent is dynamic partition pruning — the dimension filter is
+    evaluated at runtime and only matching fact partitions are scanned.
+    The plan must carry a dynamicpruning subquery on the fact scan."""
+    fact = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    fact.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    part_fact = spark.read.parquet(path)
+
+    # The dim filter must be on a NON-join column: a literal filter on
+    # the join key itself would constant-fold into static pruning and
+    # never need the runtime subquery.
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("d_year"))
+        .agg(F.max("o_totalprice").alias("mx"))
+        .filter(F.col("mx") > 0)
+    )
+    joined = part_fact.join(dim, part_fact["o_year"] == dim["d_year"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = plan_string(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = fact.count()  # every year survives mx > 0; values must agree
+    assert joined.first()["n"] == want
