@@ -43,6 +43,7 @@ def main() -> None:
             "text",
             "sim",
             "func",
+            "ml",
             "multimodal",
             "geo",
         ):

@@ -100,6 +100,7 @@ def load_all() -> None:
         events,
         functions_sql,
         geo,
+        ml,
         multimodal,
         relational,
         similarity,
