@@ -66,6 +66,10 @@ __all__ = [
     "render_color",
     "bar",
     "sql_bar",
+    "ip_prefix_any",
+    "ip_subnet_min_any",
+    "ip_subnet_max_any",
+    "is_subnet_of_any",
 ]
 
 _UNIT_SECONDS = {
@@ -679,3 +683,62 @@ def sql_bar(frac: str, width: int, low_rgb: int = 0xFF0000, high_rgb: int = 0x00
         f"CASE WHEN {n} <= 0 THEN repeat(' ', {width}) "
         f"ELSE {filled} || chr(27) || '[0m' || repeat(' ', {width} - {n}) END"
     )
+
+
+# --------------------------------------------------------------------------
+# ipaddress IPv4+IPv6 (scalar/IpPrefixFunctions.java — the compat.py SQL
+# macros cover dotted-quad IPv4 bit math; these generalize to IPv6 via
+# the stdlib ipaddress module in Arrow-batched pandas UDFs, off the hot
+# path by design: address parsing is not a 100 TB-scan operation).
+# --------------------------------------------------------------------------
+def _ip_udf(fn):
+    @F.pandas_udf("string")
+    def _u(*cols):
+        import pandas as pd
+
+        def safe(*vals):
+            if any(v is None for v in vals):
+                return None
+            try:
+                return fn(*vals)
+            except ValueError:
+                return None
+
+        return pd.Series([safe(*vals) for vals in zip(*cols)])
+
+    return _u
+
+
+def ip_prefix_any(ip, bits) -> Column:
+    """Presto ip_prefix(ip, bits) for IPv4 AND IPv6 -> canonical CIDR."""
+    import ipaddress
+
+    return _ip_udf(
+        lambda a, b: str(ipaddress.ip_network(f"{a}/{int(b)}", strict=False))
+    )(_col(ip), _col(bits))
+
+
+def ip_subnet_min_any(cidr) -> Column:
+    """Presto ip_subnet_min(prefix): lowest address of the network."""
+    import ipaddress
+
+    return _ip_udf(lambda c: str(ipaddress.ip_network(c, strict=False)[0]))(_col(cidr))
+
+
+def ip_subnet_max_any(cidr) -> Column:
+    """Presto ip_subnet_max(prefix): highest address of the network."""
+    import ipaddress
+
+    return _ip_udf(lambda c: str(ipaddress.ip_network(c, strict=False)[-1]))(_col(cidr))
+
+
+def is_subnet_of_any(cidr, ip) -> Column:
+    """Presto is_subnet_of(prefix, ip) across families -> boolean."""
+    import ipaddress
+
+    def check(c, a):
+        net = ipaddress.ip_network(c, strict=False)
+        addr = ipaddress.ip_address(a)
+        return "true" if addr.version == net.version and addr in net else "false"
+
+    return _ip_udf(check)(_col(cidr), _col(ip)) == "true"

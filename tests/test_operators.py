@@ -183,3 +183,34 @@ def test_set_digest_merge_and_estimator(spark):
         digest_jaccard(F.col("da"), F.col("db")).alias("j")
     ).first()["j"]
     assert j_self == 1.0
+
+
+def test_ipv6_ip_functions(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        ip_prefix_any,
+        ip_subnet_max_any,
+        ip_subnet_min_any,
+        is_subnet_of_any,
+    )
+
+    df = spark.createDataFrame(
+        [("2001:db8:85a3::8a2e:370:7334", 48), ("192.168.1.17", 24), (None, 8)],
+        "ip string, bits int",
+    )
+    rows = df.select(
+        ip_prefix_any("ip", "bits").alias("pfx"),
+        ip_subnet_min_any(ip_prefix_any("ip", "bits")).alias("lo"),
+        ip_subnet_max_any(ip_prefix_any("ip", "bits")).alias("hi"),
+        is_subnet_of_any(ip_prefix_any("ip", "bits"), F.col("ip")).alias("inn"),
+    ).collect()
+    v6, v4, nul = rows
+    assert v6["pfx"] == "2001:db8:85a3::/48"
+    assert v6["lo"] == "2001:db8:85a3::"
+    assert v6["hi"] == "2001:db8:85a3:ffff:ffff:ffff:ffff:ffff"
+    assert v6["inn"] is True
+    assert v4["pfx"] == "192.168.1.0/24"
+    assert v4["lo"] == "192.168.1.0" and v4["hi"] == "192.168.1.255"
+    assert v4["inn"] is True
+    assert nul["pfx"] is None and nul["inn"] is None
