@@ -104,9 +104,9 @@ def _split_args(tokens: list, lo: int, hi: int) -> list[list]:
     depth = 0
     for j in range(lo, hi):
         k, t = tokens[j]
-        if k == "op" and t == "(":
+        if k == "op" and t in ("(", "["):
             depth += 1
-        elif k == "op" and t == ")":
+        elif k == "op" and t in (")", "]"):
             depth -= 1
         if k == "op" and t == "," and depth == 0:
             args.append(cur)
@@ -278,6 +278,17 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             a0 = _render_tokens(_strip(args[0]))
             return f"to_timestamp({a0}, {_quote_str(java)})"
         return None
+    if low == "map" and len(args) == 2:
+        # Presto's MAP(key_array, value_array) constructor
+        # (MapConstructor.java) vs Spark's varargs map(k, v, ...): only
+        # rewrite when the first argument is visibly an array, so
+        # Spark-style map(k, v) passes through untouched.
+        first = _strip(args[0])
+        if first and first[0][0] == "word" and first[0][1].lower() == "array":
+            a0 = _render_tokens(first)
+            a1 = _render_tokens(_strip(args[1]))
+            return f"map_from_arrays({a0}, {a1})"
+        return None
     return None
 
 
@@ -403,6 +414,45 @@ def _transpile_tokens(tokens: list) -> str:
             continue
         if kind == "word":
             low = text.lower()
+            # ARRAY[e1, e2, ...] literal (SqlBase.g4 arrayConstructor) ->
+            # array(e1, e2, ...); only when the bracket directly follows
+            # the ARRAY keyword, so subscripts a[i] are never touched.
+            if low == "array":
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j] == ("op", "["):
+                    depth = 0
+                    close = -1
+                    for j2 in range(j, n):
+                        if tokens[j2][1] == "[":
+                            depth += 1
+                        elif tokens[j2][1] == "]":
+                            depth -= 1
+                            if depth == 0:
+                                close = j2
+                                break
+                    if close > 0:
+                        inner = _transpile_tokens(tokens[j + 1 : close])
+                        out.append(f"array({inner})")
+                        i = close + 1
+                        continue
+            # bare VARCHAR at the tail of a CAST (Presto's unbounded
+            # varchar) -> STRING; `AS VARCHAR)` is the only shape touched
+            # so columns/aliases named varchar survive.
+            if low == "varchar":
+                p1 = i - 1
+                while p1 >= 0 and not _is_sig(tokens[p1]):
+                    p1 -= 1
+                j = _next_sig(tokens, i + 1)
+                if (
+                    p1 >= 0
+                    and tokens[p1][0] == "word"
+                    and tokens[p1][1].lower() == "as"
+                    and j < n
+                    and tokens[j] == ("op", ")")
+                ):
+                    out.append("STRING")
+                    i += 1
+                    continue
             # typed DECIMAL literal: decimal '1.23' -> CAST('1.23' AS
             # DECIMAL(p,s)) with Presto's literal-derived precision/scale
             # (SqlBase.g4 number: DECIMAL_VALUE; DecimalLiteral).

@@ -158,3 +158,27 @@ def test_catalog_qualified_names_stripped():
     assert transpile("SELECT * FROM hive.default.orders") == "SELECT * FROM orders"
     # bare tpch as an identifier survives
     assert transpile("SELECT tpch FROM t") == "SELECT tpch FROM t"
+
+
+def test_array_literal_and_map_constructor():
+    assert (
+        transpile("SELECT MAP(ARRAY ['a', 'b'], ARRAY[1, 2])['b']")
+        == "SELECT map_from_arrays(array('a', 'b'), array(1, 2))['b']"
+    )
+    # subscripts are never touched; Spark-style map(k, v) passes through
+    assert transpile("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+    assert transpile("SELECT map(k, v) FROM t") == "SELECT map(k, v) FROM t"
+
+
+def test_bare_varchar_cast():
+    assert transpile("SELECT CAST(10 AS VARCHAR)") == "SELECT CAST(10 AS STRING)"
+    assert (
+        transpile("SELECT TRY_CAST(x AS VARCHAR) FROM t")
+        == "SELECT TRY_CAST(x AS STRING) FROM t"
+    )
+    # sized varchar and identifiers named varchar survive
+    assert (
+        transpile("SELECT CAST(x AS VARCHAR(10)) FROM t")
+        == "SELECT CAST(x AS VARCHAR(10)) FROM t"
+    )
+    assert transpile("SELECT varchar FROM t") == "SELECT varchar FROM t"

@@ -40,6 +40,9 @@ NO_FROM_CASES = [
     "select_no_from/withWhereFalse",
     "math_functions/checkMathOperatorsAccessible",
     "horology_functions/extractAccessible",
+    "convertion_functions/castAccessible",
+    "convertion_functions/tryCastAccessible",
+    "map_functions/mapRetrieveOperatorWorks",
 ]
 
 # Fixture-compatible TPC-H goldens (every referenced column exists in the
@@ -72,7 +75,7 @@ def _read_result(rel: str) -> list[list[str]]:
 
 
 def _canon_cell(v) -> str:
-    if v is None:
+    if v is None or (isinstance(v, str) and v.lower() == "null"):
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
