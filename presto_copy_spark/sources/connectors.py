@@ -28,6 +28,7 @@ __all__ = [
     "write_table",
     "blackhole",
     "create_table_as",
+    "create_bucketed_table",
     "insert_into",
     "delete_where",
     "values_table",
@@ -88,6 +89,32 @@ def blackhole(df: DataFrame) -> None:
 def create_table_as(spark: SparkSession, name: str, df: DataFrame, fmt: str = "parquet") -> None:
     """CTAS into the session warehouse (StatementAnalyzer CTAS path)."""
     df.write.format(fmt).mode("overwrite").saveAsTable(name)
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """CTAS with hash bucketing (Presto's bucketed_by/bucket_count table
+    property; HiveBucketing.java) — the co-located-join layout.
+
+    Two tables bucketed on their join key with the same bucket count
+    join WITHOUT an exchange on either side: the scan itself is the
+    distribution (plan shows SelectedBucketsCount and no shuffle).  At
+    100 TB this converts every fact-fact join on the bucket key from
+    the dominant shuffle into a local merge — the single biggest layout
+    lever a pipeline owns.  sort_cols additionally pre-sorts within
+    buckets so SortMergeJoin skips its sort.
+    """
+    w = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
 
 
 def insert_into(name: str, df: DataFrame) -> None:

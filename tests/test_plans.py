@@ -135,3 +135,45 @@ def test_index_join_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     want = fact.count()  # every year survives mx > 0; values must agree
     assert joined.first()["n"] == want
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located join via bucketing (Presto bucketed_by/bucket_count,
+    HiveBucketing.java): both sides bucketed on the join key with equal
+    bucket counts must SortMergeJoin with ZERO exchanges — the layout
+    IS the distribution."""
+    from presto_copy_spark.sources.connectors import create_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    create_bucketed_table(spark, "b_orders", o, ["o_orderkey"], 4, ["o_orderkey"])
+    create_bucketed_table(spark, "b_lineitem", l, ["l_orderkey"], 4, ["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_string(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        # in the simple tree, everything after the join node is its
+        # subtree: the ONLY exchange allowed is the aggregation's above
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part, plan
+        # values agree with the unbucketed join
+        want = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        got = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        assert got == {r["o_orderpriority"]: r["count"] for r in want}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
