@@ -214,3 +214,35 @@ def test_ipv6_ip_functions(spark):
     assert v4["lo"] == "192.168.1.0" and v4["hi"] == "192.168.1.255"
     assert v4["inn"] is True
     assert nul["pfx"] is None and nul["inn"] is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.operators.join import salted_join
+
+    # heavily skewed fact: 90% of rows share key 0
+    fact = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("d"))
+
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.first("d").alias("d")
+    )
+    salted = salted_join(fact, dim, "k", n_salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.first("d").alias("d")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left join keeps unmatched fact rows exactly once
+    dim_small = dim.filter("k < 50")
+    pl = fact.join(dim_small, "k", "left").count()
+    sl = salted_join(fact, dim_small, "k", n_salt=4, how="left").count()
+    assert pl == sl == fact.count()
+
+    # the join really runs on (k, _salt)
+    j = salted_join(fact, dim, "k", n_salt=8)
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in plan
