@@ -47,7 +47,18 @@ NO_FROM_CASES = [
 
 # Fixture-compatible TPC-H goldens (every referenced column exists in the
 # driver fixtures); value-checked against DuckDB on the same parquet.
-TPCH_CASES = ["hive_tpch/q01", "hive_tpch/q06"]
+# q05/q07/q08 return 0 rows at sf0.001 (their region/nation literals
+# don't exist in the synthetic fixtures) — still a full parse/plan/
+# execute equivalence check; q01/q06/q14/q18 carry real rows.
+TPCH_CASES = [
+    "hive_tpch/q01",
+    "hive_tpch/q05",
+    "hive_tpch/q06",
+    "hive_tpch/q07",
+    "hive_tpch/q08",
+    "hive_tpch/q14",
+    "hive_tpch/q18",
+]
 
 
 def _read_sql(rel: str) -> str:
@@ -113,7 +124,7 @@ def test_golden_tpch_vs_duckdb(spark, rel):
     got = spark.sql(Engine.transpile(text)).toPandas()
 
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     # DuckDB lacks Presto's typed decimal literal; inline the value.
     duck_text = re.sub(r"(?i)decimal\s+'([^']*)'", r"\1", text)
