@@ -45,6 +45,25 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         return self.spark.sql(self.transpile(text))
 
+    def execute(self, script: str) -> DataFrame | None:
+        """Run a ``;``-separated multi-statement script (the Presto CLI /
+        product-test file shape: DDL then queries), returning the last
+        statement's DataFrame.  Splitting is token-aware — semicolons
+        inside string literals or quoted identifiers never split."""
+        stmts, cur = [], []
+        for kind, tok in dialect.tokenize(script):
+            if kind == "op" and tok == ";":
+                stmts.append("".join(t for _, t in cur))
+                cur = []
+            else:
+                cur.append((kind, tok))
+        stmts.append("".join(t for _, t in cur))
+        out: DataFrame | None = None
+        for stmt in stmts:
+            if stmt.strip():
+                out = self.sql(stmt)
+        return out
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

@@ -106,3 +106,30 @@ def test_create_and_drop_view(engine):
     engine.drop_view("v_eng_test")
     assert not engine.spark.catalog.tableExists("v_eng_test")
     engine.drop_view("v_eng_test")  # IF EXISTS: no error on double drop
+
+
+def test_execute_multi_statement_script(spark, sf_dir):
+    """Presto-CLI script shape (the hive_tpch/q15.sql structure): CREATE
+    VIEW; query-the-view; with a semicolon inside a string literal to
+    prove token-aware splitting."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    out = eng.execute(
+        """
+CREATE OR REPLACE VIEW rev AS
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey;
+
+SELECT s_suppkey, s_name, ';' AS semi, total_revenue
+FROM supplier, rev
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey;
+"""
+    )
+    rows = out.collect()
+    assert len(rows) >= 1 and rows[0]["semi"] == ";"
+    assert rows[0]["total_revenue"] > 0
+    eng.drop_view("rev")
