@@ -15,10 +15,67 @@ presto-spark runner relies on the same explicit repartitioning idea.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``right_cols``
+    from the latest right row with ``right.on <= left.on`` within the
+    same ``by`` group (NULLs when no prior right row exists) — the
+    time-series lookup DuckDB spells ``ASOF JOIN`` and kdb calls aj.
+
+    NOT a join in the plan: both inputs union into one stream, ONE
+    shuffle on ``by`` sorts each group by (on, side), and
+    ``last_value(ignoreNulls)`` over an unbounded-preceding frame
+    carries the latest right values forward onto left rows.  Compare
+    the naive range self-join, which explodes to O(|L|·|R|) per group
+    before taking max(ts): this is O(|L|+|R|) rows through exactly one
+    exchange at any scale.  Right rows sort BEFORE left rows at equal
+    ``on`` so ties match (>= semantics, like ASOF's default).
+    """
+    rc = [f"{c}{suffix}" for c in right_cols]
+    l_tag = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(right_cols, rc)],
+        *[F.col(c) for c in left.columns if c not in by and c != on],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(n) for c, n in zip(right_cols, rc)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*", *[F.last(n, ignorenulls=True).over(w).alias(f"_c_{n}") for n in rc]
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", *rc)
+        .select(
+            *by, on,
+            *[F.col(c) for c in left.columns if c not in by and c != on],
+            *[F.col(f"_c_{n}").alias(n) for n in rc],
+        )
+    )
 
 
 def salted_join(

@@ -301,3 +301,50 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "events_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+       epoch_us(c.click_ts) AS click_ts_us,
+       CAST(round(c.click_value * 100) AS BIGINT) AS click_cents
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (DuckDB ASOF JOIN / kdb aj — no Presto counterpart,
+    the §"beyond the reference" time-series surface): each purchase gets
+    the latest click at-or-before it per user.
+
+    Implemented as operators/join.py asof_join — union + ONE shuffle on
+    user_id + last_value(ignoreNulls) carry-forward, O(|L|+|R|) rows at
+    any scale; the oracle uses DuckDB's native ASOF JOIN, so two
+    completely independent formulations must agree bit-for-bit."""
+    from ..operators.join import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], right_cols=["ts", "value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("click_ts_us"),
+        F.round(F.col("value_asof") * 100).cast("long").alias("click_cents"),
+    )
