@@ -483,6 +483,27 @@ def _transpile_tokens(tokens: list) -> str:
                                 out.append(tokens[k2][1])
                                 i = k2 + 1
                                 continue
+            # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4
+            # sampledRelation) -> Spark TABLESAMPLE (p PERCENT).  Spark's
+            # PERCENT sampling is row-level Bernoulli; SYSTEM's
+            # block-level shortcut has no Spark equivalent, so both map
+            # to the statistically-safe row form.
+            if low == "tablesample":
+                j = _next_sig(tokens, i + 1)
+                if (
+                    j < n
+                    and tokens[j][0] == "word"
+                    and tokens[j][1].lower() in ("bernoulli", "system")
+                ):
+                    k = _next_sig(tokens, j + 1)
+                    if k < n and tokens[k] == ("op", "("):
+                        close = _match_paren(tokens, k)
+                        pct = _render_tokens(
+                            _strip(tokens[k + 1 : close])
+                        )
+                        out.append(f"TABLESAMPLE ({pct} PERCENT)")
+                        i = close + 1
+                        continue
             # CROSS JOIN UNNEST / , UNNEST  ->  LATERAL VIEW ...
             if low in ("cross", ","):
                 pass  # handled via lookahead below on 'unnest'

@@ -182,3 +182,20 @@ def test_bare_varchar_cast():
         == "SELECT CAST(x AS VARCHAR(10)) FROM t"
     )
     assert transpile("SELECT varchar FROM t") == "SELECT varchar FROM t"
+
+
+def test_tablesample_rewrite(spark):
+    assert (
+        transpile("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
+        == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert (
+        transpile("SELECT * FROM t TABLESAMPLE SYSTEM(50)")
+        == "SELECT * FROM t TABLESAMPLE (50 PERCENT)"
+    )
+    # executes end-to-end
+    spark.range(100).createOrReplaceTempView("ts_t")
+    n = spark.sql(
+        transpile("SELECT count(*) AS n FROM ts_t TABLESAMPLE BERNOULLI (50)")
+    ).first()["n"]
+    assert 0 <= n <= 100
