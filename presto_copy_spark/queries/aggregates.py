@@ -835,3 +835,86 @@ def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         digest_jaccard(F.col("da"), F.col("db")).alias("jaccard"),
         digest_intersection_cardinality(F.col("da"), F.col("db")).alias("inter_card"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KHyperLogLog (type/khyperloglog/KHyperLogLog.java,
+# KHyperLogLogFunctions.java): a bottom-K sketch of a field where each
+# retained value carries the set of join-key ("UII") values seen with it
+# — the uniqueness / reidentification-risk profile.  Deterministic
+# re-expression: bottom-K md5 hashes select the sampled field values
+# (exactly set_digest's build), a semi join + countDistinct computes each
+# sampled value's key cardinality (bounded: K rows), and the accessors
+# uniqueness_distribution / reidentification_potential are plain
+# aggregations over that K-row table.
+# ---------------------------------------------------------------------------
+_KHLL_K = 64
+_KHLL_HIST = 8  # uniqueness_distribution histogramSize
+_KHLL_REID_T = 3  # reidentification_potential threshold
+
+
+@query(
+    "agg_khll_uniqueness",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT o_custkey, {sql_row_hash('o_custkey')} AS h FROM orders
+),
+sampled AS (
+  SELECT o_custkey FROM
+    (SELECT o_custkey, row_number() OVER (ORDER BY h) AS rn FROM hashed) t
+  WHERE rn <= {_KHLL_K}
+),
+per_value AS (
+  SELECT o.o_custkey, count(DISTINCT o.o_orderkey) AS u
+  FROM orders o JOIN sampled s ON o.o_custkey = s.o_custkey
+  GROUP BY o.o_custkey
+),
+k AS (SELECT count(*) AS n FROM per_value)
+SELECT least(u, {_KHLL_HIST}) AS uniqueness,
+       count(*)::DOUBLE / (SELECT n FROM k) AS weight,
+       (SELECT count(*) FROM per_value WHERE u <= {_KHLL_REID_T})::DOUBLE
+         / (SELECT n FROM k) AS reid_at_{_KHLL_REID_T}
+FROM per_value
+GROUP BY 1
+""",
+)
+def agg_khll_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """khyperloglog_agg(o_custkey, o_orderkey) + uniqueness_distribution
+    + reidentification_potential as one pipeline: how many customers
+    (of a K-sampled sketch) have <=N distinct orders — the join-ability
+    / reidentification metric KHLL exists for.
+
+    At 100 TB: the sample is bottom-K via WindowGroupLimit (bounded),
+    the per-value cardinality join touches only sampled keys (broadcast
+    semi join), and every accessor reads a K-row table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    hashed = o.select("o_custkey", spark_row_hash(F.col("o_custkey")).alias("h")).distinct()
+    w = Window.orderBy("h")
+    sampled = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KHLL_K)
+        .select("o_custkey")
+    )
+    per_value = (
+        o.join(F.broadcast(sampled), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderkey").alias("u"))
+    )
+    k = per_value.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("u") <= _KHLL_REID_T).cast("long")).alias("n_reid"),
+    )
+    return (
+        per_value.groupBy(F.least(F.col("u"), F.lit(_KHLL_HIST)).alias("uniqueness"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "uniqueness",
+            (F.col("cnt").cast("double") / F.col("n")).alias("weight"),
+            (F.col("n_reid").cast("double") / F.col("n")).alias(
+                f"reid_at_{_KHLL_REID_T}"
+            ),
+        )
+    )
