@@ -136,3 +136,32 @@ def test_golden_tpch_vs_duckdb(spark, rel):
     g = _canon_rows(got.itertuples(index=False, name=None))
     w = _canon_rows(want.itertuples(index=False, name=None))
     assert g == w, f"{rel}: first diff {next(((a, b) for a, b in zip(g, w) if a != b), None)}"
+
+
+# Empty-table semantics goldens: aggregates over zero rows (count=0,
+# sum/min/max=NULL, GROUP BY emits nothing, scalar projections emit
+# nothing) — the edge the reference dedicates a whole testcase dir to.
+EMPTY_CASES = [
+    "empty_table/countDistinctOnNonPartitioningKey",
+    "empty_table/countDistinctOnPartitioningKey",
+    "empty_table/minMaxHasRows",
+    "empty_table/multiplyOperator",
+    "empty_table/runAggrOnColumnWithGroupBy",
+    "empty_table/runAggrOnStarWithGroupBy",
+    "empty_table/runAggrWithoutGroupBy",
+    "empty_table/scalarOnColumn",
+    "empty_table/selectCountStar",
+    "empty_table/selectStar",
+    "empty_table/sumOnSubq",
+]
+
+
+@pytest.mark.parametrize("rel", EMPTY_CASES)
+def test_golden_empty_table(spark, rel):
+    from presto_copy_spark.engine import Engine
+
+    spark.createDataFrame([], "c1 int, c2 string").createOrReplaceTempView("empty")
+    out = spark.sql(Engine.transpile(_read_sql(rel))).collect()
+    got = _canon_rows([list(r) for r in out])
+    want = _canon_rows(_read_result(rel))
+    assert got == want, f"{rel}: {got} != {want}"
