@@ -118,9 +118,9 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_session",
-    oracle=f"""
+# Gaps-and-islands sessionization SQL, shared by the batch oracle and the
+# streaming append oracle (which filters it by the final watermark).
+_SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -141,8 +141,10 @@ SELECT user_id,
        {SQL_CENTS_SUM} AS sum_value_cents
 FROM sessed
 GROUP BY user_id, sess_id
-""",
-)
+"""
+
+
+@query("events_session", oracle=_SESSION_ORACLE)
 def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (10-minute gap) — F.session_window.
 
@@ -266,13 +268,24 @@ def events_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", "sum_value_cents", "last_event_type")
 
 
-@query("events_streaming_session")  # rows-only: append mode finalizes only
-# watermark-expired sessions, so the tail differs from the batch oracle
+@query(
+    "events_streaming_session",
+    oracle="""
+WITH sessions AS (""" + _SESSION_ORACLE + """),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT s.* FROM sessions s, wm WHERE s.session_end < wm.w
+""",
+)
 def events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (session_window + watermark,
-    update-mode state merge) run via AvailableNow.  Weaker rows-only
-    check by design: append mode emits only watermark-finalized
-    sessions."""
+    append-mode finalization) run via AvailableNow.  Append mode emits
+    exactly the sessions closed before the final watermark
+    (max event ts - 30min), which IS SQL-expressible: the oracle is the
+    batch gaps-and-islands sessionization filtered to
+    session_end < watermark.  (Boundary-equal sessions would depend on
+    Spark's eviction comparison, but ends are event-ts + 10min while
+    the watermark is max-ts - 30min — exact collision is measure-zero
+    on microsecond timestamps.)"""
     from ..streaming.jobs import run_stream_to_batch, session_agg, stream_events
 
     return run_stream_to_batch(session_agg(stream_events(spark, sf_dir)), mode="append")
