@@ -30,6 +30,7 @@ __all__ = [
     "create_table_as",
     "create_bucketed_table",
     "insert_into",
+    "insert_overwrite_partitions",
     "delete_where",
     "values_table",
 ]
@@ -120,6 +121,28 @@ def create_bucketed_table(
 def insert_into(name: str, df: DataFrame) -> None:
     """INSERT INTO (append semantics — TableWriterOperator append)."""
     df.write.insertInto(name, overwrite=False)
+
+
+def insert_overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """INSERT OVERWRITE with dynamic partition semantics (Presto's
+    ``insert_existing_partitions_behavior=OVERWRITE``; Hive dynamic
+    partitioning): only the partitions present in ``df`` are replaced,
+    every other partition directory is left untouched.
+
+    This is THE idempotent-backfill primitive at scale — re-running a
+    day's pipeline rewrites that day's partitions and nothing else.
+    Spark static overwrite mode would truncate the whole table first;
+    the per-write ``partitionOverwriteMode=dynamic`` option scopes the
+    overwrite to matching partition values."""
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
 
 
 def delete_where(spark: SparkSession, path: str, condition: str, fmt: str = "parquet") -> int:

@@ -138,3 +138,42 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_insert_overwrite_partitions_dynamic(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: rewriting one region's partition
+    must leave every other partition byte-identical (the idempotent
+    backfill primitive; Presto insert_existing_partitions_behavior)."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.sources.connectors import (
+        insert_overwrite_partitions,
+        write_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_dyn")
+    write_table(nation, path, partition_by=["n_regionkey"])
+
+    # backfill region 2 with modified rows (names upper-suffixed)
+    patch = (
+        nation.filter("n_regionkey = 2")
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_V2")))
+    )
+    insert_overwrite_partitions(patch, path, ["n_regionkey"])
+
+    out = spark.read.parquet(path)
+    # region 2 fully replaced
+    assert all(
+        r["n_name"].endswith("_V2") for r in out.filter("n_regionkey = 2").collect()
+    )
+    # all other regions untouched, same total row count
+    assert out.count() == nation.count()
+    before = sorted(
+        map(tuple, nation.filter("n_regionkey <> 2").select("n_nationkey", "n_name").collect())
+    )
+    after = sorted(
+        map(tuple, out.filter("n_regionkey <> 2").select("n_nationkey", "n_name").collect())
+    )
+    assert before == after
