@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
+Median of 5 measured runs (was 3): this host shows +-30% run-to-run
+swings under co-tenant load, and the wider median cuts the recorded
+noise at ~60s extra wall time.
+
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
@@ -8,7 +12,7 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Protocol mirrors the reference's benchto setup at small scale
 (presto-benchto-benchmarks/.../tpch.yaml: prewarm + measured runs,
-median reported): 1 prewarm + 3 measured here to keep wall time sane.
+median reported): 1 prewarm + 5 measured here.
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ def main() -> None:
             names.append(extra)
 
     prewarm = int(os.environ.get("BENCH_PREWARM", "1"))
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
 
     jvm_gc = spark.sparkContext._jvm.System.gc
 
