@@ -23,6 +23,7 @@ __all__ = [
     "date_parse",
     "date_format_presto",
     "approx_percentile",
+    "approx_percentile_weighted",
     "approx_distinct",
     "arbitrary",
     "array_agg",
@@ -178,6 +179,14 @@ def date_format_presto(ts, fmt: str) -> Column:
 # --------------------------------------------------------------------------
 def approx_percentile(col, percentage, accuracy: int = 10000) -> Column:
     return F.percentile_approx(_col(col), percentage, accuracy)
+
+
+def approx_percentile_weighted(col, weight, percentage) -> Column:
+    """Presto approx_percentile(x, w, p) — the weighted form.  Spark's
+    exact percentile() takes a frequency argument, so the "approx"
+    contract is satisfied exactly: each row counts weight times in the
+    expanded multiset (ApproximateWeightedPercentileAggregations.java)."""
+    return F.percentile(_col(col), F.lit(percentage), _col(weight))
 
 
 def approx_distinct(col, rsd: float = 0.023) -> Column:

@@ -207,22 +207,32 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_percentiles",
     oracle="""
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.25) AS p25,
-       quantile_cont(l_quantity, 0.5)  AS p50,
-       quantile_cont(l_quantity, 0.75) AS p75
-FROM lineitem
-GROUP BY l_returnflag
+WITH expanded AS (
+  SELECT l_returnflag, l_quantity
+  FROM lineitem, unnest(generate_series(1, CAST(l_linenumber AS BIGINT))) AS g(i)
+)
+SELECT l.l_returnflag,
+       quantile_cont(l.l_quantity, 0.25) AS p25,
+       quantile_cont(l.l_quantity, 0.5)  AS p50,
+       quantile_cont(l.l_quantity, 0.75) AS p75,
+       (SELECT quantile_cont(e.l_quantity, 0.5) FROM expanded e
+        WHERE e.l_returnflag = l.l_returnflag) AS wp50
+FROM lineitem l
+GROUP BY l.l_returnflag
 """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (reference approx_percentile's exact
-    sibling; quantities are integer-valued so interpolation is exact)."""
+    """Exact continuous percentiles plus the WEIGHTED form (Presto
+    approx_percentile(x, w, p); oracle expands each row w times — the
+    weighted percentile's definition)."""
+    from ..functions.presto import approx_percentile_weighted
+
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.25).alias("p25"),
         F.percentile("l_quantity", 0.5).alias("p50"),
         F.percentile("l_quantity", 0.75).alias("p75"),
+        approx_percentile_weighted("l_quantity", "l_linenumber", 0.5).alias("wp50"),
     )
 
 
