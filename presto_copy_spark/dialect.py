@@ -28,6 +28,10 @@ never touched by rewrites) and fixes the known lexical/semantic deltas:
 - ``CROSS JOIN UNNEST(e) [WITH ORDINALITY] AS t(c...)`` ->
   ``LATERAL VIEW`` explode/posexplode/inline forms (1-based ordinality
   preserved; empty/null arrays drop the row exactly like Presto)
+- ORDER BY null-ordering: Presto sorts NULL as larger than any value,
+  Spark as smaller — every sort item without an explicit modifier gets
+  NULLS LAST (ASC) / NULLS FIRST (DESC), incl. window ORDER BY
+- ``TABLESAMPLE BERNOULLI/SYSTEM (p)`` -> ``TABLESAMPLE (p PERCENT)``
 
 Everything else (``||`` concat, interval literals, window frames,
 GROUPING SETS, approx_percentile 2-arg, ...) passes through untouched
@@ -483,6 +487,49 @@ def _transpile_tokens(tokens: list) -> str:
                                 out.append(tokens[k2][1])
                                 i = k2 + 1
                                 continue
+            # ORDER BY null-ordering normalization: Presto treats NULL as
+            # LARGER than any value (ASC -> NULLS LAST, DESC -> NULLS
+            # FIRST; SqlBase.g4 sortItem default), Spark as smaller.
+            # Append the explicit modifier to every sort item that lacks
+            # one, in both query-level and window ORDER BY clauses.
+            if low == "order":
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j][0] == "word" and tokens[j][1].lower() == "by":
+                    end, depth = j + 1, 0
+                    terminators = {"limit", "offset", "fetch", "rows", "range", "groups"}
+                    while end < n:
+                        k2, t2 = tokens[end]
+                        if k2 == "op" and t2 == "(":
+                            depth += 1
+                        elif k2 == "op" and t2 == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif k2 == "op" and t2 == ";" and depth == 0:
+                            break
+                        elif (
+                            k2 == "word" and depth == 0 and t2.lower() in terminators
+                        ):
+                            break
+                        end += 1
+                    items = _split_args(tokens, j + 1, end)
+                    rendered = []
+                    for it in items:
+                        sig = [t for t in it if _is_sig(t)]
+                        words = [t[1].lower() for t in sig if t[0] == "word"]
+                        body = _transpile_tokens(_strip(it))
+                        if "nulls" in words:
+                            rendered.append(body)
+                        elif words and words[-1] == "desc":
+                            rendered.append(body + " NULLS FIRST")
+                        else:
+                            rendered.append(body + " NULLS LAST")
+                    out.append("ORDER BY " + ", ".join(rendered))
+                    # separator before a keyword terminator (not before ')')
+                    if end < n and tokens[end][1] not in (")",):
+                        out.append(" ")
+                    i = end
+                    continue
             # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) (SqlBase.g4
             # sampledRelation) -> Spark TABLESAMPLE (p PERCENT).  Spark's
             # PERCENT sampling is row-level Bernoulli; SYSTEM's

@@ -199,3 +199,29 @@ def test_tablesample_rewrite(spark):
         transpile("SELECT count(*) AS n FROM ts_t TABLESAMPLE BERNOULLI (50)")
     ).first()["n"]
     assert 0 <= n <= 100
+
+
+def test_order_by_null_ordering_normalized(spark):
+    # Presto: NULL sorts as larger than any value (ASC->LAST, DESC->FIRST)
+    assert (
+        transpile("SELECT * FROM t ORDER BY a, b DESC LIMIT 5")
+        == "SELECT * FROM t ORDER BY a NULLS LAST, b DESC NULLS FIRST LIMIT 5"
+    )
+    # explicit modifiers survive; window ORDER BY is normalized too
+    assert (
+        transpile("SELECT * FROM t ORDER BY a NULLS FIRST, b ASC")
+        == "SELECT * FROM t ORDER BY a NULLS FIRST, b ASC NULLS LAST"
+    )
+    assert (
+        transpile("SELECT rank() OVER (ORDER BY x DESC) FROM t")
+        == "SELECT rank() OVER (ORDER BY x DESC NULLS FIRST) FROM t"
+    )
+    # live semantics: nulls come LAST ascending, FIRST descending
+    rows = spark.sql(
+        transpile("SELECT x FROM (VALUES (2), (NULL), (1)) AS v(x) ORDER BY x")
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2, None]
+    rows = spark.sql(
+        transpile("SELECT x FROM (VALUES (2), (NULL), (1)) AS v(x) ORDER BY x DESC")
+    ).collect()
+    assert [r["x"] for r in rows] == [None, 2, 1]
