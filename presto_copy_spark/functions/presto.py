@@ -71,6 +71,13 @@ __all__ = [
     "ip_subnet_min_any",
     "ip_subnet_max_any",
     "is_subnet_of_any",
+    "remove_nulls",
+    "array_sort_desc",
+    "array_top_n",
+    "array_max_by",
+    "array_min_by",
+    "array_frequency",
+    "array_least_frequent",
 ]
 
 _UNIT_SECONDS = {
@@ -751,3 +758,74 @@ def is_subnet_of_any(cidr, ip) -> Column:
         return "true" if addr.version == net.version and addr in net else "false"
 
     return _ip_udf(check)(_col(cidr), _col(ip)) == "true"
+
+
+# --------------------------------------------------------------------------
+# ArraySqlFunctions.java tier-2 names (array_frequency, array_min_by/
+# max_by, array_sort_desc, remove_nulls, array_top_n,
+# array_least_frequent) — lambda-taking or struct-comparison shapes the
+# CREATE FUNCTION macro layer can't express; pure higher-order Column
+# compositions, row-local and codegen-eligible.
+# --------------------------------------------------------------------------
+def remove_nulls(arr) -> Column:
+    """Presto remove_nulls(array): drop NULL elements."""
+    return F.filter(_col(arr), lambda x: x.isNotNull())
+
+
+def array_sort_desc(arr) -> Column:
+    """Presto array_sort_desc: descending, NULLs kept at the END (like
+    array_sort; plain reverse(array_sort()) would move them first)."""
+    a = _col(arr)
+    nn = F.reverse(F.array_sort(F.filter(a, lambda x: x.isNotNull())))
+    nulls = F.filter(a, lambda x: x.isNull())
+    return F.concat(nn, nulls)
+
+
+def array_top_n(arr, n: int) -> Column:
+    """Presto array_top_n(array, n): the n largest non-null elements,
+    descending."""
+    return F.slice(array_sort_desc(remove_nulls(arr)), 1, n)
+
+
+def array_max_by(arr, f) -> Column:
+    """Presto array_max_by(array, f): element with the largest f(x)
+    (ties resolved by the element value — struct comparison order)."""
+    a = remove_nulls(arr)
+    best = F.array_max(F.transform(a, lambda x: F.struct(f(x).alias("k"), x.alias("v"))))
+    return best["v"]
+
+
+def array_min_by(arr, f) -> Column:
+    """Presto array_min_by(array, f): element with the smallest f(x)."""
+    a = remove_nulls(arr)
+    best = F.array_min(F.transform(a, lambda x: F.struct(f(x).alias("k"), x.alias("v"))))
+    return best["v"]
+
+
+def array_frequency(arr) -> Column:
+    """Presto array_frequency(array) -> map(element, count) over
+    non-null elements (row-local O(d^2); arrays, not groups)."""
+    a = remove_nulls(arr)
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(a),
+            lambda v: F.struct(
+                v.alias("k"), F.size(F.filter(a, lambda x: x == v)).alias("v")
+            ),
+        )
+    )
+
+
+def array_least_frequent(arr, n: int = 1) -> Column:
+    """Presto array_least_frequent(array[, n]): the n rarest non-null
+    elements, rarest first, ties broken by element value ascending."""
+    a = remove_nulls(arr)
+    ranked = F.array_sort(
+        F.transform(
+            F.array_distinct(a),
+            lambda v: F.struct(
+                F.size(F.filter(a, lambda x: x == v)).alias("cnt"), v.alias("v")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["v"])

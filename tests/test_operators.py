@@ -246,3 +246,37 @@ def test_salted_join_matches_plain_join(spark):
     j = salted_join(fact, dim, "k", n_salt=8)
     plan = j._jdf.queryExecution().analyzed().toString()
     assert "_salt" in plan
+
+
+def test_tier2_array_functions(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        array_frequency,
+        array_least_frequent,
+        array_max_by,
+        array_min_by,
+        array_sort_desc,
+        array_top_n,
+        remove_nulls,
+    )
+
+    arr = F.array(
+        F.lit(3), F.lit(1), F.lit(None).cast("int"), F.lit(1), F.lit(7), F.lit(1)
+    )
+    row = spark.range(1).select(
+        remove_nulls(arr).alias("rn"),
+        array_sort_desc(arr).alias("sd"),
+        array_top_n(arr, 2).alias("top2"),
+        array_max_by(F.array(F.lit("aa"), F.lit("b"), F.lit("cccc")), lambda s: F.length(s)).alias("mx"),
+        array_min_by(F.array(F.lit("aa"), F.lit("b"), F.lit("cccc")), lambda s: F.length(s)).alias("mn"),
+        array_frequency(arr).alias("freq"),
+        array_least_frequent(arr, 2).alias("lf2"),
+    ).first()
+    assert row["rn"] == [3, 1, 1, 7, 1]
+    assert row["sd"] == [7, 3, 1, 1, 1, None]
+    assert row["top2"] == [7, 3]
+    assert row["mx"] == "cccc" and row["mn"] == "b"
+    assert row["freq"] == {3: 1, 1: 3, 7: 1}
+    # rarest first, ties by value ascending: 3 and 7 both count 1
+    assert row["lf2"] == [3, 7]
