@@ -78,6 +78,19 @@ __all__ = [
     "array_min_by",
     "array_frequency",
     "array_least_frequent",
+    "map_top_n_keys",
+    "map_top_n_values",
+    "map_keys_by_top_n_values",
+    "map_remove_null_values",
+    "all_keys_match",
+    "any_keys_match",
+    "any_values_match",
+    "no_keys_match",
+    "no_values_match",
+    "replace_first",
+    "trail",
+    "key_sampling_percent",
+    "sql_key_sampling_percent",
 ]
 
 _UNIT_SECONDS = {
@@ -829,3 +842,84 @@ def array_least_frequent(arr, n: int = 1) -> Column:
         )
     )
     return F.transform(F.slice(ranked, 1, n), lambda s: s["v"])
+
+
+# --------------------------------------------------------------------------
+# MapSqlFunctions.java / StringSqlFunctions.java / SimpleSamplingPercent
+# tier-2 names — direct higher-order Column transcriptions of the
+# reference's SQL-invoked bodies.
+# --------------------------------------------------------------------------
+def map_top_n_keys(m, n: int) -> Column:
+    """Presto map_top_n_keys: n largest keys, descending."""
+    return F.slice(F.reverse(F.array_sort(F.map_keys(_col(m)))), 1, n)
+
+
+def map_top_n_values(m, n: int) -> Column:
+    """Presto map_top_n_values: n largest values, descending."""
+    return F.slice(array_sort_desc(F.map_values(_col(m))), 1, n)
+
+
+def map_keys_by_top_n_values(m, n: int) -> Column:
+    """Presto map_keys_by_top_n_values = map_keys(map_top_n(m, n))."""
+    return F.map_keys(map_top_n(_col(m), n))
+
+
+def map_remove_null_values(m) -> Column:
+    """Presto map_remove_null_values."""
+    return F.map_filter(_col(m), lambda k, v: v.isNotNull())
+
+
+def all_keys_match(m, f) -> Column:
+    return F.forall(F.map_keys(_col(m)), f)
+
+
+def any_keys_match(m, f) -> Column:
+    return F.exists(F.map_keys(_col(m)), f)
+
+
+def any_values_match(m, f) -> Column:
+    return F.exists(F.map_values(_col(m)), f)
+
+
+def no_keys_match(m, f) -> Column:
+    return ~F.exists(F.map_keys(_col(m)), f)
+
+
+def no_values_match(m, f) -> Column:
+    return ~F.exists(F.map_values(_col(m)), f)
+
+
+def replace_first(s, search: str, replacement: str) -> Column:
+    """Presto replace_first(str, search, replace): plain-substring first
+    occurrence (StringSqlFunctions.java formula, 1:1)."""
+    s = _col(s)
+    pos = F.instr(s, search)
+    return F.when(pos == 0, s).otherwise(
+        F.concat(
+            s.substr(F.lit(1), pos - 1),
+            F.lit(replacement),
+            s.substr(pos + len(search), F.length(s)),
+        )
+    )
+
+
+def trail(s, n: int) -> Column:
+    """Presto trail(str, n): last n characters (whole string when
+    n >= length — the reference's reverse/substr/reverse formula)."""
+    return F.reverse(F.reverse(_col(s)).substr(1, n))
+
+
+def key_sampling_percent(s) -> Column:
+    """Presto key_sampling_percent(varchar) -> [0, 1): consistent
+    hash-based sampling bucket.  The reference hashes with xxhash64
+    (engine-specific bits); this uses the repo's md5-derived hash60 so
+    Spark and the DuckDB oracle assign IDENTICAL buckets — same
+    distribution, different (but deterministic) assignment."""
+    from ..operators.text import hash60
+
+    return (hash60(_col(s)) % 100).cast("double") / 100.0
+
+
+def sql_key_sampling_percent(e: str) -> str:
+    """DuckDB twin of key_sampling_percent."""
+    return f"((('0x' || substr(md5({e}), 1, 15))::BIGINT % 100))::DOUBLE / 100.0"

@@ -280,3 +280,61 @@ def test_tier2_array_functions(spark):
     assert row["freq"] == {3: 1, 1: 3, 7: 1}
     # rarest first, ties by value ascending: 3 and 7 both count 1
     assert row["lf2"] == [3, 7]
+
+
+def test_tier2_map_string_sampling_functions(spark):
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        all_keys_match,
+        any_keys_match,
+        any_values_match,
+        key_sampling_percent,
+        map_keys_by_top_n_values,
+        map_remove_null_values,
+        map_top_n_keys,
+        map_top_n_values,
+        no_keys_match,
+        no_values_match,
+        replace_first,
+        trail,
+    )
+
+    m = F.create_map(
+        F.lit("a"), F.lit(1), F.lit("b"), F.lit(3), F.lit("c"), F.lit(2)
+    )
+    mn = F.map_from_arrays(
+        F.array(F.lit("x"), F.lit("y")),
+        F.array(F.lit(5), F.lit(None).cast("int")),
+    )
+    row = spark.range(1).select(
+        map_top_n_keys(m, 2).alias("tk"),
+        map_top_n_values(m, 2).alias("tv"),
+        map_keys_by_top_n_values(m, 2).alias("kbv"),
+        map_remove_null_values(mn).alias("rmn"),
+        all_keys_match(m, lambda k: F.length(k) == 1).alias("akm"),
+        any_keys_match(m, lambda k: k == "b").alias("anym"),
+        any_values_match(m, lambda v: v > 2).alias("avm"),
+        no_keys_match(m, lambda k: k == "z").alias("nkm"),
+        no_values_match(m, lambda v: v > 10).alias("nvm"),
+        replace_first(F.lit("abcabc"), "bc", "X").alias("rf"),
+        replace_first(F.lit("abc"), "zz", "X").alias("rf_none"),
+        trail(F.lit("abcdef"), 3).alias("tr"),
+        trail(F.lit("ab"), 5).alias("tr_all"),
+        key_sampling_percent(F.lit("hello")).alias("ksp"),
+    ).first()
+    assert row["tk"] == ["c", "b"]
+    assert row["tv"] == [3, 2]
+    assert sorted(row["kbv"]) == ["b", "c"]
+    assert row["rmn"] == {"x": 5}
+    assert row["akm"] and row["anym"] and row["avm"] and row["nkm"] and row["nvm"]
+    assert row["rf"] == "aXabc" and row["rf_none"] == "abc"
+    assert row["tr"] == "def" and row["tr_all"] == "ab"
+    assert 0.0 <= row["ksp"] < 1.0
+    # cross-engine twin agrees
+    import duckdb
+
+    from presto_copy_spark.functions.presto import sql_key_sampling_percent
+
+    duck = duckdb.sql(f"SELECT {sql_key_sampling_percent(chr(39)+'hello'+chr(39))} AS k").fetchone()[0]
+    assert abs(duck - row["ksp"]) < 1e-12
