@@ -699,3 +699,95 @@ def func_i18n_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_color(F.col("lang"), color("#ff8800")).alias("rendered"),
         bar((F.col("doc_id") % 11) / 10.0, 10).alias("bar10"),
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "func_tier2_arrays_maps",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         [n_chars % 5, 7, NULL, CAST(doc_id % 3 AS INT)] AS arr,
+         [lang, lang, source, 'zz'] AS rep,
+         [lang, source, 'xx'] AS sarr,
+         CAST(doc_id % 7 AS INT) AS v1,
+         CAST(doc_id % 5 AS INT) AS v2,
+         CAST(doc_id % 3 AS INT) AS v3
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC') AS sd,
+       (list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC'))[1:2] AS top2,
+       (list_sort([source, 'zz']))[1:2] AS lf2,
+       (list_sort(list_transform(sarr, s -> {'l': length(s), 's': s}), 'DESC'))[1]['s'] AS amax,
+       (list_sort(list_transform(sarr, s -> {'l': length(s), 's': s})))[1]['s'] AS amin,
+       (list_sort(['k1', lang, source], 'DESC'))[1:2] AS tkeys,
+       list_transform((list_sort([{'v': v1, 'k': 'k1'}, {'v': v2, 'k': lang},
+                                  {'v': v3, 'k': source}], 'DESC'))[1:2],
+                      s -> s['k']) AS kbv,
+       len(list_filter([v1, v2, v3], v -> v > 3)) > 0 AS avm,
+       len(list_filter([v1, v2, v3], v -> v > 10)) = 0 AS nvm,
+       CASE WHEN instr(source, 'rc') = 0 THEN source
+            ELSE substr(source, 1, instr(source, 'rc') - 1) || '__'
+                 || substr(source, instr(source, 'rc') + 2) END AS rf,
+       reverse(substr(reverse(source), 1, 3)) AS tr,
+       """
+    + __import__(
+        "presto_copy_spark.functions.presto", fromlist=["sql_key_sampling_percent"]
+    ).sql_key_sampling_percent("lang")
+    + """ AS ksp
+FROM t
+""",
+)
+def func_tier2_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 SQL-invoked scalar surface (ArraySqlFunctions /
+    MapSqlFunctions / StringSqlFunctions / SimpleSamplingPercent):
+    array_sort_desc, array_top_n, array_least_frequent, array_min_by /
+    array_max_by (lambda), map_top_n_keys, map_keys_by_top_n_values,
+    any/no_values_match, replace_first, trail, key_sampling_percent —
+    every output replayed literally by the DuckDB oracle (lists, struct
+    sorts, and the md5 sampling hash are engine-portable)."""
+    from ..functions.presto import (
+        any_values_match,
+        array_least_frequent,
+        array_max_by,
+        array_min_by,
+        array_sort_desc,
+        array_top_n,
+        key_sampling_percent,
+        map_keys_by_top_n_values,
+        map_top_n_keys,
+        no_values_match,
+        remove_nulls,
+        replace_first,
+        trail,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    arr = F.array(
+        (F.col("n_chars") % 5).cast("int"),
+        F.lit(7),
+        F.lit(None).cast("int"),
+        (F.col("doc_id") % 3).cast("int"),
+    )
+    rep = F.array(F.col("lang"), F.col("lang"), F.col("source"), F.lit("zz"))
+    sarr = F.array(F.col("lang"), F.col("source"), F.lit("xx"))
+    v1 = (F.col("doc_id") % 7).cast("int")
+    v2 = (F.col("doc_id") % 5).cast("int")
+    v3 = (F.col("doc_id") % 3).cast("int")
+    m = F.create_map(F.lit("k1"), v1, F.col("lang"), v2, F.col("source"), v3)
+    return d.select(
+        "doc_id",
+        array_sort_desc(remove_nulls(arr)).alias("sd"),
+        array_top_n(arr, 2).alias("top2"),
+        array_least_frequent(rep, 2).alias("lf2"),
+        array_max_by(sarr, lambda s: F.length(s)).alias("amax"),
+        array_min_by(sarr, lambda s: F.length(s)).alias("amin"),
+        map_top_n_keys(m, 2).alias("tkeys"),
+        map_keys_by_top_n_values(m, 2).alias("kbv"),
+        any_values_match(m, lambda v: v > 3).alias("avm"),
+        no_values_match(m, lambda v: v > 10).alias("nvm"),
+        replace_first(F.col("source"), "rc", "__").alias("rf"),
+        trail(F.col("source"), 3).alias("tr"),
+        key_sampling_percent(F.col("lang")).alias("ksp"),
+    )
