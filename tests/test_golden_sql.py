@@ -167,14 +167,16 @@ def test_golden_empty_table(spark, rel):
     assert got == want, f"{rel}: {got} != {want}"
 
 
-# aggregate/ testcases run against the `datatype` table their headers
-# declare; the product-tests' table isn't shipped, so both engines get
-# an IDENTICAL synthesized one (deterministic expressions over
-# range(100), incl. NULLs) and Spark is compared to DuckDB executing
-# the same literal SQL.  skewness/kurtosis are excluded: Spark returns
-# population moments, DuckDB sample-corrected — a documented semantic
-# delta (COVERAGE.md §2.4), not a dialect failure.
+# aggregate/ testcases run against the REFERENCE'S OWN datatype table:
+# the product-tests ship the literal data file
+# (datasets/datatype.data, 16 rows incl. decimals), so Spark's results
+# are compared against the committed .result files directly — true
+# goldens, including skewness (population moments in both engines).
+# kurtosis is excluded: Presto's kurtosis() is the UNBIASED sample
+# estimator while Spark's is population excess g2 (skewness matches —
+# both population there); documented in COVERAGE.md §2.4.
 AGGREGATE_CASES = [
+    "aggregate/skewness",
     "aggregate/aggregateOverFunction",
     "aggregate/average",
     "aggregate/averageDistinct",
@@ -198,40 +200,258 @@ AGGREGATE_CASES = [
 ]
 
 
+_DATASETS = os.path.join(os.path.dirname(TESTCASES), "datasets")
+
+
 def _register_datatype(spark):
-    spark.range(100).selectExpr(
-        "(id*37) % 83 AS c_bigint",
-        "CASE WHEN id % 17 = 0 THEN NULL ELSE CAST((id*7) % 19 AS DOUBLE)/4 END AS c_double",
-        "CASE WHEN id % 23 = 0 THEN NULL ELSE concat('s', id % 13) END AS c_string",
-        "date_add(DATE '2024-01-01', CAST(id % 30 AS INT)) AS c_date",
-        "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id % 50 AS INT),0) AS c_timestamp",
-        "id % 3 = 0 AS c_boolean",
+    """Load the reference's literal datatype.data (pipe-delimited,
+    trailing delimiter, schema from datasets/datatype.ddl)."""
+    rows = []
+    with open(os.path.join(_DATASETS, "datatype.data")) as f:
+        for line in f:
+            cells = line.rstrip("\n").split("|")[:8]
+            if len(cells) < 8:
+                continue
+
+            def val(i, conv):
+                return None if cells[i] in ("null", "\\N", "") else conv(cells[i])
+
+            import datetime as dt
+            from decimal import Decimal
+
+            rows.append(
+                (
+                    val(0, int),
+                    val(1, float),
+                    val(2, str),
+                    val(3, dt.date.fromisoformat),
+                    val(4, lambda x: dt.datetime.strptime(x, "%Y-%m-%d %H:%M:%S")),
+                    val(5, lambda x: x.upper() == "TRUE"),
+                    val(6, Decimal),
+                    val(7, Decimal),
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "c_bigint bigint, c_double double, c_string string, c_date date, "
+        "c_timestamp timestamp_ntz, c_boolean boolean, "
+        "c_short_decimal decimal(5,2), c_long_decimal decimal(30,10)",
     ).createOrReplaceTempView("datatype")
 
 
-_DUCK_DATATYPE = """
-CREATE OR REPLACE VIEW datatype AS
-SELECT (i*37) % 83 AS c_bigint,
-       CASE WHEN i % 17 = 0 THEN NULL ELSE ((i*7) % 19)::DOUBLE/4 END AS c_double,
-       CASE WHEN i % 23 = 0 THEN NULL ELSE 's' || (i % 13) END AS c_string,
-       DATE '2024-01-01' + ((i % 30))::INT AS c_date,
-       TIMESTAMP '2024-01-01 00:00:00' + to_minutes(i % 50) AS c_timestamp,
-       i % 3 = 0 AS c_boolean
-FROM range(100) t(i)
-"""
-
-
 @pytest.mark.parametrize("rel", AGGREGATE_CASES)
-def test_golden_aggregate_vs_duckdb(spark, rel):
-    import duckdb
-
+def test_golden_aggregate_vs_result(spark, rel):
     from presto_copy_spark.engine import Engine
 
     _register_datatype(spark)
     text = _read_sql(rel)
-    got = [list(r) for r in spark.sql(Engine.transpile(text)).collect()]
+    got = _canon_rows([list(r) for r in spark.sql(Engine.transpile(text)).collect()])
+    want = _canon_rows(_read_result(rel))
+    assert got == want, (rel, got, want)
+
+
+# group-by / join / limit / distinct / order_by testcases over the
+# fixture tables plus the reference's committed workers dataset
+# (datasets/workers.data, literal rows incl. NULL employees), Spark vs
+# DuckDB on identical inputs.  Excluded: limit/withGroupByInSubq
+# (needs partsupp — fixture gap), set_operation/* (sectioned multi-test
+# files, different format).
+FIXTURE_DUCK_CASES = [
+    "group-by/runAggrWithoutGroupBy",
+    "group-by/runAggregatesGroupByOridnalAndHaving",
+    "group-by/runAggregatesWithGroupByOrdinal",
+    "group-by/runAggregatesWithGroupByWithFalseWherePredicate",
+    "group-by/runAggregatesWithWherePredicatesAndGroupByOrdinal",
+    "group-by/runAggregatesWithoutGroupByButWithPredicates",
+    "group-by/runConstantGroupBy",
+    "group-by/runCountNull",
+    "group-by/runHavingOnEmptyResult",
+    "group-by/runHavingOutsideSubq",
+    "group-by/runHavingWithAggExpr",
+    "group-by/runHavingWithExpr",
+    "group-by/runHavingWithGrpExpr",
+    "group-by/runHavingWithMultipleAggs",
+    "group-by/runHavingWithNullCheck",
+    "group-by/runHavingWithOrderBy",
+    "group-by/runHavingWithoutGroupBy",
+    "group-by/runMultipleGroupBy",
+    "join/cross_join",
+    "join/explicit_inner_implicit_same_tables",
+    "join/explicit_inner_join_select_columns",
+    "join/explicit_inner_join_select_count",
+    "join/explicit_inner_join_select_star",
+    "join/explicit_inner_join_select_where",
+    "join/explicit_left_implicit_same_tables",
+    "join/implicit_explicit_inner",
+    "join/implicit_explicit_left",
+    "join/implicit_inner_join_table_alias",
+    "join/implicit_less_then",
+    "join/implicit_not_equal",
+    "join/inner_join_null_data",
+    "join/inner_join_right_outer_join",
+    "join/left_join_on_multiple_predicates",
+    "join/left_join_where_constant",
+    "join/left_join_where_is_not_null",
+    "join/left_join_where_is_null",
+    "join/left_outer_join",
+    "join/left_outer_join_inner_join",
+    "join/right_join_left_join",
+    "join/right_join_left_join_inner_join_parentheses",
+    "join/right_join_left_join_parentheses",
+    "join/right_join_null_data",
+    "join/right_outer_join",
+    "join/sub_select_in",
+    "limit/predicateNotProjected",
+    "limit/useRestrictiveLimitFromSubq",
+    "limit/withGroupBy",
+    "limit/withGroupByAndOrderByInSubq",
+    "limit/withJoinInSubq",
+    "limit/withLimitZero",
+    "limit/withSimpleLimit",
+    "limit/withSubq",
+    "distinct/multipleDistinctAgg",
+    "distinct/repeatedDistinctAgg",
+    "distinct/withCount",
+    "distinct/withDuplicates",
+    "distinct/withGroupBy",
+    "distinct/withGroupByDistinctAgg",
+    "distinct/withNoDuplicates",
+    "distinct/withOrderBy",
+    "order_by/orderByAscNullsDefault",
+    "order_by/orderByAscNullsFirst",
+    "order_by/orderByAscNullsLast",
+    "order_by/orderByDefaultNullsDefault",
+    "order_by/orderByDefaultNullsFirst",
+    "order_by/orderByDefaultNullsLast",
+    "order_by/orderByDescNullsFirst",
+    "order_by/orderByDescNullsLast",
+]
+
+# order_by testcases written against the tpch CONNECTOR schema, whose
+# column names are unprefixed (regionkey, not n_regionkey): both engines
+# get views renaming the fixture columns to the connector's names.
+# orderByNonProjectedAggregate is excluded: it reads p_mfgr, a column
+# the driver fixtures don't carry (FIXTURES.md).
+TINY_SCHEMA_CASES = [
+    "order_by/orderByAggregate",
+    "order_by/orderByAliasSameAsColumn",
+    "order_by/orderByDistinctColumnDesc",
+    "order_by/orderByExpression",
+    "order_by/orderByMixOfColumnsAscDesc",
+    "order_by/orderByNonProjectedColumns",
+    "order_by/orderByNonProjectedExpression",
+    "order_by/orderByOrdinals",
+    "order_by/runOrderByWithFromSubq",
+]
+
+_WORKERS_SCHEMA = (
+    "id_employee int, first_name string, last_name string, "
+    "date_of_employment string, department int, id_department int, "
+    "name string, salary int"
+)
+
+
+def _workers_rows():
+    rows = []
+    with open(os.path.join(os.path.dirname(TESTCASES), "datasets", "workers.data")) as f:
+        for line in f:
+            c = line.rstrip("\n").split("|")
+            if len(c) < 8:
+                continue
+            v = lambda i, fn: None if c[i] == "\\N" else fn(c[i])  # noqa: E731
+            rows.append(
+                (v(0, int), v(1, str), v(2, str), v(3, str), v(4, int),
+                 v(5, int), v(6, str), v(7, int))
+            )
+    return rows
+
+
+def _duck_with_fixtures(tiny: bool = False):
+    import duckdb
 
     con = duckdb.connect()
-    con.sql(_DUCK_DATATYPE)
-    want = [list(r) for r in con.sql(text).fetchall()]
-    assert _canon_rows(got) == _canon_rows(want), (rel, got, want)
+    sf = "/root/testdata/sf0.001"
+    for t in ("nation", "region", "part", "orders", "lineitem", "customer", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    con.sql(
+        f"CREATE TABLE workers ({_WORKERS_SCHEMA.replace('string', 'varchar')})"
+    )
+    con.executemany(
+        "INSERT INTO workers VALUES (?,?,?,?,?,?,?,?)", _workers_rows()
+    )
+    if tiny:
+        con.sql("DROP VIEW nation")
+        con.sql(
+            "CREATE VIEW nation AS SELECT n_nationkey AS nationkey, n_name AS name,"
+            f" n_regionkey AS regionkey FROM '{sf}/nation.parquet'"
+        )
+        con.sql("DROP VIEW part")
+        con.sql(
+            "CREATE VIEW part AS SELECT p_partkey AS partkey, p_name AS name, "
+            "p_brand AS brand, p_type AS type, p_size AS size, "
+            f"p_retailprice AS retailprice FROM '{sf}/part.parquet'"
+        )
+        con.sql("DROP VIEW orders")
+        con.sql(
+            "CREATE VIEW orders AS SELECT o_orderkey AS orderkey, o_custkey AS "
+            "custkey, o_orderstatus AS orderstatus, o_totalprice AS totalprice, "
+            "o_orderdate AS orderdate, o_orderpriority AS orderpriority "
+            f"FROM '{sf}/orders.parquet'"
+        )
+    return con
+
+
+def _spark_fixtures(spark, tiny: bool = False):
+    from presto_copy_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    spark.createDataFrame(_workers_rows(), _WORKERS_SCHEMA).createOrReplaceTempView(
+        "workers"
+    )
+    if tiny:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT n_nationkey AS "
+            "nationkey, n_name AS name, n_regionkey AS regionkey FROM "
+            "parquet.`/root/testdata/sf0.001/nation.parquet`"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW part AS SELECT p_partkey AS "
+            "partkey, p_name AS name, p_brand AS brand, p_type AS type, "
+            "p_size AS size, p_retailprice AS retailprice FROM "
+            "parquet.`/root/testdata/sf0.001/part.parquet`"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW orders AS SELECT o_orderkey AS "
+            "orderkey, o_custkey AS custkey, o_orderstatus AS orderstatus, "
+            "o_totalprice AS totalprice, o_orderdate AS orderdate, "
+            "o_orderpriority AS orderpriority FROM "
+            "parquet.`/root/testdata/sf0.001/orders.parquet`"
+        )
+
+
+def _compare_vs_duckdb(spark, rel, tiny=False):
+    from presto_copy_spark.engine import Engine
+
+    _spark_fixtures(spark, tiny)
+    text = _read_sql(rel)
+    got = _canon_rows([list(r) for r in spark.sql(Engine.transpile(text)).collect()])
+    con = _duck_with_fixtures(tiny)
+    duck_text = re.sub(r"(?i)\b(tpch|hive)\.\w+\.", "", text)
+    want = _canon_rows([list(r) for r in con.sql(duck_text).fetchall()])
+    assert got == want, (rel, got[:5], want[:5])
+    # restore the standard fixture views for later tests
+    if tiny:
+        spark.catalog.dropTempView("nation")
+        spark.catalog.dropTempView("orders")
+        spark.catalog.dropTempView("part")
+        _spark_fixtures(spark, tiny=False)
+
+
+@pytest.mark.parametrize("rel", FIXTURE_DUCK_CASES)
+def test_golden_fixture_vs_duckdb(spark, rel):
+    _compare_vs_duckdb(spark, rel)
+
+
+@pytest.mark.parametrize("rel", TINY_SCHEMA_CASES)
+def test_golden_tiny_schema_vs_duckdb(spark, rel):
+    _compare_vs_duckdb(spark, rel, tiny=True)
