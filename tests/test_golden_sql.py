@@ -325,6 +325,27 @@ FIXTURE_DUCK_CASES = [
     "order_by/orderByDefaultNullsLast",
     "order_by/orderByDescNullsFirst",
     "order_by/orderByDescNullsLast",
+    "functions/conditional-expressions/simple_case",
+    "tpch_connector/countCustomerTiny",
+    "tpch_connector/countLineitemTiny",
+    "tpch_connector/countNationTiny",
+    "tpch_connector/countOrdersTiny",
+    "tpch_connector/countPartTiny",
+    "tpch_connector/countRegionTiny",
+    "tpch_connector/countSupplierTiny",
+    "union/unionAllSameTable",
+    "union/unionDistinctSameTable",
+    "union/unionMoreThanTwoTables",
+    "union/unionOrderBy",
+    "union/unionWithAggregation",
+    "with_clause/multipleWithExprsReferencedFromParent",
+    "with_clause/withExprAccessingAnotherAndAlsoFromParents",
+    "with_clause/withExprReferencedInWhereClause",
+    "with_clause/withExprRepeated",
+    "with_clause/withExprUsingAnotherWithExpr",
+    "with_clause/withExprUsingOrderbyLimit",
+    "with_clause/withExprWithNoReferenceInParent",
+    "with_clause/withSimpleExprInNestedFromClause",
 ]
 
 # order_by testcases written against the tpch CONNECTOR schema, whose
