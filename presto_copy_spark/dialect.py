@@ -199,6 +199,10 @@ def _quote_str(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+# window functions whose frame clause Presto ignores (and Spark rejects)
+_RANK_FAMILY = {"rank", "dense_rank", "percent_rank", "cume_dist", "ntile", "row_number"}
+_WINDOW_FN_FIXUPS = _RANK_FAMILY | {"lag", "lead"}
+
 _TRY_BINOPS = {
     "/": "try_divide",
     "+": "try_add",
@@ -583,6 +587,50 @@ def _transpile_tokens(tokens: list) -> str:
                         out.append(repl)
                         i = nxt
                         continue
+            # window-spec fixups for ranking/offset functions
+            # (WindowAnnotationsProcessor / SqlBase.g4 windowFrame):
+            # Presto accepts — and ignores — a frame clause on rank-like
+            # and lag/lead functions, and allows rank() with no ORDER BY
+            # (all rows are peers).  Spark rejects both, so the dialect
+            # strips the irrelevant frame and, for the rank family,
+            # injects a constant ORDER BY reproducing all-peers.
+            if low in _WINDOW_FN_FIXUPS:
+                j0 = _next_sig(tokens, i + 1)
+                if j0 < n and tokens[j0] == ("op", "("):
+                    call_close = _match_paren(tokens, j0)
+                    j1 = _next_sig(tokens, call_close + 1)
+                    if (
+                        j1 < n
+                        and tokens[j1][0] == "word"
+                        and tokens[j1][1].lower() == "over"
+                    ):
+                        j2 = _next_sig(tokens, j1 + 1)
+                        if j2 < n and tokens[j2] == ("op", "("):
+                            spec_close = _match_paren(tokens, j2)
+                            spec = tokens[j2 + 1 : spec_close]
+                            # truncate at a top-level frame keyword
+                            depth = 0
+                            cut = len(spec)
+                            has_order = False
+                            for si, (sk, st) in enumerate(spec):
+                                if sk == "op" and st == "(":
+                                    depth += 1
+                                elif sk == "op" and st == ")":
+                                    depth -= 1
+                                elif sk == "word" and depth == 0:
+                                    w = st.lower()
+                                    if w in ("rows", "range", "groups"):
+                                        cut = si
+                                        break
+                                    if w == "order":
+                                        has_order = True
+                            spec_text = _transpile_tokens(_strip(spec[:cut]))
+                            if low in _RANK_FAMILY and not has_order:
+                                spec_text = (spec_text + " ORDER BY 1").strip()
+                            call = _transpile_tokens(tokens[i : call_close + 1])
+                            out.append(f"{call} OVER ({spec_text})")
+                            i = spec_close + 1
+                            continue
             # function-call rewrites
             j = _next_sig(tokens, i + 1)
             if j < n and tokens[j] == ("op", "("):

@@ -225,3 +225,28 @@ def test_order_by_null_ordering_normalized(spark):
         transpile("SELECT x FROM (VALUES (2), (NULL), (1)) AS v(x) ORDER BY x DESC")
     ).collect()
     assert [r["x"] for r in rows] == [None, 2, 1]
+
+
+def test_window_frame_fixups(spark):
+    # Presto ignores frames on ranking/offset functions; Spark rejects them
+    assert (
+        transpile("SELECT lag(d) OVER (PARTITION BY s ORDER BY o ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM t")
+        == "SELECT lag(d) OVER (PARTITION BY s ORDER BY o NULLS LAST) FROM t"
+    )
+    assert (
+        transpile("SELECT rank() OVER (ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+        == "SELECT rank() OVER (ORDER BY d NULLS LAST) FROM t"
+    )
+    # rank with no ORDER BY: all rows are peers in Presto
+    assert (
+        transpile("SELECT rank() OVER (PARTITION BY s) FROM t")
+        == "SELECT rank() OVER (PARTITION BY s ORDER BY 1) FROM t"
+    )
+    # aggregate window frames pass through untouched
+    out = transpile("SELECT sum(x) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+    # live: all-peers rank is 1 everywhere
+    rows = spark.sql(
+        transpile("SELECT x, rank() OVER (PARTITION BY x % 2) AS r FROM (VALUES (1),(2),(3),(4)) v(x)")
+    ).collect()
+    assert all(r["r"] == 1 for r in rows)

@@ -354,6 +354,26 @@ FIXTURE_DUCK_CASES = [
 # orderByNonProjectedAggregate is excluded: it reads p_mfgr, a column
 # the driver fixtures don't carry (FIXTURES.md).
 TINY_SCHEMA_CASES = [
+    "window_functions/noOrderAllRowsPeers",
+    "window_functions/rangeNoPartition",
+    "window_functions/rankFunctionsImplicitExplicitFrame",
+    "window_functions/rowsBounded",
+    "window_functions/rowsDifferentOrders",
+    "window_functions/rowsDisjointWindows",
+    "window_functions/rowsFirstLast",
+    "window_functions/rowsFrame2F3F",
+    "window_functions/rowsFrame2FUBF",
+    "window_functions/rowsFrame3P2P",
+    "window_functions/rowsFrameUBP2P",
+    "window_functions/rowsIdenticalWindows",
+    "window_functions/rowsIntersectingWindows",
+    "window_functions/rowsRangeLeadLag",
+    "window_functions/rowsUBPImplicitCR",
+    "window_functions/windowSpecificationAABcp",
+    "window_functions/windowSpecificationAAcpA",
+    "window_functions/windowSpecificationABA",
+    "window_functions/windowSpecificationABcpA",
+    "window_functions/windowSpecificationBcpAA",
     "order_by/orderByAggregate",
     "order_by/orderByAliasSameAsColumn",
     "order_by/orderByDistinctColumnDesc",
@@ -406,6 +426,14 @@ def _duck_with_fixtures(tiny: bool = False):
             "CREATE VIEW nation AS SELECT n_nationkey AS nationkey, n_name AS name,"
             f" n_regionkey AS regionkey FROM '{sf}/nation.parquet'"
         )
+        con.sql("DROP VIEW lineitem")
+        con.sql(
+            "CREATE VIEW lineitem AS SELECT l_orderkey AS orderkey, l_partkey AS "
+            "partkey, l_suppkey AS suppkey, l_linenumber AS linenumber, "
+            "l_quantity AS quantity, l_extendedprice AS extendedprice, "
+            "l_discount AS discount, l_tax AS tax, l_returnflag AS returnflag, "
+            f"l_linestatus AS linestatus, l_shipdate AS shipdate FROM '{sf}/lineitem.parquet'"
+        )
         con.sql("DROP VIEW part")
         con.sql(
             "CREATE VIEW part AS SELECT p_partkey AS partkey, p_name AS name, "
@@ -434,6 +462,15 @@ def _spark_fixtures(spark, tiny: bool = False):
             "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT n_nationkey AS "
             "nationkey, n_name AS name, n_regionkey AS regionkey FROM "
             "parquet.`/root/testdata/sf0.001/nation.parquet`"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW lineitem AS SELECT l_orderkey AS "
+            "orderkey, l_partkey AS partkey, l_suppkey AS suppkey, "
+            "l_linenumber AS linenumber, l_quantity AS quantity, "
+            "l_extendedprice AS extendedprice, l_discount AS discount, "
+            "l_tax AS tax, l_returnflag AS returnflag, l_linestatus AS "
+            "linestatus, l_shipdate AS shipdate FROM "
+            "parquet.`/root/testdata/sf0.001/lineitem.parquet`"
         )
         spark.sql(
             "CREATE OR REPLACE TEMPORARY VIEW part AS SELECT p_partkey AS "
@@ -465,6 +502,7 @@ def _compare_vs_duckdb(spark, rel, tiny=False):
         spark.catalog.dropTempView("nation")
         spark.catalog.dropTempView("orders")
         spark.catalog.dropTempView("part")
+        spark.catalog.dropTempView("lineitem")
         _spark_fixtures(spark, tiny=False)
 
 
