@@ -286,6 +286,10 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             a0 = _render_tokens(_strip(args[0]))
             return f"to_timestamp({a0}, {_quote_str(java)})"
         return None
+    if low in ("rgb", "color", "render", "bar"):
+        folded = _fold_color_call(low, args)
+        if folded is not None:
+            return folded
     if low == "map" and len(args) == 2:
         # Presto's MAP(key_array, value_array) constructor
         # (MapConstructor.java) vs Spark's varargs map(k, v, ...): only
@@ -296,6 +300,83 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             a0 = _render_tokens(first)
             a1 = _render_tokens(_strip(args[1]))
             return f"map_from_arrays({a0}, {a1})"
+        return None
+    return None
+
+
+
+def _lit_num(arg: list):
+    """Numeric literal value of an arg token list (handles unary minus)."""
+    sig = _strip(arg)
+    if len(sig) == 1 and sig[0][0] == "num":
+        t = sig[0][1]
+        return float(t) if ("." in t or "e" in t.lower()) else int(t)
+    if (
+        len(sig) == 2
+        and sig[0] == ("op", "-")
+        and sig[1][0] == "num"
+    ):
+        v = _lit_num([sig[1]])
+        return None if v is None else -v
+    return None
+
+
+def _fold_color_call(low: str, args: list) -> str | None:
+    """Constant-fold literal color/rgb/render/bar calls via the exact
+    Python ports in functions/presto.py (ColorFunctions.java parity).
+    Non-literal args return None and fall through (the Python Column
+    helpers cover expression use)."""
+    from .functions import presto as pf
+
+    def lit_str(a):
+        sig = _strip(a)
+        return _str_value(sig[0]) if len(sig) == 1 and sig[0][0] == "str" else None
+
+    def lit_bool(a):
+        sig = _strip(a)
+        if len(sig) == 1 and sig[0][0] == "word" and sig[0][1].lower() in ("true", "false"):
+            return sig[0][1].lower() == "true"
+        return None
+
+    try:
+        if low == "rgb" and len(args) == 3:
+            vals = [_lit_num(a) for a in args]
+            if all(isinstance(v, int) for v in vals):
+                r, g, b = vals
+                return str((r << 16) | (g << 8) | b)
+        elif low == "color":
+            if len(args) == 1:
+                v = lit_str(args[0])
+                if v is not None:
+                    return str(pf._py_color(v))
+            elif len(args) == 3:
+                f, c1, c2 = _lit_num(args[0]), _lit_num(args[1]), _lit_num(args[2])
+                if all(v is not None for v in (f, c1, c2)):
+                    return str(pf.color_interpolate(float(f), int(c1), int(c2)))
+            elif len(args) == 5:
+                vals = [_lit_num(a) for a in args]
+                if all(v is not None for v in vals):
+                    v, lo, hi, c1, c2 = vals
+                    return str(pf.color_value_interpolate(v, lo, hi, int(c1), int(c2)))
+        elif low == "render":
+            if len(args) == 1:
+                b = lit_bool(args[0])
+                if b is not None:
+                    return _quote_str(pf.py_render_bool(b))
+            elif len(args) == 2:
+                c = _lit_num(args[1])
+                if c is not None:
+                    txt = lit_str(args[0])
+                    if txt is None:
+                        n = _lit_num(args[0])
+                        txt = None if n is None else str(n)
+                    if txt is not None:
+                        return _quote_str(pf.py_render(txt, int(c)))
+        elif low == "bar":
+            vals = [_lit_num(a) for a in args]
+            if len(vals) in (2, 4) and all(v is not None for v in vals):
+                return _quote_str(pf.py_bar(float(vals[0]), int(vals[1]), *map(int, vals[2:])))
+    except (ValueError, KeyError):
         return None
     return None
 

@@ -67,6 +67,11 @@ __all__ = [
     "render_color",
     "bar",
     "sql_bar",
+    "color_interpolate",
+    "color_value_interpolate",
+    "py_bar",
+    "py_render",
+    "py_render_bool",
     "ip_prefix_any",
     "ip_subnet_min_any",
     "ip_subnet_max_any",
@@ -633,84 +638,180 @@ def rgb(r, g, b) -> Column:
     return (_col(r).cast("int") * 65536 + _col(g).cast("int") * 256 + _col(b).cast("int"))
 
 
-_COLOR_NAMES = {
-    "black": 0x000000, "red": 0xFF0000, "green": 0x00FF00,
-    "yellow": 0xFFFF00, "blue": 0x0000FF, "magenta": 0xFF00FF,
-    "cyan": 0x00FFFF, "white": 0xFFFFFF,
+# Presto SystemColor indices (ColorFunctions.SystemColor) encoded, like
+# the reference, as -(index + 1) so they survive in the same bigint.
+_SYSTEM_COLORS = {
+    "black": 0, "red": 1, "green": 2, "yellow": 3,
+    "blue": 4, "magenta": 5, "cyan": 6, "white": 7,
 }
 
 
 def color(s: str) -> Column:
-    """Presto color('#rrggbb' | '#rgb' | name) -> color int (literal arg)."""
+    """Presto color('#rrggbb' | '#rgb' | name) -> color int (literal arg);
+    names map to ANSI system colors exactly like SystemColor.valueOf."""
+    return F.lit(_py_color(s))
+
+
+def _py_color(s: str) -> int:
     if s.startswith("#"):
         h = s[1:]
         if len(h) == 3:
             h = "".join(c * 2 for c in h)
-        return F.lit(int(h, 16))
-    return F.lit(_COLOR_NAMES[s.lower()])
+        return int(h, 16)
+    return -(_SYSTEM_COLORS[s.lower()] + 1)
 
 
-def _ansi_fg(color_int: Column) -> Column:
-    r = F.shiftright(color_int, 16).bitwiseAND(255)
-    g = F.shiftright(color_int, 8).bitwiseAND(255)
-    b = color_int.bitwiseAND(255)
-    return F.concat(
-        F.lit("\x1b[38;2;"),
-        r.cast("string"), F.lit(";"), g.cast("string"), F.lit(";"),
-        b.cast("string"), F.lit("m"),
-    )
+# ---- exact port of java.awt.Color HSB conversions (ColorFunctions
+# interpolates bar/color gradients in HSB space; float32 like the JVM) --
+def _f32(x: float) -> float:
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _rgb_to_hsb(r: int, g: int, b: int) -> tuple:
+    cmax, cmin = max(r, g, b), min(r, g, b)
+    v = cmax / 255.0
+    s = (cmax - cmin) / cmax if cmax != 0 else 0.0
+    if s == 0:
+        h = 0.0
+    else:
+        redc = (cmax - r) / (cmax - cmin)
+        greenc = (cmax - g) / (cmax - cmin)
+        bluec = (cmax - b) / (cmax - cmin)
+        if r == cmax:
+            h = bluec - greenc
+        elif g == cmax:
+            h = 2.0 + redc - bluec
+        else:
+            h = 4.0 + greenc - redc
+        h /= 6.0
+        if h < 0:
+            h += 1.0
+    return h, s, v
+
+
+def _hsb_to_rgb(h: float, s: float, v: float) -> int:
+    import math
+
+    if s == 0:
+        r = g = b = int(v * 255.0 + 0.5)
+    else:
+        hh = (h - math.floor(h)) * 6.0
+        f = hh - math.floor(hh)
+        p, q, t = v * (1.0 - s), v * (1.0 - s * f), v * (1.0 - s * (1.0 - f))
+        r, g, b = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][int(hh)]
+        r, g, b = int(r * 255.0 + 0.5), int(g * 255.0 + 0.5), int(b * 255.0 + 0.5)
+    return (int(r) << 16) | (int(g) << 8) | int(b)
+
+
+def _interpolate(fraction: float, low: int, high: int) -> int:
+    lh = _rgb_to_hsb((low >> 16) & 255, (low >> 8) & 255, low & 255)
+    hh = _rgb_to_hsb((high >> 16) & 255, (high >> 8) & 255, high & 255)
+    h = _f32(fraction * (hh[0] - lh[0]) + lh[0])
+    s = _f32(fraction * (hh[1] - lh[1]) + lh[1])
+    v = _f32(fraction * (hh[2] - lh[2]) + lh[2])
+    return _hsb_to_rgb(h, s, v)
+
+
+def color_interpolate(fraction: float, low: int, high: int) -> int:
+    """Presto color(fraction, lowColor, highColor) for literal args
+    (clamped like ColorFunctions.color)."""
+    fraction = min(1.0, max(0.0, fraction))
+    return _interpolate(_f32(fraction), low, high)
+
+
+def color_value_interpolate(value, low, high, low_color: int, high_color: int) -> int:
+    """Presto color(value, low, high, lowColor, highColor), literal args."""
+    return color_interpolate((value - low) * 1.0 / (high - low), low_color, high_color)
+
+
+def _to_ansi(c: int) -> int:
+    """ColorFunctions.toAnsi: 6x6x6 cube for rgb, raw index for system."""
+    if c < 0:
+        return -c - 1
+    r, g, b = (c >> 16) & 255, (c >> 8) & 255, c & 255
+    return 16 + (r * 6 // 256) * 36 + (g * 6 // 256) * 6 + (b * 6 // 256)
+
+
+def _ansi_escape(c: int) -> str:
+    return f"\x1b[38;5;{_to_ansi(c)}m"
+
+
+_ANSI_RESET = "\x1b[0m"
 
 
 def render_color(s, color_int) -> Column:
-    """Presto render(x, color): wrap x in ANSI truecolor escape + reset."""
-    return F.concat(_ansi_fg(_col(color_int)), _col(s), F.lit("\x1b[0m"))
+    """Presto render(x, color): 256-color ANSI escape + reset, exactly
+    ColorFunctions.render (escape computed per the toAnsi cube when the
+    color is a literal int; expression form for Column colors)."""
+    if isinstance(color_int, int):
+        return F.concat(F.lit(_ansi_escape(color_int)), _col(s), F.lit(_ANSI_RESET))
+    c = _col(color_int)
+    idx = (
+        F.lit(16)
+        + F.floor(F.shiftright(c, 16).bitwiseAND(255) * 6 / 256).cast("int") * 36
+        + F.floor(F.shiftright(c, 8).bitwiseAND(255) * 6 / 256).cast("int") * 6
+        + F.floor(c.bitwiseAND(255) * 6 / 256).cast("int")
+    )
+    return F.concat(
+        F.lit("\x1b[38;5;"), idx.cast("string"), F.lit("m"), _col(s), F.lit(_ANSI_RESET)
+    )
+
+
+def py_render(text: str, color_int: int) -> str:
+    """Literal-args render(), for dialect constant folding."""
+    return _ansi_escape(color_int) + text + _ANSI_RESET
+
+
+def py_render_bool(value: bool) -> str:
+    """Presto render(boolean): green check / red cross (system colors)."""
+    return py_render("\u2713", -(2 + 1)) if value else py_render("\u2717", -(1 + 1))
+
+
+def _bar_cells(width: int, low: int, high: int) -> list:
+    """Per-character escape+block strings — depend only on literals
+    (ColorFunctions.bar colors position i by i/(width-1), float32)."""
+    return [
+        _ansi_escape(_interpolate(_f32(i * 1.0 / (width - 1)), low, high)) + "\u2588"
+        for i in range(width)
+    ]
+
+
+def py_bar(percent: float, width: int, low: int = 0xFF0000, high: int = 0x00FF00) -> str:
+    """Literal-args bar(), byte-identical to ColorFunctions.bar."""
+    count = min(width, max(0, int(percent * width)))
+    return "".join(_bar_cells(width, low, high)[:count]) + _ANSI_RESET + " " * (width - count)
 
 
 def bar(fraction, width: int, low_rgb: int = 0xFF0000, high_rgb: int = 0x00FF00) -> Column:
-    """Presto bar(fraction, width[, low, high]): Unicode block bar with the
-    color interpolated per character from low to high across the full
-    width (ColorFunctions.java:bar).  floor(x+0.5) rounding everywhere so
-    Spark and DuckDB agree bit-for-bit."""
-    f = F.greatest(F.lit(0.0), F.least(F.lit(1.0), _col(fraction).cast("double")))
-    n = F.floor(f * width + F.lit(0.5)).cast("int")
-    lo = [(low_rgb >> s) & 255 for s in (16, 8, 0)]
-    hi = [(high_rgb >> s) & 255 for s in (16, 8, 0)]
-    denom = float(max(width - 1, 1))
-
-    def chan(i: Column, k: int) -> Column:
-        t = (i - 1).cast("double") / denom
-        return F.floor(F.lit(float(lo[k])) + (hi[k] - lo[k]) * t + F.lit(0.5)).cast("int")
-
-    cell = lambda i: F.concat(  # noqa: E731
-        _ansi_fg(chan(i, 0) * 65536 + chan(i, 1) * 256 + chan(i, 2)), F.lit("█")
+    """Presto bar(percent, width[, low, high]) as a Column expression:
+    the per-char colored cells depend only on the literal width/colors,
+    so they fold to string literals; only count = (int)(percent*width),
+    clamped, is computed at runtime — exactly ColorFunctions.bar."""
+    cells = _bar_cells(width, low_rgb, high_rgb)
+    n = F.greatest(
+        F.lit(0), F.least(F.lit(width), (_col(fraction).cast("double") * width).cast("int"))
     )
-    filled = F.array_join(F.transform(F.sequence(F.lit(1), n), cell), "")
-    pad = F.repeat(F.lit(" "), F.lit(width) - n)
-    return F.when(n <= 0, F.repeat(F.lit(" "), F.lit(width))).otherwise(
-        F.concat(filled, F.lit("\x1b[0m"), pad)
+    filled = F.array_join(
+        F.slice(F.array(*[F.lit(c) for c in cells]), 1, n), ""
     )
+    return F.concat(filled, F.lit(_ANSI_RESET), F.repeat(F.lit(" "), F.lit(width) - n))
 
 
 def sql_bar(frac: str, width: int, low_rgb: int = 0xFF0000, high_rgb: int = 0x00FF00) -> str:
-    """DuckDB twin of bar()."""
-    lo = [(low_rgb >> s) & 255 for s in (16, 8, 0)]
-    hi = [(high_rgb >> s) & 255 for s in (16, 8, 0)]
-    denom = float(max(width - 1, 1))
-    f = f"greatest(0.0, least(1.0, CAST({frac} AS DOUBLE)))"
-    n = f"CAST(floor({f} * {width} + 0.5) AS INT)"
-    chan = lambda k: (  # noqa: E731
-        f"CAST(floor({float(lo[k])} + ({hi[k]} - {lo[k]}) * (i - 1)::DOUBLE / {denom} + 0.5) AS INT)"
-    )
-    esc = (
-        f"chr(27) || '[38;2;' || {chan(0)} || ';' || {chan(1)} || ';' || {chan(2)} || 'm'"
-    )
-    filled = (
-        f"list_aggregate(list_transform(generate_series(1, {n}),"
-        f" i -> {esc} || chr(9608)), 'string_agg', '')"
-    )
+    """DuckDB twin of bar(): embeds the SAME literal cell strings."""
+    cells = _bar_cells(width, low_rgb, high_rgb)
+
+    def q(t: str) -> str:
+        body = t.replace("'", "''").replace("\x1b", "' || chr(27) || '")
+        return "('" + body.replace("\u2588", "' || chr(9608) || '") + "')"
+
+    cell_list = "[" + ", ".join(q(c) for c in cells) + "]"
+    n = f"greatest(0, least({width}, CAST({frac} * {width} AS INT)))"
     return (
-        f"CASE WHEN {n} <= 0 THEN repeat(' ', {width}) "
-        f"ELSE {filled} || chr(27) || '[0m' || repeat(' ', {width} - {n}) END"
+        f"coalesce(list_aggregate(list_slice({cell_list}, 1, {n}), 'string_agg', ''), '')"
+        f" || chr(27) || '[0m' || repeat(' ', {width} - {n})"
     )
 
 

@@ -642,7 +642,7 @@ SELECT doc_id,
        {{stem_tk}} AS stem_tk,
        (doc_id % 256) * 65536 + 100 * 256 + 50 AS rgbint,
        16746496 AS colorint,
-       chr(27) || '[38;2;255;136;0m' || lang || chr(27) || '[0m' AS rendered,
+       chr(27) || '[38;5;214m' || lang || chr(27) || '[0m' AS rendered,
        {{bar10}} AS bar10
 FROM t
 """.format(

@@ -43,6 +43,9 @@ NO_FROM_CASES = [
     "convertion_functions/castAccessible",
     "convertion_functions/tryCastAccessible",
     "map_functions/mapRetrieveOperatorWorks",
+    "color_functions/bar",
+    "color_functions/render",
+    "color_functions/render2",
 ]
 
 # Fixture-compatible TPC-H goldens (every referenced column exists in the
