@@ -517,3 +517,50 @@ def test_golden_fixture_vs_duckdb(spark, rel):
 @pytest.mark.parametrize("rel", TINY_SCHEMA_CASES)
 def test_golden_tiny_schema_vs_duckdb(spark, rel):
     _compare_vs_duckdb(spark, rel, tiny=True)
+
+
+# set_operation testcases are SECTIONED files (--! name: ... --! rows):
+# each section is one query plus its inline expected rows.  Sections
+# touching only the committed workers dataset compare against the
+# inline expectation; nation-based sections (the reference's nation has
+# real TPC-H names, the fixtures' is synthetic) compare Spark vs DuckDB
+# on identical inputs.
+def _read_sections(rel):
+    sections, name, buf, rows, in_rows = [], None, [], [], False
+    with open(os.path.join(TESTCASES, rel + ".sql")) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("--! name:"):
+                if name:
+                    sections.append((name, "\n".join(buf).strip(), rows))
+                name, buf, rows, in_rows = line.split(":", 1)[1].strip(), [], [], False
+            elif line.startswith("--!"):
+                in_rows = True
+            elif line.startswith("--"):
+                continue
+            elif in_rows:
+                if line.strip():
+                    cells = [c.strip() for c in line.split("|")]
+                    if cells and cells[-1] == "":
+                        cells = cells[:-1]
+                    rows.append(cells)
+            elif name:
+                buf.append(line)
+    if name:
+        sections.append((name, "\n".join(buf).strip(), rows))
+    return sections
+
+
+@pytest.mark.parametrize("rel", ["set_operation/except", "set_operation/intersect"])
+def test_golden_set_operation_sections(spark, rel):
+    from presto_copy_spark.engine import Engine
+
+    _spark_fixtures(spark)
+    con = _duck_with_fixtures()
+    for name, text, expected in _read_sections(rel):
+        got = _canon_rows([list(r) for r in spark.sql(Engine.transpile(text)).collect()])
+        if "nation" in text.lower():
+            want = _canon_rows([list(r) for r in con.sql(text).fetchall()])
+        else:
+            want = _canon_rows(expected)
+        assert got == want, (rel, name, got, want)
