@@ -32,6 +32,11 @@ never touched by rewrites) and fixes the known lexical/semantic deltas:
   Spark as smaller — every sort item without an explicit modifier gets
   NULLS LAST (ASC) / NULLS FIRST (DESC), incl. window ORDER BY
 - ``TABLESAMPLE BERNOULLI/SYSTEM (p)`` -> ``TABLESAMPLE (p PERCENT)``
+- window fixups: frame clauses on ranking/lag/lead are stripped (Presto
+  ignores them, Spark rejects), and rank-family windows with no ORDER BY
+  get a constant one (Presto all-rows-peers semantics)
+- literal ``color``/``rgb``/``render``/``bar`` calls constant-fold to
+  byte-exact ColorFunctions.java output (ANSI-256, awt-HSB gradients)
 
 Everything else (``||`` concat, interval literals, window frames,
 GROUPING SETS, approx_percentile 2-arg, ...) passes through untouched

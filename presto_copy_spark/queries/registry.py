@@ -76,7 +76,11 @@ DRIVER_PRIORITY: list[str] = [
     "sql_presto_view",
     # ---- the 50-entry cut lands here ----
     # Below: pytest-oracle-proven this round; rotate above the cut next
-    # round once the entries above have green driver rows.
+    # round once the entries above have green driver rows.  Round-3
+    # rotation candidates (new-in-r2, oracle-proven, no driver row yet):
+    # ml_learn_classify, events_asof_join, agg_setdigest_jaccard,
+    # agg_khll_uniqueness, func_i18n_color, func_tier2_arrays_maps,
+    # events_streaming_session, agg_percentiles (weighted form).
     "agg_classification",
     "agg_noisy_zero_scale",
     "geo_point_functions",
