@@ -157,6 +157,8 @@ _CALL_RENAMES = {
     "stddev": "stddev_samp",
     "variance": "var_samp",
     "json_extract": "get_json_object",
+    "json_extract_scalar": "get_json_object",
+    "zip": "arrays_zip",
     "regexp_like": "rlike",
 }
 

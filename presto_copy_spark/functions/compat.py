@@ -182,6 +182,7 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     ),
     "json_array_length_compat": ("j STRING", "INT", "json_array_length(j)"),
     "json_format": ("j STRING", "STRING", "j"),
+    "json_parse": ("j STRING", "STRING", "IF(get_json_object(j, '$') IS NOT NULL OR trim(j) IN ('null', 'true', 'false') OR try_cast(j AS DOUBLE) IS NOT NULL, j, raise_error(concat('Cannot convert to JSON: ', j)))"),
     "json_size": (
         "j STRING, p STRING",
         "INT",
