@@ -672,7 +672,11 @@ def _cls_oracle() -> str:
     def s(cond: str) -> str:
         return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)"
 
-    prec, rec, miss, fall, ths = [], [], [], [], []
+    # One row per (group, threshold) — the driver's canonicalizer can't
+    # hash list cells (VERDICT r2 item 1), so the per-threshold metric
+    # arrays are UNPIVOTED to scalar rows on both engine and oracle
+    # sides.
+    rows = []
     for i in range(_CLS_B):
         t = repr(i / _CLS_B)
         pos, neg = f"pred >= {t}", f"pred < {t}"
@@ -680,15 +684,18 @@ def _cls_oracle() -> str:
         fp = s(f"{pos} AND NOT outcome")
         fn = s(f"{neg} AND outcome")
         tn = s(f"{neg} AND NOT outcome")
-        prec.append(f"{tp} / ({tp} + {fp})")
-        rec.append(f"{tp} / ({tp} + {fn})")
-        miss.append(f"{fn} / ({tp} + {fn})")
-        fall.append(f"{fp} / ({fp} + {tn})")
-        ths.append(t)
-    # NOTE: thresholds (a constant array) is NOT in the output — DuckDB
-    # returns constant-folded list columns as numpy MaskedArray, which
-    # the driver's canonicalizer can't hash.  classification_thresholds
-    # is unit-tested Spark-side instead.
+        rows.append(
+            f"""
+SELECT o_orderpriority,
+       round({t}, 6) AS threshold,
+       round({tp} / ({tp} + {fp}), 6) AS precision_at,
+       round({tp} / ({tp} + {fn}), 6) AS recall_at,
+       round({fn} / ({tp} + {fn}), 6) AS miss_rate_at,
+       round({fp} / ({fp} + {tn}), 6) AS fall_out_at
+FROM t
+GROUP BY o_orderpriority"""
+        )
+    union = "\nUNION ALL\n".join(rows)
     return f"""
 WITH t AS (
   SELECT o_orderpriority,
@@ -696,13 +703,7 @@ WITH t AS (
          o_totalprice > 150000 AS outcome
   FROM orders
 )
-SELECT o_orderpriority,
-       list_value({', '.join(prec)}) AS precision_at,
-       list_value({', '.join(rec)}) AS recall_at,
-       list_value({', '.join(miss)}) AS miss_rate_at,
-       list_value({', '.join(fall)}) AS fall_out_at
-FROM t
-GROUP BY o_orderpriority
+{union}
 """
 
 
@@ -712,7 +713,10 @@ def agg_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-threshold confusion-matrix metrics as array<double>.  Every
     array element is a conditional sum, so the whole family runs as
     4*buckets parallel count_ifs in ONE aggregation pass — map-side
-    partial aggregation, no per-group state beyond 4*buckets longs."""
+    partial aggregation, no per-group state beyond 4*buckets longs.
+    The metric arrays are then UNPIVOTED post-agg (posexplode over
+    |groups| tiny rows — cost-free) so the driver sees scalar columns
+    only (driver hashability contract, VERDICT r2 item 1)."""
     from ..functions.presto import (
         classification_fall_out,
         classification_miss_rate,
@@ -726,11 +730,24 @@ def agg_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") % 97) / 96.0).alias("pred"),
         (F.col("o_totalprice") > 150000).alias("outcome"),
     )
-    return o.groupBy("o_orderpriority").agg(
-        classification_precision(_CLS_B, "pred", "outcome").alias("precision_at"),
-        classification_recall(_CLS_B, "pred", "outcome").alias("recall_at"),
-        classification_miss_rate(_CLS_B, "pred", "outcome").alias("miss_rate_at"),
-        classification_fall_out(_CLS_B, "pred", "outcome").alias("fall_out_at"),
+    m = o.groupBy("o_orderpriority").agg(
+        classification_thresholds(_CLS_B).alias("th"),
+        classification_precision(_CLS_B, "pred", "outcome").alias("p"),
+        classification_recall(_CLS_B, "pred", "outcome").alias("r"),
+        classification_miss_rate(_CLS_B, "pred", "outcome").alias("mi"),
+        classification_fall_out(_CLS_B, "pred", "outcome").alias("fo"),
+    )
+    z = m.select(
+        "o_orderpriority",
+        F.posexplode(F.arrays_zip("th", "p", "r", "mi", "fo")).alias("pos", "z"),
+    )
+    return z.select(
+        "o_orderpriority",
+        F.round(F.col("z.th"), 6).alias("threshold"),
+        F.round(F.col("z.p"), 6).alias("precision_at"),
+        F.round(F.col("z.r"), 6).alias("recall_at"),
+        F.round(F.col("z.mi"), 6).alias("miss_rate_at"),
+        F.round(F.col("z.fo"), 6).alias("fall_out_at"),
     )
 
 

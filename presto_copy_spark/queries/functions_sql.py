@@ -17,7 +17,7 @@ dayofweek numbering normalized to ISO, split_part, integer division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -716,15 +716,15 @@ WITH t AS (
   FROM documents WHERE doc_id % 13 = 0
 )
 SELECT doc_id,
-       list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC') AS sd,
-       (list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC'))[1:2] AS top2,
-       (list_sort([source, 'zz']))[1:2] AS lf2,
+       array_to_string(list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC'), ',') AS sd,
+       array_to_string((list_sort(list_filter(arr, x -> x IS NOT NULL), 'DESC'))[1:2], ',') AS top2,
+       array_to_string((list_sort([source, 'zz']))[1:2], ',') AS lf2,
        (list_sort(list_transform(sarr, s -> {'l': length(s), 's': s}), 'DESC'))[1]['s'] AS amax,
        (list_sort(list_transform(sarr, s -> {'l': length(s), 's': s})))[1]['s'] AS amin,
-       (list_sort(['k1', lang, source], 'DESC'))[1:2] AS tkeys,
-       list_transform((list_sort([{'v': v1, 'k': 'k1'}, {'v': v2, 'k': lang},
+       array_to_string((list_sort(['k1', lang, source], 'DESC'))[1:2], ',') AS tkeys,
+       array_to_string(list_transform((list_sort([{'v': v1, 'k': 'k1'}, {'v': v2, 'k': lang},
                                   {'v': v3, 'k': source}], 'DESC'))[1:2],
-                      s -> s['k']) AS kbv,
+                      s -> s['k']), ',') AS kbv,
        len(list_filter([v1, v2, v3], v -> v > 3)) > 0 AS avm,
        len(list_filter([v1, v2, v3], v -> v > 10)) = 0 AS nvm,
        CASE WHEN instr(source, 'rc') = 0 THEN source
@@ -776,15 +776,20 @@ def func_tier2_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = (F.col("doc_id") % 5).cast("int")
     v3 = (F.col("doc_id") % 3).cast("int")
     m = F.create_map(F.lit("k1"), v1, F.col("lang"), v2, F.col("source"), v3)
+    def _joined(col: Column) -> Column:
+        # Driver hashability contract: serialize array outputs to CSV
+        # strings (both sides — the oracle uses array_to_string).
+        return F.array_join(F.transform(col, lambda e: e.cast("string")), ",")
+
     return d.select(
         "doc_id",
-        array_sort_desc(remove_nulls(arr)).alias("sd"),
-        array_top_n(arr, 2).alias("top2"),
-        array_least_frequent(rep, 2).alias("lf2"),
+        _joined(array_sort_desc(remove_nulls(arr))).alias("sd"),
+        _joined(array_top_n(arr, 2)).alias("top2"),
+        _joined(array_least_frequent(rep, 2)).alias("lf2"),
         array_max_by(sarr, lambda s: F.length(s)).alias("amax"),
         array_min_by(sarr, lambda s: F.length(s)).alias("amin"),
-        map_top_n_keys(m, 2).alias("tkeys"),
-        map_keys_by_top_n_values(m, 2).alias("kbv"),
+        _joined(map_top_n_keys(m, 2)).alias("tkeys"),
+        _joined(map_keys_by_top_n_values(m, 2)).alias("kbv"),
         any_values_match(m, lambda v: v > 3).alias("avm"),
         no_values_match(m, lambda v: v > 10).alias("nvm"),
         replace_first(F.col("source"), "rc", "__").alias("rf"),

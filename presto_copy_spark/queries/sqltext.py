@@ -107,7 +107,7 @@ SELECT l_returnflag,
        count_if(l_discount > 0.05) AS n_disc,
        round(variance(l_discount), 9) AS var_disc,
        round(stddev(l_quantity), 9) AS std_qty,
-       array_sort(set_agg(l_linestatus)) AS statuses,
+       array_join(array_sort(set_agg(l_linestatus)), ',') AS statuses,
        max_by(l_quantity, (l_orderkey * 8 + l_linenumber) * 64 + CAST(l_quantity AS BIGINT)) AS qty_of_max_key
 FROM lineitem
 GROUP BY l_returnflag
@@ -165,7 +165,7 @@ SELECT l_returnflag,
        CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
        round(var_samp(l_discount), 9) AS var_disc,
        round(stddev_samp(l_quantity), 9) AS std_qty,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
        arg_max(l_quantity, (l_orderkey * 8 + l_linenumber) * 64 + CAST(l_quantity AS BIGINT)) AS qty_of_max_key
 FROM lineitem
 GROUP BY l_returnflag

@@ -21,6 +21,32 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_matches(df, rel, name)
 
 
+DRIVER_WINDOW = [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
+
+
+@pytest.mark.parametrize("name", DRIVER_WINDOW)
+def test_driver_window_columns_are_hashable(spark, sf_dir, name):
+    """Driver contract guard (VERDICT r2 item 1): the driver's pandas
+    canonicalizer sorts columns then hashes cell values — array/map/struct
+    cells raise ``TypeError: unhashable type`` and burn a driver row
+    (r1: agg_histogram_map, r2: sql_presto_aggregates).  Every query in
+    the 50-slot driver window must emit only scalar-typed columns;
+    collection outputs must be serialized (array_join / sorted-entries
+    string) on BOTH engine and oracle sides."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = registry.QUERIES[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} is in the driver window but returns non-hashable "
+        f"column(s) {bad}; serialize them to strings on both sides"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_query_runs(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
