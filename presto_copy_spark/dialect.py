@@ -157,7 +157,9 @@ _CALL_RENAMES = {
     "stddev": "stddev_samp",
     "variance": "var_samp",
     "json_extract": "get_json_object",
-    "json_extract_scalar": "get_json_object",
+    # json_extract_scalar keeps its own name: the registered compat macro
+    # returns NULL for non-scalar results (Presto semantics), which a bare
+    # get_json_object rename would not.
     "zip": "arrays_zip",
     "regexp_like": "rlike",
 }
@@ -383,7 +385,9 @@ def _fold_color_call(low: str, args: list) -> str | None:
             vals = [_lit_num(a) for a in args]
             if len(vals) in (2, 4) and all(v is not None for v in vals):
                 return _quote_str(pf.py_bar(float(vals[0]), int(vals[1]), *map(int, vals[2:])))
-    except (ValueError, KeyError):
+    except (ValueError, KeyError, ZeroDivisionError):
+        # ZeroDivisionError: defensive — a degenerate literal call (e.g.
+        # color(v, lo, lo, c1, c2)) must not abort the whole transpile.
         return None
     return None
 

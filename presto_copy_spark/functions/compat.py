@@ -173,7 +173,17 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         " kk -> struct(kk AS k, transform(filter(es, e -> e.k = kk), e -> e.v) AS v)))",
     ),
     # ---- json (JsonFunctions.java) ----
-    "json_extract_scalar": ("j STRING, p STRING", "STRING", "get_json_object(j, p)"),
+    # Presto json_extract_scalar returns NULL when the JsonPath resolves
+    # to an object/array (only scalars come back); get_json_object would
+    # return the serialized JSON text.  Delta: a JSON *string* value whose
+    # text itself starts with '[' or '{' is indistinguishable from the
+    # serialized form and also maps to NULL here.
+    "json_extract_scalar": (
+        "j STRING, p STRING",
+        "STRING",
+        "CASE WHEN substring(ltrim(get_json_object(j, p)), 1, 1) IN ('[', '{')"
+        " THEN NULL ELSE get_json_object(j, p) END",
+    ),
     "json_extract_compat": ("j STRING, p STRING", "STRING", "get_json_object(j, p)"),
     "json_array_contains_str": (
         "j STRING, x STRING",
@@ -182,7 +192,9 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     ),
     "json_array_length_compat": ("j STRING", "INT", "json_array_length(j)"),
     "json_format": ("j STRING", "STRING", "j"),
-    "json_parse": ("j STRING", "STRING", "IF(get_json_object(j, '$') IS NOT NULL OR trim(j) IN ('null', 'true', 'false') OR try_cast(j AS DOUBLE) IS NOT NULL, j, raise_error(concat('Cannot convert to JSON: ', j)))"),
+    # NULL-propagating like the reference (JsonFunctions.java json_parse
+    # is @SqlNullable): NULL in -> NULL out, never raise_error on NULL.
+    "json_parse": ("j STRING", "STRING", "IF(j IS NULL, NULL, IF(get_json_object(j, '$') IS NOT NULL OR trim(j) IN ('null', 'true', 'false') OR try_cast(j AS DOUBLE) IS NOT NULL, j, raise_error(concat('Cannot convert to JSON: ', j))))"),
     "json_size": (
         "j STRING, p STRING",
         "INT",

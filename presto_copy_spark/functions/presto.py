@@ -647,8 +647,12 @@ _SYSTEM_COLORS = {
 
 
 def color(s: str) -> Column:
-    """Presto color('#rrggbb' | '#rgb' | name) -> color int (literal arg);
-    names map to ANSI system colors exactly like SystemColor.valueOf."""
+    """Presto color('#rgb' | name) -> color int (literal arg); names map
+    to ANSI system colors exactly like SystemColor.valueOf.  Deliberate
+    extension: 6-digit '#rrggbb' is also accepted (the reference's
+    parseRgb only takes the 4-char '#rgb' form and raises
+    INVALID_FUNCTION_ARGUMENT otherwise; func_i18n_color relies on the
+    long form, so strict parity is traded for usability here)."""
     return F.lit(_py_color(s))
 
 
@@ -694,14 +698,23 @@ def _rgb_to_hsb(r: int, g: int, b: int) -> tuple:
 def _hsb_to_rgb(h: float, s: float, v: float) -> int:
     import math
 
+    # Java cast semantics: (int) NaN == 0 and Math.floor(NaN) == NaN.
+    # NaN inputs happen legitimately (bar(p, 1) interpolates at
+    # 0/0 = NaN); Color.HSBtoRGB then yields black, which we mirror.
+    def jint(x: float) -> int:
+        return 0 if math.isnan(x) else int(x)
+
+    def jfloor(x: float) -> float:
+        return x if math.isnan(x) else math.floor(x)
+
     if s == 0:
-        r = g = b = int(v * 255.0 + 0.5)
+        r = g = b = jint(v * 255.0 + 0.5)
     else:
-        hh = (h - math.floor(h)) * 6.0
-        f = hh - math.floor(hh)
+        hh = (h - jfloor(h)) * 6.0
+        f = hh - jfloor(hh)
         p, q, t = v * (1.0 - s), v * (1.0 - s * f), v * (1.0 - s * (1.0 - f))
-        r, g, b = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][int(hh)]
-        r, g, b = int(r * 255.0 + 0.5), int(g * 255.0 + 0.5), int(b * 255.0 + 0.5)
+        r, g, b = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][jint(hh)]
+        r, g, b = jint(r * 255.0 + 0.5), jint(g * 255.0 + 0.5), jint(b * 255.0 + 0.5)
     return (int(r) << 16) | (int(g) << 8) | int(b)
 
 
@@ -748,12 +761,15 @@ def render_color(s, color_int) -> Column:
     if isinstance(color_int, int):
         return F.concat(F.lit(_ansi_escape(color_int)), _col(s), F.lit(_ANSI_RESET))
     c = _col(color_int)
-    idx = (
+    cube = (
         F.lit(16)
         + F.floor(F.shiftright(c, 16).bitwiseAND(255) * 6 / 256).cast("int") * 36
         + F.floor(F.shiftright(c, 8).bitwiseAND(255) * 6 / 256).cast("int") * 6
         + F.floor(c.bitwiseAND(255) * 6 / 256).cast("int")
     )
+    # toAnsi's system-color branch: negative encodings map to -c - 1
+    # (e.g. color('red') == -2 -> ANSI 1), mirroring _to_ansi exactly.
+    idx = F.when(c < 0, -c - 1).otherwise(cube)
     return F.concat(
         F.lit("\x1b[38;5;"), idx.cast("string"), F.lit("m"), _col(s), F.lit(_ANSI_RESET)
     )
@@ -771,9 +787,18 @@ def py_render_bool(value: bool) -> str:
 
 def _bar_cells(width: int, low: int, high: int) -> list:
     """Per-character escape+block strings — depend only on literals
-    (ColorFunctions.bar colors position i by i/(width-1), float32)."""
+    (ColorFunctions.bar colors position i by i/(width-1), float32).
+    width == 1 divides 0/0: Java produces NaN (and HSBtoRGB then yields
+    black); Python int division raises, so emit NaN explicitly."""
     return [
-        _ansi_escape(_interpolate(_f32(i * 1.0 / (width - 1)), low, high)) + "\u2588"
+        _ansi_escape(
+            _interpolate(
+                _f32(i * 1.0 / (width - 1)) if width > 1 else float("nan"),
+                low,
+                high,
+            )
+        )
+        + "\u2588"
         for i in range(width)
     ]
 

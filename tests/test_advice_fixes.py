@@ -1,0 +1,86 @@
+"""Regression tests for the round-2 ADVICE.md findings (advisor review):
+json_parse NULL propagation, json_extract_scalar non-scalar -> NULL,
+bar(p, 1) degenerate width, render() of system colors via the Column
+path, and transpile robustness on degenerate literal color calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, expr_sql: str):
+    return spark.sql(f"SELECT {expr_sql} AS v").collect()[0].v
+
+
+def test_json_parse_null_propagates(spark):
+    # Reference JsonFunctions.json_parse is @SqlNullable: NULL -> NULL,
+    # not raise_error (ADVICE item 1).
+    assert _one(spark, "json_parse(CAST(NULL AS STRING))") is None
+    # Valid and invalid inputs keep their behavior.
+    assert _one(spark, "json_parse('{\"a\": 1}')") == '{"a": 1}'
+    nullable = spark.createDataFrame(
+        [('{"a":1}',), (None,), ("[1,2]",)], "j string"
+    )
+    vals = [r.v for r in nullable.select(F.expr("json_parse(j)").alias("v")).collect()]
+    assert vals == ['{"a":1}', None, "[1,2]"]
+
+
+def test_json_extract_scalar_non_scalar_is_null(spark):
+    # Presto returns NULL when the JsonPath resolves to an object/array
+    # (ADVICE item 3); get_json_object would return serialized JSON.
+    j = '{"a": {"b": 1}, "arr": [1,2], "s": "x", "n": 7}'
+    assert _one(spark, f"json_extract_scalar('{j}', '$.a')") is None
+    assert _one(spark, f"json_extract_scalar('{j}', '$.arr')") is None
+    assert _one(spark, f"json_extract_scalar('{j}', '$.s')") == "x"
+    assert _one(spark, f"json_extract_scalar('{j}', '$.n')") == "7"
+    assert _one(spark, f"json_extract_scalar('{j}', '$.missing')") is None
+
+
+def test_bar_width_one_matches_java_nan_path():
+    # bar(p, 1): fraction = 0/0 = NaN in Java; Color.HSBtoRGB(NaN,..)
+    # yields black (ANSI cube index 16).  Python must not raise
+    # (ADVICE item 2).
+    from presto_copy_spark.functions.presto import py_bar
+
+    out = py_bar(1.0, 1)
+    assert out.startswith("\x1b[38;5;16m█")
+    assert out.endswith("\x1b[0m")
+    # count clamps still apply
+    assert py_bar(0.0, 1) == "\x1b[0m "
+
+
+def test_transpile_survives_literal_bar_width_one():
+    # One degenerate literal bar(x, 1) must not abort the whole
+    # transpile (ZeroDivisionError was uncaught in _fold_color_call).
+    from presto_copy_spark.dialect import transpile
+
+    out = transpile("SELECT bar(0.5, 1) AS b, 1 + 1 AS x")
+    assert "x" in out  # transpile produced SQL, didn't raise
+
+
+def test_render_color_column_system_color(spark):
+    # render(x, color('red')): color() returns lit(-2) (a Column), which
+    # must take toAnsi's negative branch (-c - 1 = ANSI 1), not the RGB
+    # cube (ADVICE item 4).
+    from presto_copy_spark.functions.presto import color, render_color
+
+    df = spark.range(1).select(
+        render_color(F.lit("hot"), color("red")).alias("v")
+    )
+    assert df.collect()[0].v == "\x1b[38;5;1mhot\x1b[0m"
+    # positive RGB colors still use the 6x6x6 cube path
+    df2 = spark.range(1).select(
+        render_color(F.lit("x"), F.lit(0xFF0000).cast("long")).alias("v")
+    )
+    assert df2.collect()[0].v == "\x1b[38;5;196mx\x1b[0m"
+
+
+def test_color_long_hex_is_documented_extension():
+    # '#rrggbb' accepted as a deliberate extension; '#rgb' matches the
+    # reference's parseRgb exactly (ADVICE item 5).
+    from presto_copy_spark.functions.presto import _py_color
+
+    assert _py_color("#ff8800") == 0xFF8800
+    assert _py_color("#f80") == 0xFF8800
+    assert _py_color("red") == -2
