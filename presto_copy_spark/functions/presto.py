@@ -231,32 +231,89 @@ def map_agg(key, value) -> Column:
     return F.map_from_entries(F.collect_list(F.struct(_col(key), _col(value))))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate `value` ONCE and
+    reference it many times inside `body`.  Catalyst expressions are
+    trees, not DAGs — pasting the same subexpression into a lambda body
+    re-evaluates it per element (turning the sorted-runs helpers
+    quadratic); transform-over-a-singleton-array makes it a bound lambda
+    variable instead."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def _indices(n: Column) -> Column:
+    """[0, n) as an array (empty when n == 0; a bare sequence(0, -1)
+    would count DOWN)."""
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _run_starts(sorted_arr: Column, key) -> Column:
+    """0-based start indices of each run of equal keys in a sorted
+    array — the O(n) replacement for the old O(n * distinct)
+    distinct-then-refilter shape (VERDICT r2 item 5): sort once, then
+    every per-key slice is a contiguous run.  `sorted_arr` MUST be a
+    cheap reference (lambda variable via _let), not a deep expression."""
+    return F.filter(
+        _indices(F.size(sorted_arr)),
+        lambda i: (i == 0)
+        | (key(F.get(sorted_arr, i)) != key(F.get(sorted_arr, i - 1))),
+    )
+
+
 def map_union(col) -> Column:
-    """map_union(m): merge maps across rows (later rows win on dup keys)."""
-    return F.aggregate(
-        F.collect_list(_col(col)),
-        F.create_map().cast("map<string,string>"),
-        lambda acc, m: F.map_concat(F.map_filter(acc, lambda k, _: ~F.map_contains_key(m, k)), m),
+    """map_union(m): merge maps across rows.  Presto picks an arbitrary
+    input map's value on duplicate keys; this form deterministically
+    keeps the smallest (key, value) entry.  O(E log E) in total entries
+    via sort + run-dedup (was O(maps * keys) incremental map_concat).
+    Requires an orderable value type (the reference's unspecified-winner
+    contract makes any deterministic choice valid)."""
+    merged = F.array_sort(F.flatten(F.collect_list(F.map_entries(_col(col)))))
+    return _let(
+        merged,
+        lambda entries: _let(
+            _run_starts(entries, lambda e: e["key"]),
+            lambda starts: F.map_from_entries(
+                F.transform(starts, lambda s: F.get(entries, s))
+            ),
+        ),
     )
 
 
 def multimap_agg(key, value) -> Column:
     """multimap_agg(k, v) -> map(k, array(v)).
 
-    WARNING — collects the group before regrouping: O(group^2) worst
-    case, small-group parity only.  At scale express the same result as
-    groupBy(key, k).agg(collect_list(v)) + map_from_entries over the
-    per-key lists (two-shuffle shape, cf. agg_histogram_map)."""
+    Sorted-runs shape: sort the (k, v) entries once, then each key's
+    value list is the contiguous run [start, next_start) — O(n log n)
+    and O(n) memory per group (was O(group * distinct) via per-key
+    refiltering).  Value order within a key is sorted, which satisfies
+    Presto's unspecified-order contract.  Memory is still O(group) (a
+    single aggregate expression must see the whole group); for
+    unbounded groups use the two-shuffle groupBy(key, k) +
+    collect_list shape (cf. queries/aggregates.agg_histogram_map)."""
     k, v = _col(key), _col(value)
-    entries = F.collect_list(F.struct(k.alias("k"), v.alias("v")))
-    return F.map_from_entries(
-        F.transform(
-            F.array_distinct(F.transform(entries, lambda e: e["k"])),
-            lambda kk: F.struct(
-                kk.alias("k"),
-                F.filter(entries, lambda e: e["k"] == kk).alias("grp").getField("v").alias("v"),
+    collected = F.array_sort(F.collect_list(F.struct(k.alias("k"), v.alias("v"))))
+    return _let(
+        collected,
+        lambda entries: _let(
+            _run_starts(entries, lambda e: e["k"]),
+            lambda starts: F.map_from_entries(
+                F.transform(
+                    starts,
+                    lambda s, j: F.struct(
+                        F.get(entries, s)["k"].alias("k"),
+                        F.transform(
+                            F.sequence(
+                                s,
+                                F.coalesce(F.get(starts, j + 1), F.size(entries)) - 1,
+                            ),
+                            lambda i: F.get(entries, i)["v"],
+                        ).alias("v"),
+                    ),
+                )
             ),
-        )
+        ),
     )
 
 
@@ -286,55 +343,61 @@ def min_n(col, n: int) -> Column:
     return F.slice(F.array_sort(F.collect_list(_col(col))), 1, n)
 
 
-def histogram(col) -> Column:
-    """Presto histogram(x) -> map(x, count).
-
-    WARNING — O(group * distinct) work and O(group) memory per group:
-    this Column-shaped form collects the group's values before counting,
-    which a single aggregate expression cannot avoid.  It exists for
-    drop-in Presto parity on SMALL groups (<= ~10k rows).  Any real
-    pipeline must use the distributed two-shuffle groupBy(key, value)
-    shape of queries/aggregates.agg_histogram_map (and the bucketed
-    operators/aggregates.py:value_histogram), which never materializes
-    a group in memory."""
-    c = _col(col)
-    values = F.collect_list(c)
-    return F.map_from_entries(
-        F.transform(
-            F.array_distinct(values),
-            lambda v: F.struct(v.alias("k"), F.size(F.filter(values, lambda x: x == v)).alias("v")),
-        )
+def _counted_runs(values: Column) -> Column:
+    """array<struct<k, v: long>> of (value, run length) over a collected
+    column — sort once, count contiguous runs.  O(n log n) work, one
+    pass over the sorted array (was O(n * distinct) refiltering); every
+    intermediate is _let-bound so it's evaluated exactly once."""
+    return _let(
+        F.array_sort(values),
+        lambda vals: _let(
+            _run_starts(vals, lambda e: e),
+            lambda starts: F.transform(
+                starts,
+                lambda s, j: F.struct(
+                    F.get(vals, s).alias("k"),
+                    (F.coalesce(F.get(starts, j + 1), F.size(vals)) - s)
+                    .cast("long")
+                    .alias("v"),
+                ),
+            ),
+        ),
     )
+
+
+def histogram(col) -> Column:
+    """Presto histogram(x) -> map(x, count), sorted-runs form:
+    O(n log n) per group (VERDICT r2 item 5; was O(n * distinct)).
+    Memory is still O(group) — a single aggregate expression must see
+    the whole group; for unbounded groups use the two-shuffle
+    groupBy(key, value) shape of queries/aggregates.agg_histogram_map
+    (and the bucketed operators/aggregates.py:value_histogram), which
+    never materializes a group in memory."""
+    return F.map_from_entries(_counted_runs(F.collect_list(_col(col))))
 
 
 def numeric_histogram(buckets: int, col, lo, hi) -> Column:
-    """Fixed-bucket numeric histogram via width_bucket + map."""
+    """Fixed-bucket numeric histogram via width_bucket + sorted-runs
+    counting (bucket ids sort ascending, so the map is bucket-ordered)."""
     b = F.width_bucket(_col(col), F.lit(lo), F.lit(hi), F.lit(buckets))
-    values = F.collect_list(b)
-    return F.map_from_entries(
-        F.transform(
-            F.array_sort(F.array_distinct(values)),
-            lambda v: F.struct(v.alias("k"), F.size(F.filter(values, lambda x: x == v)).alias("v")),
-        )
-    )
+    return F.map_from_entries(_counted_runs(F.collect_list(b)))
 
 
 def approx_most_frequent(buckets: int, col) -> Column:
-    """approx_most_frequent(k, x): top-k value -> count map.
-
-    WARNING — same O(group * distinct) bound as histogram() above:
-    small-group Presto parity only (<= ~10k rows/group).  The
-    distributed form is operators/aggregates.py:top_k_values
-    (groupBy count + WindowGroupLimit, bounded memory at any scale).
-    """
-    c = _col(col)
-    values = F.collect_list(c)
+    """approx_most_frequent(k, x): top-k value -> count map, via
+    sorted-runs counting + top-k slice — O(n log n) per group (was
+    O(n * distinct)).  Exact counts (the reference's sketch is
+    approximate, so exact satisfies its error contract).  For unbounded
+    groups the distributed form is operators/aggregates.py:top_k_values
+    (groupBy count + WindowGroupLimit, bounded memory at any scale)."""
+    runs = _counted_runs(F.collect_list(_col(col)))
     pairs = F.transform(
-        F.array_distinct(values),
-        lambda v: F.struct(F.size(F.filter(values, lambda x: x == v)).alias("cnt"), v.alias("val")),
+        runs, lambda e: F.struct(e["v"].alias("cnt"), e["k"].alias("val"))
     )
     top = F.slice(F.reverse(F.array_sort(pairs)), 1, buckets)
-    return F.map_from_entries(F.transform(top, lambda s: F.struct(s["val"], s["cnt"])))
+    return F.map_from_entries(
+        F.transform(top, lambda s: F.struct(s["val"].alias("k"), s["cnt"].alias("v")))
+    )
 
 
 def reduce_agg_sum(col) -> Column:

@@ -338,3 +338,89 @@ def test_tier2_map_string_sampling_functions(spark):
 
     duck = duckdb.sql(f"SELECT {sql_key_sampling_percent(chr(39)+'hello'+chr(39))} AS k").fetchone()[0]
     assert abs(duck - row["ksp"]) < 1e-12
+
+
+def test_compat_aggregates_large_group_loglinear(spark):
+    """VERDICT r2 item 5: the Presto-named compat aggregates must handle
+    a 100k-element group in bounded time/memory through the compat NAME.
+    The old distinct-then-refilter forms were O(group * distinct) —
+    100k rows * 1k distinct = 10^8 comparisons per group; the
+    sorted-runs forms are O(n log n) and finish in seconds."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        approx_most_frequent,
+        histogram,
+        map_union,
+        multimap_agg,
+    )
+
+    n, d = 100_000, 1_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % d).alias("v"),
+        F.concat(F.lit("k"), (F.col("id") % d).cast("string")).alias("k"),
+    )
+    row = (
+        df.groupBy("g")
+        .agg(
+            histogram("v").alias("h"),
+            approx_most_frequent(3, "v").alias("amf"),
+            multimap_agg("k", "v").alias("mm"),
+        )
+        .collect()[0]
+    )
+    assert len(row.h) == d and all(c == n // d for c in row.h.values())
+    assert len(row.amf) == 3 and all(c == n // d for c in row.amf.values())
+    assert len(row.mm) == d and sorted(row.mm["k7"]) == [7] * (n // d)
+
+    # map_union over 10k single-entry maps with 1k distinct keys
+    maps = spark.range(10_000).select(
+        F.lit("g").alias("g"),
+        F.create_map(
+            F.concat(F.lit("k"), (F.col("id") % d).cast("string")), F.col("id")
+        ).alias("m"),
+    )
+    [mu] = maps.groupBy("g").agg(map_union("m").alias("u")).collect()
+    assert len(mu.u) == d
+    # deterministic winner: smallest (key, value) entry per key
+    assert mu.u["k7"] == 7
+
+
+def test_compat_aggregate_values_match_reference_semantics(spark):
+    """Small-group value checks for the rewritten sorted-runs forms."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions.presto import (
+        approx_most_frequent,
+        histogram,
+        map_union,
+        multimap_agg,
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", x, k) for x, k in [(1, "a"), (1, "a"), (2, "a"), (3, "b"), (3, "b"), (3, "b")]],
+        "g string, v int, k string",
+    )
+    row = (
+        df.groupBy("g")
+        .agg(
+            histogram("v").alias("h"),
+            approx_most_frequent(2, "v").alias("amf"),
+            multimap_agg("k", "v").alias("mm"),
+            numeric_histogram(2, "v", 1, 4).alias("nh"),
+        )
+        .collect()[0]
+    )
+    assert dict(row.h) == {1: 2, 2: 1, 3: 3}
+    assert dict(row.amf) == {3: 3, 1: 2}  # top-2 by count
+    assert sorted(row.mm["a"]) == [1, 1, 2] and sorted(row.mm["b"]) == [3, 3, 3]
+    assert dict(row.nh) == {1: 3, 2: 3}  # width_bucket(v, 1, 4, 2)
+
+    maps = spark.createDataFrame(
+        [("g", {"a": 1, "b": 9}), ("g", {"b": 2, "c": 3})],
+        "g string, m map<string,int>",
+    )
+    [mu] = maps.groupBy("g").agg(map_union("m").alias("u")).collect()
+    assert dict(mu.u) == {"a": 1, "b": 2, "c": 3}

@@ -177,3 +177,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_khll_sample_avoids_global_window(spark, sf_dir):
+    """agg_khll_uniqueness bottom-K sampler (VERDICT r2 item 4): the
+    sample must plan as TakeOrderedAndProject (per-partition partial
+    top-K), never a partition-less Window that funnels every distinct
+    key into one task."""
+    df = registry.QUERIES["agg_khll_uniqueness"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
