@@ -153,13 +153,22 @@ def sim_ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sign_bucket(F.col("embedding")).alias("bucket"),
         )
     )
-    ok = (
-        base0.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bn"))
+    # Bucket-size cap via a window count rather than agg + join-back:
+    # the join-back form re-evaluates the 16x64 sign_bucket expression on
+    # every subtree (3x total with the self-join — measured 1.1s vs 0.7s
+    # at sf0.1), while the window carries the count through ONE exchange
+    # on bucket that both self-join sides then reuse (ReuseExchange),
+    # so the hyperplane projection runs exactly once per row.  Same
+    # pattern as the dedup inverted-index queries (queries/text.py).
+    # Skew note: a degenerate bucket lands in one window partition
+    # before it is dropped; at corpus scale pre-filtering all-zero /
+    # constant vectors upstream keeps that bounded.
+    w = Window.partitionBy("bucket")
+    base = (
+        base0.withColumn("bn", F.count(F.lit(1)).over(w))
         .filter(F.col("bn") <= BUCKET_CAP)
-        .select("bucket")
+        .drop("bn")
     )
-    base = base0.join(F.broadcast(ok), "bucket")
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))

@@ -124,18 +124,30 @@ GROUP BY o_orderpriority
 """,
 )
 def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 order priority: EXISTS -> left-semi join
-    (HashSemiJoinOperator analogue, operator/HashSemiJoinOperator.java:35)."""
+    """Q4 order priority: EXISTS -> semi join
+    (HashSemiJoinOperator analogue, operator/HashSemiJoinOperator.java:35).
+
+    Formulated as inner-join-then-dedup rather than a literal left-semi:
+    with orders pre-filtered to a 3-month slice, the slice is the natural
+    build side — the literal ``o.join(l, ..., "left_semi")`` makes Spark
+    build a hashed relation over the whole LINEITEM projection (measured
+    2x slower at sf0.1, and a fact-table broadcast whenever the 2-column
+    projection sneaks under the threshold).  The dedup groupBy touches
+    only matched orders (bounded by the slice), and the derived
+    ``l_shipdate > slice_start`` predicate reaches the parquet scan."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= TS("1996-01-01")) & (F.col("o_orderdate") < TS("1996-04-01"))
     )
-    l = _t(spark, sf_dir, "lineitem")
+    # EXISTS requires l_shipdate > o_orderdate >= 1996-01-01: push the
+    # static bound into the lineitem scan
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > TS("1996-01-01"))
     return (
-        o.join(
-            l,
-            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
-            "left_semi",
+        l.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            (l.l_orderkey == F.col("o_orderkey")) & (l.l_shipdate > F.col("o_orderdate")),
         )
+        .groupBy("o_orderkey")
+        .agg(F.first("o_orderpriority").alias("o_orderpriority"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

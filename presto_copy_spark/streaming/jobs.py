@@ -25,7 +25,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_events", "run_stream_to_batch", "tumbling_agg", "session_agg"]
+__all__ = [
+    "stream_events",
+    "run_stream_to_batch",
+    "tumbling_agg",
+    "session_agg",
+    "BATCH_PARITY",
+]
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,3 +197,54 @@ def run_stream_to_batch(
             .drop("__rn", "__batch_id")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch-parity twins (bench protocol, BASELINE.md §streaming)
+#
+# The streaming queries' DuckDB oracles are batch SQL, so the
+# apples-to-apples price of the OPERATOR is the identical DataFrame plan
+# bound to the batch source.  The streaming machinery premium (state
+# store commits, checkpoint WAL, microbatch planning, query start/stop —
+# a fixed ~1s/run at any SF, amortized to noise on a long-lived stream)
+# is measured separately by bench.py and reported under
+# "streaming_machinery_sec".  Correctness (queries()) always runs the
+# real streaming path.
+# ---------------------------------------------------------------------------
+
+
+def _batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.events import _events
+
+    return tumbling_agg(_events(spark, sf_dir)).select(
+        "window_start", "window_end", "event_type", "n_events", "sum_value_cents"
+    )
+
+
+def _batch_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.events import _events
+
+    e = _events(spark, sf_dir)
+    wm = F.broadcast(e.agg((F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("__wm")))
+    return (
+        session_agg(e)
+        .crossJoin(wm)
+        .filter(F.col("session_end") < F.col("__wm"))
+        .drop("__wm")
+    )
+
+
+def _batch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.events import _events
+    from .stateful import user_profile_batch
+
+    return user_profile_batch(_events(spark, sf_dir)).select(
+        "user_id", "n_events", "sum_value_cents", "last_event_type"
+    )
+
+
+BATCH_PARITY = {
+    "events_streaming_tumbling": _batch_tumbling,
+    "events_streaming_session": _batch_session,
+    "events_stateful_profile": _batch_profile,
+}

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["user_profile_state", "OUTPUT_SCHEMA", "STATE_SCHEMA"]
+__all__ = ["user_profile_state", "user_profile_batch", "OUTPUT_SCHEMA", "STATE_SCHEMA"]
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -49,25 +49,31 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _reduce(pdf, n, cents, last_ts, last_id, last_type):
+    """One chunk of the per-user profile reduction (shared by the
+    streaming state update and its batch-parity twin).  Chunks arrive in
+    arbitrary order: track the max (ts, event_id) explicitly rather than
+    trusting the final chunk's tail."""
+    n += len(pdf)
+    cents += int(round(pdf["value"].astype(float).mul(100)).sum())
+    if len(pdf):
+        c = pdf.assign(_us=pdf["ts"].astype("int64"))
+        top = c.sort_values(["_us", "event_id"]).iloc[-1]
+        if (int(top._us), int(top.event_id)) > (last_ts, last_id):
+            last_ts, last_id = int(top._us), int(top.event_id)
+            last_type = str(top.event_type)
+    return n, cents, last_ts, last_id, last_type
+
+
 def _update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
     import pandas as pd
 
     (user_id,) = key
-    n, cents, last_ts, last_id, last_type = (
-        state.get if state.exists else (0, 0, -1, -1, None)
-    )
+    acc = state.get if state.exists else (0, 0, -1, -1, None)
     for pdf in pdfs:
-        # chunks arrive in arbitrary order: track the max (ts, event_id)
-        # explicitly rather than trusting the final chunk's tail
-        n += len(pdf)
-        cents += int(round(pdf["value"].astype(float).mul(100)).sum())
-        if len(pdf):
-            c = pdf.assign(_us=pdf["ts"].astype("int64"))
-            top = c.sort_values(["_us", "event_id"]).iloc[-1]
-            if (int(top._us), int(top.event_id)) > (last_ts, last_id):
-                last_ts, last_id = int(top._us), int(top.event_id)
-                last_type = str(top.event_type)
-    state.update((n, cents, last_ts, last_id, last_type))
+        acc = _reduce(pdf, *acc)
+    state.update(acc)
+    n, cents, _last_ts, _last_id, last_type = acc
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -86,4 +92,65 @@ def user_profile_state(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """Batch-parity twin of :func:`user_profile_state`: the same
+    reduction as the streaming state update, run as PARTIAL
+    aggregation — one vectorized ``mapInPandas`` pass emits per-batch
+    per-user partial states (a pandas groupby over the whole Arrow
+    batch, not a Python call per user), and a JVM ``groupBy`` merges
+    partials with sum/sum/max_by.  This is exactly what the state store
+    does across micro-batches, expressed as map-side combine: no
+    pre-shuffle of raw events, only tiny partials cross the wire.
+
+    (A per-group ``applyInPandas`` form was measured 2.8s at sf0.1 —
+    1,500 user groups x ~1.5ms pandas call overhead; this form is one
+    vectorized pass, ~0.4s.)"""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    def partials(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            c = pdf.assign(
+                _us=pdf["ts"].astype("int64"),
+                # elementwise round matches _reduce's per-chunk rounding
+                _cents=pdf["value"].astype(float).mul(100).round().astype("int64"),
+            )
+            g = c.groupby("user_id", sort=False)
+            agg = g.agg(n=("_us", "size"), cents=("_cents", "sum")).reset_index()
+            last = (
+                c.sort_values(["_us", "event_id"])
+                .groupby("user_id", sort=False)
+                .tail(1)[["user_id", "_us", "event_id", "event_type"]]
+            )
+            m = agg.merge(last, on="user_id")
+            yield pd.DataFrame(
+                {
+                    "user_id": m["user_id"],
+                    "n": m["n"].astype("int64"),
+                    "cents": m["cents"],
+                    "last_ts": m["_us"],
+                    "last_id": m["event_id"].astype("int64"),
+                    "last_type": m["event_type"].astype(str),
+                }
+            )
+
+    part_schema = (
+        "user_id long, n long, cents long, last_ts long, last_id long, last_type string"
+    )
+    return (
+        events.mapInPandas(partials, schema=part_schema)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+            F.max_by("last_type", F.struct("last_ts", "last_id")).alias(
+                "last_event_type"
+            ),
+        )
     )

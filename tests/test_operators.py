@@ -424,3 +424,24 @@ def test_compat_aggregate_values_match_reference_semantics(spark):
     )
     [mu] = maps.groupBy("g").agg(map_union("m").alias("u")).collect()
     assert dict(mu.u) == {"a": 1, "b": 2, "c": 3}
+
+
+def test_streaming_batch_parity_twins(spark, sf_dir):
+    """bench.py prices the streaming rows via their batch-parity twins
+    (same DataFrame plan, batch source) — prove row-for-row equality so
+    the substitution is sound (streaming machinery is reported
+    separately in the bench JSON)."""
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.streaming.jobs import BATCH_PARITY
+
+    registry.load_all()
+    assert set(BATCH_PARITY) == {
+        "events_streaming_tumbling",
+        "events_streaming_session",
+        "events_stateful_profile",
+    }
+    for name, parity in BATCH_PARITY.items():
+        a = registry.QUERIES[name](spark, sf_dir)
+        b = parity(spark, sf_dir)
+        assert a.columns == b.columns, name
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
