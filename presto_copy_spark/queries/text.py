@@ -326,14 +326,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = F.greatest(
         F.lit(DF_CAP_MIN), F.ceil(F.col("n_docs") * DF_CAP_FRAC).cast("long")
     )
-    rare = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Document-frequency stop-shingle cap via a window count rather than
+    # agg + join-back: the join-back form derives the md5 shingle index
+    # TWICE (once for the df agg, once for the probe side), while the
+    # window carries df through ONE exchange on shingle — which is also
+    # the self-join's partitioning, so the pair join adds no further
+    # exchange (same pattern as sim_ann_lsh_neardup's bucket cap).
+    # Skew note: a stop-shingle's rows land in one window partition
+    # before being dropped; the cap bounds what survives, and at corpus
+    # scale the df agg + join-back form (kept in git history) is the
+    # salt-free fallback if a single stop-shingle partition exceeds a
+    # task.
+    sh = (
+        sh0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") <= cap)
-        .select("shingle")
+        .drop("df", "n_docs")
     )
-    sh = sh0.join(rare, "shingle")
     # Per-doc size as a window count carried on every index row: the
     # pair join then has both sizes in-row (first() per group), so there
     # is no sizes-table join-back re-deriving the capped index twice
@@ -565,9 +574,13 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     tok = tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(tok, i + 1), F.element_at(tok, i + 2)),
+    # zip_with over shifted slices — same linear-walk rationale as
+    # operators/text.shingles
+    n = F.size(tok)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     counted = (
         d.select("lang", F.explode(bigrams).alias("bigram"))
