@@ -107,6 +107,30 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # --- sf1x section: the design target is 100 TB, so the headline is
+    # also measured at the 10x key-shifted layout (32-file tables, join
+    # cardinalities scale linearly — tools/scale_convergence.py builds
+    # it).  BASELINE.md §scale-convergence carries the DuckDB twins.
+    sf1x: dict[str, float] = {}
+    if os.environ.get("BENCH_SF1X", "1") == "1" and sf_dir.rstrip("/").endswith("sf0.1"):
+        try:
+            from tools.scale_convergence import build_layouts
+
+            big_dir = build_layouts(spark)["sf1x"]
+            for name in [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]:
+                gc.collect()
+                jvm_gc()
+                df = registry.QUERIES[name](spark, big_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                sf1x[name] = round(statistics.median(samples), 4)
+        except Exception as e:
+            print(f"bench: sf1x section failed: {e}", file=sys.stderr)
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     print(
         json.dumps(
@@ -116,6 +140,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf1x_tpch_sec": sf1x,
+                "sf1x_tpch_total": round(sum(sf1x.values()), 4),
                 # full streaming-path runs (state store + checkpoint +
                 # query lifecycle) for the three streaming rows; their
                 # `queries` entries above price the identical plan on
