@@ -47,7 +47,17 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["transpile", "tokenize"]
+__all__ = ["transpile", "tokenize", "PrestoFeatureUnsupportedError"]
+
+
+class PrestoFeatureUnsupportedError(NotImplementedError):
+    """Raised for Presto surface the engine documents as unsupported
+    (SURVEY §1.2) — a clear transpiler-level message instead of Spark's
+    downstream parse error.  Reference types: StandardTypes.java:42-43
+    (TIME / TIME WITH TIME ZONE), :55-57 (TIMESTAMP WITH TIME ZONE)."""
+
+    def __init__(self, feature: str):
+        super().__init__(f"unsupported: {feature} (documented gap, SURVEY §1.2)")
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -501,6 +511,31 @@ def _rewrite_view_ddl(tokens: list) -> str | None:
 # ---------------------------------------------------------------------------
 # main pass
 # ---------------------------------------------------------------------------
+def _split_at_time_zone(arg: list) -> tuple[list, str] | None:
+    """Split `expr AT TIME ZONE 'tz'` at top level -> (expr_tokens,
+    tz_literal); None when the shape doesn't match."""
+    depth = 0
+    for i, (k, t) in enumerate(arg):
+        if k == "op" and t == "(":
+            depth += 1
+        elif k == "op" and t == ")":
+            depth -= 1
+        elif depth == 0 and k == "word" and t.lower() == "at":
+            j1 = _next_sig(arg, i + 1)
+            j2 = _next_sig(arg, j1 + 1) if j1 < len(arg) else len(arg)
+            j3 = _next_sig(arg, j2 + 1) if j2 < len(arg) else len(arg)
+            if (
+                j3 < len(arg)
+                and arg[j1][0] == "word"
+                and arg[j1][1].lower() == "time"
+                and arg[j2][0] == "word"
+                and arg[j2][1].lower() == "zone"
+                and arg[j3][0] == "str"
+            ):
+                return arg[:i], arg[j3][1]
+    return None
+
+
 def _transpile_tokens(tokens: list) -> str:
     out: list[str] = []
     i = 0
@@ -723,6 +758,64 @@ def _transpile_tokens(tokens: list) -> str:
                             out.append(f"{call} OVER ({spec_text})")
                             i = spec_close + 1
                             continue
+            # timezone_hour/minute over `expr AT TIME ZONE 'tz'`
+            # (SqlBase.g4 AT_TIMEZONE; DateTimeFunctions timezoneHour):
+            # Spark has no timestamp-with-time-zone VALUE, but the zone
+            # OFFSET at the instant is computable — from_utc_timestamp
+            # shifts the wall clock by exactly that offset under the
+            # engine's pinned UTC session zone.  Truncation toward zero
+            # reproduces Presto's -5:-30 split for negative offsets.
+            if low in ("timezone_hour", "timezone_minute"):
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j] == ("op", "("):
+                    close = _match_paren(tokens, j)
+                    atz = _split_at_time_zone(_strip(tokens[j + 1 : close]))
+                    if atz is not None:
+                        expr_toks, tz = atz
+                        e = _transpile_tokens(expr_toks)
+                        off = (
+                            f"(unix_timestamp(from_utc_timestamp({e}, {tz}))"
+                            f" - unix_timestamp({e}))"
+                        )
+                        if low == "timezone_hour":
+                            out.append(f"CAST({off} / 3600.0 AS INT)")
+                        else:
+                            out.append(
+                                f"(CAST({off} / 60.0 AS INT)"
+                                f" - 60 * CAST({off} / 3600.0 AS INT))"
+                            )
+                        i = close + 1
+                        continue
+            # Documented type gaps -> clear transpiler errors instead of
+            # Spark's downstream parse failure.
+            if low == "at":
+                j1 = _next_sig(tokens, i + 1)
+                j2 = _next_sig(tokens, j1 + 1) if j1 < n else n
+                if (
+                    j2 < n
+                    and tokens[j1][0] == "word"
+                    and tokens[j1][1].lower() == "time"
+                    and tokens[j2][0] == "word"
+                    and tokens[j2][1].lower() == "zone"
+                ):
+                    raise PrestoFeatureUnsupportedError(
+                        "timestamp with time zone (AT TIME ZONE outside"
+                        " timezone_hour/timezone_minute)"
+                    )
+            if low == "time":
+                j1 = _next_sig(tokens, i + 1)
+                p1 = i - 1
+                while p1 >= 0 and not _is_sig(tokens[p1]):
+                    p1 -= 1
+                prev = tokens[p1][1].lower() if p1 >= 0 and tokens[p1][0] == "word" else ""
+                if j1 < n and tokens[j1][0] == "str":
+                    raise PrestoFeatureUnsupportedError("TIME literal / time type")
+                if prev == "with" and j1 < n and tokens[j1][1].lower() == "zone":
+                    # `<type> WITH TIME ZONE` — the leading TIME/TIMESTAMP
+                    # word was already emitted; the message names the gap.
+                    raise PrestoFeatureUnsupportedError("type with time zone")
+                if prev == "as" and j1 < n and tokens[j1] == ("op", ")"):
+                    raise PrestoFeatureUnsupportedError("CAST to time type")
             # function-call rewrites
             j = _next_sig(tokens, i + 1)
             if j < n and tokens[j] == ("op", "("):

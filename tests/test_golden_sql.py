@@ -46,7 +46,16 @@ NO_FROM_CASES = [
     "color_functions/bar",
     "color_functions/render",
     "color_functions/render2",
+    # AT TIME ZONE inside timezone_hour/minute (dialect offset rewrite);
+    # arrayCreationAccessible ships the same SQL in the reference tree.
+    "horology_functions/atTimeZoneAccessible",
+    "array_functions/arrayCreationAccessible",
 ]
+
+# horology_functions/dateTimeOperatorsAccessible needs the TIME type
+# (TIME '01:00' + interval) — a documented gap (SURVEY §1.2); the
+# transpiler raises PrestoFeatureUnsupportedError for it (asserted in
+# test_dialect.py) instead of running the golden.
 
 # Fixture-compatible TPC-H goldens (every referenced column exists in the
 # driver fixtures); value-checked against DuckDB on the same parquet.
@@ -377,6 +386,12 @@ TINY_SCHEMA_CASES = [
     "window_functions/windowSpecificationABA",
     "window_functions/windowSpecificationABcpA",
     "window_functions/windowSpecificationBcpAA",
+    "window_functions/rangeCurrent",
+    "window_functions/rangeUnbounded",
+    "window_functions/rowsUnbounded",
+    "string_functions/likeOperatorWorks",
+    "tpch_connector/countPartsuppTiny",
+    "tpch_connector/selectFromNationTiny",
     "order_by/orderByAggregate",
     "order_by/orderByAliasSameAsColumn",
     "order_by/orderByDistinctColumnDesc",
@@ -423,11 +438,21 @@ def _duck_with_fixtures(tiny: bool = False):
     con.executemany(
         "INSERT INTO workers VALUES (?,?,?,?,?,?,?,?)", _workers_rows()
     )
+    from tests import tpch_full_fixtures as tf
+
+    con.sql(
+        "CREATE VIEW partsupp AS SELECT * FROM "
+        f"'{os.path.join(tf.ensure_parquet(), 'partsupp.parquet')}'"
+    )
     if tiny:
         con.sql("DROP VIEW nation")
         con.sql(
             "CREATE VIEW nation AS SELECT n_nationkey AS nationkey, n_name AS name,"
-            f" n_regionkey AS regionkey FROM '{sf}/nation.parquet'"
+            " n_regionkey AS regionkey,"
+            # fixture nation has no comment column; derive one
+            # deterministically (identically in the Spark view)
+            " n_name || '#' || CAST(n_nationkey AS VARCHAR) AS comment"
+            f" FROM '{sf}/nation.parquet'"
         )
         con.sql("DROP VIEW lineitem")
         con.sql(
@@ -460,10 +485,16 @@ def _spark_fixtures(spark, tiny: bool = False):
     spark.createDataFrame(_workers_rows(), _WORKERS_SCHEMA).createOrReplaceTempView(
         "workers"
     )
+    from tests import tpch_full_fixtures as tf
+
+    spark.read.parquet(
+        os.path.join(tf.ensure_parquet(), "partsupp.parquet")
+    ).createOrReplaceTempView("partsupp")
     if tiny:
         spark.sql(
             "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT n_nationkey AS "
-            "nationkey, n_name AS name, n_regionkey AS regionkey FROM "
+            "nationkey, n_name AS name, n_regionkey AS regionkey, "
+            "concat(n_name, '#', CAST(n_nationkey AS STRING)) AS comment FROM "
             "parquet.`/root/testdata/sf0.001/nation.parquet`"
         )
         spark.sql(
@@ -564,3 +595,119 @@ def test_golden_set_operation_sections(spark, rel):
         else:
             want = _canon_rows(expected)
         assert got == want, (rel, name, got, want)
+
+
+# ---------------------------------------------------------------------------
+# tpcds/ goldens: all 103 reference TPC-DS queries run through
+# Engine.transpile as Spark-vs-DuckDB EQUIVALENCE checks over the
+# synthetic seeded TPC-DS fixtures (tests/tpcds_fixtures.py — public
+# spec schema, value domains matching the queries' literal predicates,
+# byte-identical parquet inputs for both engines).  The committed
+# .result files come from real dsdgen data the container can't build
+# offline; equivalence on identical inputs checks the same dialect +
+# planner + execution surface.
+TPCDS_CASES = [
+    f"tpcds/{q}"
+    for q in (
+        "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14_1 q14_2 "
+        "q15 q16 q17 q18 q19 q20 q21 q22 q23_1 q23_2 q24_1 q24_2 q25 q26 "
+        "q27 q28 q29 q30 q31 q32 q33 q34 q35 q36 q37 q38 q39_1 q39_2 q40 "
+        "q41 q42 q43 q44 q45 q46 q47 q48 q49 q50 q51 q52 q53 q54 q55 q56 "
+        "q57 q58 q59 q60 q61 q62 q63 q64 q65 q66 q67 q68 q69 q70 q71 q72 "
+        "q73 q74 q75 q76 q77 q78 q79 q80 q81 q82 q83 q84 q85 q86 q87 q88 "
+        "q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99"
+    ).split()
+]
+
+# Documented oracle deltas (not engine defects): Spark follows Presto's
+# decimal semantics — decimal/int division stays DECIMAL, each term
+# rounded at the result scale — while DuckDB promotes to DOUBLE, so
+# q66's sum-of-30k-divided-terms drifts past the 6-sig-fig comparison.
+TPCDS_SKIP = {
+    "tpcds/q66": "decimal division: Spark/Presto round-at-scale vs DuckDB double"
+}
+
+
+@pytest.fixture(scope="session")
+def tpcds_engines(spark):
+    import duckdb
+
+    from tests import tpcds_fixtures as fx
+
+    fx.register_spark(spark)
+    con = duckdb.connect()
+    fx.register_duckdb(con)
+    yield spark, con
+    con.close()
+
+
+@pytest.mark.parametrize("rel", TPCDS_CASES)
+def test_golden_tpcds_vs_duckdb(tpcds_engines, rel):
+    from presto_copy_spark.engine import Engine
+
+    if rel in TPCDS_SKIP:
+        pytest.skip(TPCDS_SKIP[rel])
+    spark, con = tpcds_engines
+    text = _read_sql(rel).rstrip(";")
+    got = _canon_rows([list(r) for r in spark.sql(Engine.transpile(text)).collect()])
+    duck_text = re.sub(r"(?i)decimal\s+'([^']*)'", r"\1", text)
+    want = _canon_rows([list(r) for r in con.sql(duck_text).fetchall()])
+    assert got == want, (rel, got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# hive_tpch full suite: ALL 22 literal TPC-H golden .sql files over the
+# augmented full-schema fixtures (tests/tpch_full_fixtures.py — the
+# driver fixtures plus deterministically derived spec columns and a
+# generated partsupp), Spark vs DuckDB on byte-identical parquet.
+# Multi-statement files (q15's CREATE VIEW; SELECT) run statement by
+# statement through Engine.transpile.
+HIVE_TPCH_FULL = [f"hive_tpch/q{i:02d}" for i in range(1, 23)]
+
+
+def _split_statements(text: str) -> list[str]:
+    stmts, buf, in_str = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            stmts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return [s for s in stmts if s]
+
+
+@pytest.fixture(scope="session")
+def tpch_full_engines(spark):
+    import duckdb
+
+    from tests import tpch_full_fixtures as tf
+
+    tf.register_spark(spark)
+    con = duckdb.connect()
+    tf.register_duckdb(con)
+    yield spark, con
+    con.close()
+
+
+@pytest.mark.parametrize("rel", HIVE_TPCH_FULL)
+def test_golden_hive_tpch_full(tpch_full_engines, rel):
+    from presto_copy_spark.engine import Engine
+
+    spark, con = tpch_full_engines
+    stmts = _split_statements(_read_sql(rel))
+    got = want = None
+    for stmt in stmts:
+        got = spark.sql(Engine.transpile(stmt))
+        # DuckDB accommodations (oracle-side only): inline Presto's
+        # typed DECIMAL literal and rewrite its date('...') call form.
+        duck = re.sub(r"(?i)decimal\s+'([^']*)'", r"\1", stmt)
+        duck = re.sub(r"(?i)\bdate\s*\(\s*'([^']+)'\s*\)", r"DATE '\1'", duck)
+        want = con.sql(duck)
+    g = _canon_rows([list(r) for r in got.collect()])
+    w = _canon_rows([list(r) for r in want.fetchall()])
+    assert g == w, (rel, g[:3], w[:3])
