@@ -309,6 +309,18 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         folded = _fold_color_call(low, args)
         if folded is not None:
             return folded
+    if low == "features":
+        # MLFeaturesFunctions.java: features(a, b, ...) builds the dense
+        # 0..n-1 feature vector -> array<double>
+        rendered = [f"CAST({_render_tokens(_strip(a))} AS DOUBLE)" for a in args]
+        return f"array({', '.join(rendered)})"
+    if low == "random" and len(args) <= 1:
+        # MathFunctions.java: random() -> double in [0,1);
+        # random(n) -> integer in [0, n)
+        if not args or not any(_is_sig(t) for t in args[0]):
+            return "rand()"
+        a0 = _render_tokens(_strip(args[0]))
+        return f"CAST(floor(rand() * ({a0})) AS BIGINT)"
     if low == "map" and len(args) == 2:
         # Presto's MAP(key_array, value_array) constructor
         # (MapConstructor.java) vs Spark's varargs map(k, v, ...): only
@@ -511,6 +523,31 @@ def _rewrite_view_ddl(tokens: list) -> str | None:
 # ---------------------------------------------------------------------------
 # main pass
 # ---------------------------------------------------------------------------
+def _row_type_to_struct(tokens: list) -> str:
+    """`ROW(name type, ...)` type syntax -> `STRUCT<name: type, ...>`
+    (recursive for nested ROW; VARCHAR -> STRING inside types)."""
+    close = len(tokens) - 1
+    fields = []
+    for arg in _split_args(tokens, 2, close):
+        sig = _strip(arg)
+        if not sig:
+            continue
+        name = sig[0][1]
+        rest = _strip(sig[1:])
+        # nested ROW type
+        if rest and rest[0][0] == "word" and rest[0][1].lower() == "row":
+            j = _next_sig(rest, 1)
+            if j < len(rest) and rest[j] == ("op", "("):
+                typ = _row_type_to_struct(rest[: _match_paren(rest, j) + 1])
+                fields.append(f"{name}: {typ}")
+                continue
+        typ = _render_tokens(rest).strip()
+        if typ.lower() == "varchar":
+            typ = "STRING"
+        fields.append(f"{name}: {typ}")
+    return "STRUCT<" + ", ".join(fields) + ">"
+
+
 def _split_at_time_zone(arg: list) -> tuple[list, str] | None:
     """Split `expr AT TIME ZONE 'tz'` at top level -> (expr_tokens,
     tz_literal); None when the shape doesn't match."""
@@ -758,6 +795,63 @@ def _transpile_tokens(tokens: list) -> str:
                             out.append(f"{call} OVER ({spec_text})")
                             i = spec_close + 1
                             continue
+            # Quantified comparisons (SqlBase.g4 comparisonQuantifier):
+            # Spark has no ANY/SOME/ALL quantifiers — `= ANY(subq)` is
+            # IN and `<> ALL(subq)` is NOT IN (exact 3-valued-logic
+            # equivalents); the other operator/quantifier combinations
+            # have no NULL-and-empty-set-faithful rewrite and raise the
+            # documented-gap error instead of a Spark parse failure.
+            if low in ("any", "some", "all"):
+                j = _next_sig(tokens, i + 1)
+                p1 = i - 1
+                while p1 >= 0 and not _is_sig(tokens[p1]):
+                    p1 -= 1
+                prev_op = (
+                    tokens[p1][1]
+                    if p1 >= 0 and tokens[p1][0] == "op"
+                    and tokens[p1][1] in ("=", "<>", "!=", "<", "<=", ">", ">=")
+                    else None
+                )
+                if prev_op and j < n and tokens[j] == ("op", "("):
+                    if prev_op == "=" and low in ("any", "some"):
+                        repl = "IN"
+                    elif prev_op in ("<>", "!=") and low == "all":
+                        repl = "NOT IN"
+                    else:
+                        raise PrestoFeatureUnsupportedError(
+                            f"quantified comparison {prev_op} {text.upper()}"
+                        )
+                    # drop the already-emitted comparison operator
+                    while out:
+                        popped = out.pop()
+                        if popped.strip():
+                            break
+                    out.append(f" {repl} ")
+                    i += 1
+                    continue
+            # ROW constructor / ROW type (SqlBase.g4 rowConstructor,
+            # ROW type): constructor -> struct(...); in a CAST type
+            # position (after AS) -> STRUCT<name: type, ...> so
+            # `CAST(ROW(1,2) AS ROW(x int, y int)).x` keeps working.
+            if low == "row":
+                j = _next_sig(tokens, i + 1)
+                if j < n and tokens[j] == ("op", "("):
+                    close = _match_paren(tokens, j)
+                    p1 = i - 1
+                    while p1 >= 0 and not _is_sig(tokens[p1]):
+                        p1 -= 1
+                    in_type_pos = (
+                        p1 >= 0
+                        and tokens[p1][0] == "word"
+                        and tokens[p1][1].lower() == "as"
+                    )
+                    if in_type_pos:
+                        out.append(_row_type_to_struct(tokens[i : close + 1]))
+                    else:
+                        inner = _transpile_tokens(tokens[j + 1 : close])
+                        out.append(f"struct({inner})")
+                    i = close + 1
+                    continue
             # timezone_hour/minute over `expr AT TIME ZONE 'tz'`
             # (SqlBase.g4 AT_TIMEZONE; DateTimeFunctions timezoneHour):
             # Spark has no timestamp-with-time-zone VALUE, but the zone

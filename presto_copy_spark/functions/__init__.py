@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .compat import SQL_UDFS, register_sql_udfs
+from .ml_sql import register_ml_sql
 from . import presto
 
 __all__ = ["register_all", "SQL_UDFS", "presto"]
@@ -19,3 +20,4 @@ __all__ = ["register_all", "SQL_UDFS", "presto"]
 
 def register_all(spark: SparkSession) -> None:
     register_sql_udfs(spark)
+    register_ml_sql(spark)

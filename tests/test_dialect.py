@@ -293,3 +293,34 @@ def test_at_time_zone_offset_rewrite(spark):
     assert (r.h1, r.m1) == (5, 0)
     assert (r.h2, r.m2) == (-2, -30)  # NDT in August
     assert (r.h3, r.m3) == (5, 30)
+
+
+def test_quantified_comparisons_and_row(spark):
+    """= ANY/SOME -> IN, <> ALL -> NOT IN (exact 3-valued equivalents);
+    other quantifier combos raise the documented-gap error; ROW
+    constructor -> struct and ROW type -> STRUCT<> incl. nesting
+    (SqlBase.g4 comparisonQuantifier / rowConstructor)."""
+    import pytest
+
+    from presto_copy_spark.dialect import PrestoFeatureUnsupportedError, transpile
+
+    spark.range(3).createOrReplaceTempView("qt1")
+    spark.range(2).selectExpr("id + 1 AS k").createOrReplaceTempView("qt2")
+    rows = spark.sql(
+        transpile("SELECT id FROM qt1 WHERE id = ANY (SELECT k FROM qt2)")
+    ).collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    rows = spark.sql(
+        transpile("SELECT id FROM qt1 WHERE id <> ALL (SELECT k FROM qt2)")
+    ).collect()
+    assert [r.id for r in rows] == [0]
+    with pytest.raises(PrestoFeatureUnsupportedError):
+        transpile("SELECT id FROM qt1 WHERE id > ALL (SELECT k FROM qt2)")
+    [r] = spark.sql(
+        transpile(
+            "SELECT CAST(ROW(1, ROW(2,3)) AS ROW(a int, b ROW(c int, d int))).b.d AS d"
+        )
+    ).collect()
+    assert r.d == 3
+    # Spark's any() aggregate must pass through untouched
+    assert "any(" in transpile("SELECT any(id > 1) FROM qt1")

@@ -711,3 +711,23 @@ def test_golden_hive_tpch_full(tpch_full_engines, rel):
     g = _canon_rows([list(r) for r in got.collect()])
     w = _canon_rows([list(r) for r in want.fetchall()])
     assert g == w, (rel, g[:3], w[:3])
+
+
+# ml_functions goldens (sectioned --! files): learn_classifier /
+# classify / features through SQL (functions/ml_sql.py — grouped-agg
+# pandas UDF model + vectorized classify; random(1) is always 0 per
+# MathFunctions.java randomInteger, so the prediction is deterministic).
+@pytest.mark.parametrize("rel", ["ml_functions/prediction", "ml_functions/varcharPrediction"])
+def test_golden_ml_functions(spark, rel):
+    from presto_copy_spark.engine import Engine
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    raw = open(os.path.join(TESTCASES, rel + ".sql")).read()
+    parts = raw.split("--!")
+    sql = "\n".join(
+        line for line in parts[1].splitlines() if not line.lstrip().startswith("--")
+    ).strip()
+    expected = parts[2].strip().rstrip("|").strip()
+    [row] = spark.sql(Engine.transpile(sql)).collect()
+    assert _canon_cell(row[0]) == _canon_cell(expected), (rel, row, expected)

@@ -445,3 +445,28 @@ def test_streaming_batch_parity_twins(spark, sf_dir):
         b = parity(spark, sf_dir)
         assert a.columns == b.columns, name
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+
+
+def test_ml_sql_learn_classify_multigroup(spark):
+    """SQL-surface ML functions: learn_classifier per group, classify
+    against the model (functions/ml_sql.py; presto-ml MLFunctions)."""
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [0.2, 0.2]), ("b", [10.0, 10.0]), ("b", [9.0, 11.0])],
+        "label string, f array<double>",
+    ).createOrReplaceTempView("ml_train")
+    [m] = spark.sql(
+        "SELECT learn_classifier(label, f) AS model FROM ml_train"
+    ).collect()
+    assert sorted(m.model) == ["a", "b"]
+    assert m.model["a"] == [0.1, 0.1] and m.model["b"] == [9.5, 10.5]
+    rows = spark.sql(
+        """
+        SELECT classify(q.f, t.model) AS p FROM
+          (SELECT learn_classifier(label, f) AS model FROM ml_train) t,
+          (SELECT array(0.05D, 0.0D) AS f UNION ALL SELECT array(9.9D, 10.0D)) q
+        """
+    ).collect()
+    assert sorted(r.p for r in rows) == ["a", "b"]
