@@ -320,6 +320,7 @@ FIXTURE_DUCK_CASES = [
     "limit/withJoinInSubq",
     "limit/withLimitZero",
     "limit/withSimpleLimit",
+    "limit/withGroupByInSubq",
     "limit/withSubq",
     "distinct/multipleDistinctAgg",
     "distinct/repeatedDistinctAgg",
@@ -393,6 +394,7 @@ TINY_SCHEMA_CASES = [
     "tpch_connector/countPartsuppTiny",
     "tpch_connector/selectFromNationTiny",
     "order_by/orderByAggregate",
+    "order_by/orderByNonProjectedAggregate",
     "order_by/orderByAliasSameAsColumn",
     "order_by/orderByDistinctColumnDesc",
     "order_by/orderByExpression",
@@ -466,7 +468,10 @@ def _duck_with_fixtures(tiny: bool = False):
         con.sql(
             "CREATE VIEW part AS SELECT p_partkey AS partkey, p_name AS name, "
             "p_brand AS brand, p_type AS type, p_size AS size, "
-            f"p_retailprice AS retailprice FROM '{sf}/part.parquet'"
+            "p_retailprice AS retailprice, "
+            # fixture part has no mfgr; derive it (identically in Spark)
+            "'Manufacturer#' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS mfgr "
+            f"FROM '{sf}/part.parquet'"
         )
         con.sql("DROP VIEW orders")
         con.sql(
@@ -509,8 +514,9 @@ def _spark_fixtures(spark, tiny: bool = False):
         spark.sql(
             "CREATE OR REPLACE TEMPORARY VIEW part AS SELECT p_partkey AS "
             "partkey, p_name AS name, p_brand AS brand, p_type AS type, "
-            "p_size AS size, p_retailprice AS retailprice FROM "
-            "parquet.`/root/testdata/sf0.001/part.parquet`"
+            "p_size AS size, p_retailprice AS retailprice, "
+            "concat('Manufacturer#', CAST(p_partkey % 5 + 1 AS STRING)) AS mfgr "
+            "FROM parquet.`/root/testdata/sf0.001/part.parquet`"
         )
         spark.sql(
             "CREATE OR REPLACE TEMPORARY VIEW orders AS SELECT o_orderkey AS "
@@ -731,3 +737,108 @@ def test_golden_ml_functions(spark, rel):
     expected = parts[2].strip().rstrip("|").strip()
     [row] = spark.sql(Engine.transpile(sql)).collect()
     assert _canon_cell(row[0]) == _canon_cell(expected), (rel, row, expected)
+
+
+# ---------------------------------------------------------------------------
+# insert/ goldens: TableWriter through SQL.  Each sectioned file
+# substitutes ${mutableTables.hive.datatype} with a fresh parquet table
+# (created empty, or pre-loaded with the datatype dataset for the
+# |loaded variant), runs every statement through Engine.transpile, and
+# compares the final SELECT against the inline expected rows.
+INSERT_CASES = [
+    "insert/insert_columns_where",
+    "insert/insert_constant_and_column_from_table",
+    "insert/insert_constant_from_table",
+    "insert/insert_constant_no_from",
+    "insert/insert_explicit_null",
+    "insert/insert_from_group_by",
+    "insert/insert_select_expression_from_table",
+    "insert/insert_select_star",
+    "insert/insert_select_star_from_self",
+    "insert/insert_select_star_union_all",
+    "insert/insert_star_limit",
+    "insert/insert_star_where_no_rows",
+    "insert/insert_values_all_types",
+    "insert/insert_values_const",
+    "insert/insert_values_expression",
+    "insert/multiple_inserts_one_table",
+]
+
+_DATATYPE_DDL = (
+    "c_bigint bigint, c_double double, c_string string, c_date date, "
+    "c_timestamp timestamp_ntz, c_boolean boolean, "
+    "c_short_decimal decimal(5,2), c_long_decimal decimal(30,10)"
+)
+
+
+@pytest.mark.parametrize("rel", INSERT_CASES)
+def test_golden_insert(spark, rel, tmp_path):
+    from presto_copy_spark.engine import Engine
+
+    raw = open(os.path.join(TESTCASES, rel + ".sql")).read()
+    loaded = "datatype|loaded" in raw.splitlines()[0]
+    parts = raw.split("--!")
+    stmts_text = "\n".join(
+        line for line in parts[1].splitlines() if not line.lstrip().startswith("--")
+    ).strip()
+    expected = []
+    if len(parts) > 2:
+        for line in parts[2].splitlines():
+            if line.strip() and not line.lstrip().startswith("--"):
+                cells = [c.strip() for c in line.split("|")]
+                if cells and cells[-1] == "":
+                    cells = cells[:-1]
+                expected.append(cells)
+
+    _register_datatype(spark)
+    tbl = "mt_" + rel.rsplit("/", 1)[1]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({_DATATYPE_DDL}) USING parquet LOCATION '{tmp_path}/{tbl}'"
+    )
+    try:
+        if loaded:
+            spark.sql(f"INSERT INTO {tbl} SELECT * FROM datatype")
+        stmts_text = re.sub(r"\$\{mutableTables\.hive\.datatype\}", tbl, stmts_text)
+        result = None
+        for stmt in _split_statements(stmts_text):
+            result = spark.sql(Engine.transpile(stmt))
+        got = _canon_rows([list(r) for r in result.collect()])
+        want = _canon_rows(expected)
+        assert got == want, (rel, got, want)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_golden_orc_varchar_dictionary(spark):
+    """orc/ golden: the reference ships a literal ORC data file
+    (datasets/orc_varchar_dictionary.data, Hive-written with positional
+    _colN names that the accompanying .ddl maps to c_varchar VARCHAR(9))
+    — Spark's native ORC reader serves it through Engine.sql."""
+    import shutil
+    import tempfile
+
+    from presto_copy_spark.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    shutil.copy(
+        os.path.join(_DATASETS, "orc_varchar_dictionary.data"),
+        os.path.join(d, "f.orc"),
+    )
+    from pyspark.sql import functions as F
+
+    # apply the .ddl's VARCHAR(9) read-time truncation (Hive semantics)
+    spark.read.orc(os.path.join(d, "f.orc")).select(
+        F.substring("_col0", 1, 9).alias("c_varchar")
+    ).createOrReplaceTempView("orc_varchar_dictionary")
+    raw = open(
+        os.path.join(TESTCASES, "orc/select_varchar_orc_dictionary.sql")
+    ).read()
+    sql = "\n".join(
+        line
+        for line in raw.split("--!")[1].splitlines()
+        if not line.lstrip().startswith("--")
+    ).strip()
+    out = spark.sql(Engine.transpile(sql)).collect()
+    # expected row (inline section): VARCHAR(9)-truncated 'column_va'
+    assert [list(r) for r in out] == [["column_va"]]
