@@ -1,0 +1,255 @@
+"""WKT geometry subset — polygons, linestrings, multipoint — as pure
+Catalyst expressions.
+
+Reference: presto-main/.../geospatial/GeoFunctions.java (1,344 LoC over
+Esri geometries).  The container ships no geometry library, so this
+module implements the planar-geometry core directly with Spark SQL
+primitives: WKT parsing via regexp + split, and area / centroid /
+point-in-polygon / length / envelope via higher-order functions over
+the coordinate arrays.  Everything stays JVM-side (interpreted HOFs —
+off the codegen fast path but no Python round-trip, no driver
+collection; at 100 TB geometry columns never leave the executors).
+
+Representation (documented engine type, like functions/geo.py points):
+
+    geometry := struct<
+        gtype  string,                     -- POINT|LINESTRING|POLYGON|MULTIPOINT
+        rings  array<array<struct<x double, y double>>>
+    >
+
+POINT/LINESTRING/MULTIPOINT carry one ring; POLYGON carries shell +
+holes (WKT order; shell first).  Polygon rings follow WKT's closed-ring
+convention (first point repeated last).
+
+Semantics parity notes vs GeoFunctions.java:
+- ST_Area: |shoelace(shell)| - sum |shoelace(hole)| (planar, like the
+  reference's default planar geometry).
+- ST_Contains here is polygon-contains-POINT (even-odd ray cast, holes
+  subtract).  Boundary points are implementation-defined in the
+  reference too (Esri relate); tests avoid exact-boundary probes.
+- ST_Centroid: area-weighted polygon centroid over the shell; POINT ->
+  itself; LINESTRING -> length-weighted segment midpoint average.
+- ST_Length: LINESTRING only (the reference raises on polygons too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "st_geometry_from_text",
+    "st_as_text",
+    "st_area",
+    "st_centroid",
+    "st_polygon_contains_point",
+    "st_length",
+    "st_num_points",
+    "st_envelope_of",
+    "st_geometry_type",
+]
+
+
+def _col(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def _parse_rings(wkt: Column) -> Column:
+    """array of '(x y, x y, ...)' ring bodies -> array<array<point>>."""
+    # innermost paren groups = ring bodies (the [^()]+ class can't cross
+    # a nested paren, so POLYGON ((..),(..)) yields exactly its rings)
+    ring_bodies = F.regexp_extract_all(wkt, F.lit(r"\(([^()]+)\)"), 1)
+    return F.transform(
+        ring_bodies,
+        lambda body: F.transform(
+            F.split(body, ","),
+            lambda pair: F.struct(
+                F.element_at(F.split(F.trim(pair), "\\s+"), 1)
+                .cast("double")
+                .alias("x"),
+                F.element_at(F.split(F.trim(pair), "\\s+"), 2)
+                .cast("double")
+                .alias("y"),
+            ),
+        ),
+    )
+
+
+def st_geometry_from_text(wkt) -> Column:
+    """GeoFunctions.java stGeometryFromText subset: POINT, LINESTRING,
+    POLYGON (with holes), MULTIPOINT.  Unknown types yield NULL gtype
+    (callers can filter), matching TRY(ST_GeometryFromText(...)) use."""
+    w = F.upper(F.trim(_col(wkt)))
+    gtype = F.regexp_extract(w, "^(POINT|LINESTRING|POLYGON|MULTIPOINT)", 1)
+    # POINT (1 2) has no nested parens; normalize to ring form
+    rings = _parse_rings(w)
+    return F.struct(
+        F.when(gtype != "", gtype).alias("gtype"),
+        rings.alias("rings"),
+    )
+
+
+def st_geometry_type(g) -> Column:
+    """Presto returns ST_<Type> (GeometryType.java)."""
+    t = _col(g)["gtype"]
+    return F.concat(
+        F.lit("ST_"), F.initcap(F.lower(t))
+    )
+
+
+def st_as_text(g) -> Column:
+    """Round-trippable WKT (coordinate text via double->string cast)."""
+    g = _col(g)
+    fmt_pt = lambda p: F.concat_ws(" ", p["x"].cast("string"), p["y"].cast("string"))  # noqa: E731
+    ring_txt = F.transform(
+        g["rings"],
+        lambda ring: F.concat(
+            F.lit("("), F.array_join(F.transform(ring, fmt_pt), ", "), F.lit(")")
+        ),
+    )
+    body = F.array_join(ring_txt, ", ")
+    return F.when(
+        g["gtype"] == "POINT",
+        # POINT uses bare parens: POINT (x y)
+        F.concat(F.lit("POINT "), body),
+    ).otherwise(F.concat(g["gtype"], F.lit(" ("), body, F.lit(")")))
+
+
+def _ring_shoelace2(ring: Column) -> Column:
+    """2x signed shoelace area of a closed ring (sum over consecutive
+    pairs; the WKT closing point makes the wrap-around edge explicit)."""
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    cross = F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+    return F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def st_area(g) -> Column:
+    """|shell| - sum |holes| (planar shoelace)."""
+    g = _col(g)
+    areas = F.transform(g["rings"], lambda r: F.abs(_ring_shoelace2(r)) / 2.0)
+    shell = F.element_at(areas, 1)
+    holes = F.aggregate(
+        F.slice(areas, 2, F.greatest(F.size(areas) - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(g["gtype"] == "POLYGON", shell - holes).otherwise(F.lit(0.0))
+
+
+def st_centroid(g) -> Column:
+    """POINT -> itself; POLYGON -> area-weighted centroid of the shell;
+    LINESTRING -> length-weighted midpoint average."""
+    g = _col(g)
+    first_pt = F.element_at(F.element_at(g["rings"], 1), 1)
+    shell = F.element_at(g["rings"], 1)
+    n = F.size(shell)
+    a = F.slice(shell, 1, n - 1)
+    b = F.slice(shell, 2, n - 1)
+    cross = F.zip_with(a, b, lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+    cx_terms = F.zip_with(
+        a, b, lambda p, q: (p["x"] + q["x"]) * (p["x"] * q["y"] - q["x"] * p["y"])
+    )
+    cy_terms = F.zip_with(
+        a, b, lambda p, q: (p["y"] + q["y"]) * (p["x"] * q["y"] - q["x"] * p["y"])
+    )
+    twice_area = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+    poly_c = F.struct(
+        (F.aggregate(cx_terms, F.lit(0.0), lambda acc, v: acc + v) / (3 * F.nullif(twice_area, F.lit(0.0)))).alias("x"),
+        (F.aggregate(cy_terms, F.lit(0.0), lambda acc, v: acc + v) / (3 * F.nullif(twice_area, F.lit(0.0)))).alias("y"),
+    )
+    seg_len = F.zip_with(
+        a, b, lambda p, q: F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"]) + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        )
+    )
+    total_len = F.aggregate(seg_len, F.lit(0.0), lambda acc, v: acc + v)
+    mid_x = F.zip_with(a, b, lambda p, q: (p["x"] + q["x"]) / 2.0)
+    mid_y = F.zip_with(a, b, lambda p, q: (p["y"] + q["y"]) / 2.0)
+    line_c = F.struct(
+        (
+            F.aggregate(
+                F.zip_with(mid_x, seg_len, lambda m, w: m * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.nullif(total_len, F.lit(0.0))
+        ).alias("x"),
+        (
+            F.aggregate(
+                F.zip_with(mid_y, seg_len, lambda m, w: m * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.nullif(total_len, F.lit(0.0))
+        ).alias("y"),
+    )
+    return (
+        F.when(g["gtype"] == "POINT", F.struct(first_pt["x"].alias("x"), first_pt["y"].alias("y")))
+        .when(g["gtype"] == "POLYGON", poly_c)
+        .otherwise(line_c)
+    )
+
+
+def _ring_crossings(ring: Column, px: Column, py: Column) -> Column:
+    """Even-odd ray-cast parity (0/1) of point (px,py) vs one ring."""
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    crossed = F.zip_with(
+        a,
+        b,
+        lambda p, q: F.when(
+            ((p["y"] > py) != (q["y"] > py))
+            & (px < (q["x"] - p["x"]) * (py - p["y"]) / (q["y"] - p["y"]) + p["x"]),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(crossed, F.lit(0), lambda acc, v: acc + v) % 2
+
+
+def st_polygon_contains_point(g, px, py) -> Column:
+    """Even-odd containment incl. holes: XOR of all ring parities."""
+    g, px, py = _col(g), _col(px).cast("double"), _col(py).cast("double")
+    parities = F.transform(g["rings"], lambda r: _ring_crossings(r, px, py))
+    total = F.aggregate(parities, F.lit(0), lambda acc, v: acc + v)
+    return (g["gtype"] == "POLYGON") & (total % 2 == 1)
+
+
+def st_length(g) -> Column:
+    """LINESTRING length (sum of segment lengths)."""
+    g = _col(g)
+    ring = F.element_at(g["rings"], 1)
+    n = F.size(ring)
+    a = F.slice(ring, 1, n - 1)
+    b = F.slice(ring, 2, n - 1)
+    seg = F.zip_with(
+        a, b, lambda p, q: F.sqrt(
+            (q["x"] - p["x"]) * (q["x"] - p["x"]) + (q["y"] - p["y"]) * (q["y"] - p["y"])
+        )
+    )
+    return F.when(
+        g["gtype"] == "LINESTRING",
+        F.aggregate(seg, F.lit(0.0), lambda acc, v: acc + v),
+    ).otherwise(F.lit(0.0))
+
+
+def st_num_points(g) -> Column:
+    g = _col(g)
+    return F.aggregate(
+        F.transform(g["rings"], F.size), F.lit(0), lambda acc, v: acc + v
+    )
+
+
+def st_envelope_of(g) -> Column:
+    """Bounding box struct<xmin,ymin,xmax,ymax> of any geometry."""
+    g = _col(g)
+    xs = F.flatten(F.transform(g["rings"], lambda r: F.transform(r, lambda p: p["x"])))
+    ys = F.flatten(F.transform(g["rings"], lambda r: F.transform(r, lambda p: p["y"])))
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )

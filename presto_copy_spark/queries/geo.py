@@ -160,3 +160,91 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distance_join(c, s, "cp", "sp", _RADIUS).select(
         "c_custkey", "s_suppkey", "dist"
     )
+
+
+@query(
+    "geo_wkt_polygon_ops",
+    oracle="""
+WITH params AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 10 AS DOUBLE) AS cx,
+         CAST(s_suppkey % 7 AS DOUBLE)  AS cy,
+         CAST(1 + s_suppkey % 3 AS DOUBLE) AS r
+  FROM supplier
+)
+SELECT s_suppkey,
+       2 * r * r - 2 * (r / 2) * (r / 2) AS area,
+       round(cx, 6) AS centroid_x,
+       round(cy, 6) AS centroid_y,
+       CAST(1 AS BOOLEAN) AS ring_has,
+       CAST(0 AS BOOLEAN) AS hole_has,
+       CAST(10 AS BIGINT) AS n_points,
+       cx - r AS xmin, cy + r AS ymax
+FROM params
+""",
+)
+def geo_wkt_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WKT-geometry pipeline vs an ANALYTIC oracle
+    (functions/geometry.py; GeoFunctions.java stGeometryFromText /
+    stArea / stCentroid / stContains / envelope).
+
+    Each supplier row constructs a WKT diamond (rhombus radius r at
+    (cx,cy)) with a half-radius diamond HOLE, as a STRING — then the
+    engine must parse the text and compute area / centroid /
+    containment / envelope.  The oracle never parses anything: the
+    diamond's properties are closed-form (area 2r^2 - 2(r/2)^2,
+    centroid = center, center point inside the hole => not contained,
+    midpoint between hole and shell => contained), so agreement proves
+    the parser + planar math end-to-end on 10k distinct shapes.
+    Containment probes: ring_has at (cx + 3r/4, cy) (between hole and
+    shell on the x-axis), hole_has at the center (inside the hole =>
+    false)."""
+    from ..functions.geometry import (
+        st_area,
+        st_centroid,
+        st_envelope_of,
+        st_geometry_from_text,
+        st_num_points,
+        st_polygon_contains_point,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 10).cast("double").alias("cx"),
+        (F.col("s_suppkey") % 7).cast("double").alias("cy"),
+        (1 + F.col("s_suppkey") % 3).cast("double").alias("r"),
+    )
+
+    def num(c):
+        return c.cast("string")
+
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    h = r / 2
+
+    def diamond(cx, cy, rr):
+        return F.concat_ws(
+            ", ",
+            F.concat_ws(" ", num(cx + rr), num(cy)),
+            F.concat_ws(" ", num(cx), num(cy + rr)),
+            F.concat_ws(" ", num(cx - rr), num(cy)),
+            F.concat_ws(" ", num(cx), num(cy - rr)),
+            F.concat_ws(" ", num(cx + rr), num(cy)),
+        )
+
+    wkt = F.concat(
+        F.lit("POLYGON (("), diamond(cx, cy, r), F.lit("), ("),
+        diamond(cx, cy, h), F.lit("))"),
+    )
+    g = st_geometry_from_text(wkt)
+    env = st_envelope_of(g)
+    return s.select(
+        "s_suppkey",
+        st_area(g).alias("area"),
+        F.round(st_centroid(g)["x"], 6).alias("centroid_x"),
+        F.round(st_centroid(g)["y"], 6).alias("centroid_y"),
+        st_polygon_contains_point(g, cx + 3 * r / 4, cy).alias("ring_has"),
+        st_polygon_contains_point(g, cx, cy).alias("hole_has"),
+        st_num_points(g).cast("long").alias("n_points"),
+        env["xmin"].alias("xmin"),
+        env["ymax"].alias("ymax"),
+    )

@@ -470,3 +470,46 @@ def test_ml_sql_learn_classify_multigroup(spark):
         """
     ).collect()
     assert sorted(r.p for r in rows) == ["a", "b"]
+
+
+def test_wkt_geometry_functions(spark):
+    """WKT geometry subset (functions/geometry.py; GeoFunctions.java
+    stGeometryFromText/stArea/stCentroid/stContains/stLength): known
+    shapes incl. a polygon with a hole, and WKT round-trip."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions import geometry as G
+
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",),
+            ("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",),
+            ("LINESTRING (0 0, 3 4, 3 10)",),
+            ("POINT (2.5 -3)",),
+        ],
+        "wkt string",
+    )
+    g = G.st_geometry_from_text(F.col("wkt"))
+    rows = df.select(
+        G.st_geometry_type(g).alias("t"),
+        G.st_area(g).alias("area"),
+        G.st_length(g).alias("length"),
+        G.st_num_points(g).alias("np"),
+        G.st_centroid(g).alias("c"),
+        G.st_polygon_contains_point(g, F.lit(3.0), F.lit(3.0)).alias("has33"),
+        G.st_envelope_of(g).alias("env"),
+    ).collect()
+    sq, hole, line, pt = rows
+    assert (sq.t, sq.area, sq.np, (sq.c.x, sq.c.y), sq.has33) == (
+        "ST_Polygon", 16.0, 5, (2.0, 2.0), True)
+    # hole subtracts area; the (3,3) probe falls INSIDE the hole
+    assert (hole.area, hole.has33, (hole.c.x, hole.c.y)) == (32.0, False, (3.0, 3.0))
+    assert (line.t, line.length, line.area) == ("ST_Linestring", 11.0, 0.0)
+    assert (pt.c.x, pt.c.y, pt.env.xmin, pt.env.ymax) == (2.5, -3.0, 2.5, -3.0)
+    # round-trip: parse(st_as_text(parse(wkt))) preserves area
+    rt = df.select(
+        G.st_area(
+            G.st_geometry_from_text(G.st_as_text(G.st_geometry_from_text(F.col("wkt"))))
+        ).alias("a")
+    ).collect()
+    assert [r.a for r in rt] == [16.0, 32.0, 0.0, 0.0]
