@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from .compat import SQL_UDFS, register_sql_udfs
+from .geometry import register_geometry_sql
 from .ml_sql import register_ml_sql
 from . import presto
 
@@ -21,3 +22,4 @@ __all__ = ["register_all", "SQL_UDFS", "presto"]
 def register_all(spark: SparkSession) -> None:
     register_sql_udfs(spark)
     register_ml_sql(spark)
+    register_geometry_sql(spark)

@@ -253,3 +253,125 @@ def st_envelope_of(g) -> Column:
         F.array_max(xs).alias("xmax"),
         F.array_max(ys).alias("ymax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-invocable twins: the same formulas as the Column helpers above,
+# registered as CREATE TEMPORARY FUNCTION bodies so SQL text can call
+# ST_GeometryFromText / ST_Area / ... directly (Catalyst inlines them).
+# ---------------------------------------------------------------------------
+
+GEOM_T = (
+    "STRUCT<gtype: STRING, rings: ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>>"
+)
+
+
+def _sql_ring_shoelace2(r: str) -> str:
+    return (
+        f"aggregate(zip_with(slice({r}, 1, size({r}) - 1),"
+        f" slice({r}, 2, size({r}) - 1),"
+        " (p, q) -> p.x * q.y - q.x * p.y), 0D, (a, v) -> a + v)"
+    )
+
+
+_SQL_AREAS = f"transform(g.rings, r -> abs({_sql_ring_shoelace2('r')}) / 2)"
+
+SQL_GEOMETRY_UDFS: dict[str, tuple[str, str, str]] = {
+    "st_geometryfromtext": (
+        "w STRING",
+        GEOM_T,
+        "named_struct("
+        " 'gtype', nullif(regexp_extract(upper(trim(w)),"
+        " '^(POINT|LINESTRING|POLYGON|MULTIPOINT)', 1), ''),"
+        " 'rings', transform("
+        r"   regexp_extract_all(upper(trim(w)), '\\(([^()]+)\\)', 1),"
+        "   body -> transform(split(body, ','),"
+        r"     pair -> named_struct("
+        r"       'x', CAST(element_at(split(trim(pair), '\\s+'), 1) AS DOUBLE),"
+        r"       'y', CAST(element_at(split(trim(pair), '\\s+'), 2) AS DOUBLE)))))",
+    ),
+    "st_area": (
+        f"g {GEOM_T}",
+        "DOUBLE",
+        "CASE WHEN g.gtype = 'POLYGON' THEN"
+        f" element_at({_SQL_AREAS}, 1)"
+        f" - aggregate(slice({_SQL_AREAS}, 2,"
+        f"     greatest(size(g.rings) - 1, 0)), 0D, (a, v) -> a + v)"
+        " ELSE 0D END",
+    ),
+    "st_numpoints": (
+        f"g {GEOM_T}",
+        "INT",
+        "aggregate(transform(g.rings, r -> size(r)), 0, (a, v) -> a + v)",
+    ),
+    "st_length": (
+        f"g {GEOM_T}",
+        "DOUBLE",
+        "CASE WHEN g.gtype = 'LINESTRING' THEN"
+        " aggregate(zip_with("
+        "   slice(element_at(g.rings, 1), 1, size(element_at(g.rings, 1)) - 1),"
+        "   slice(element_at(g.rings, 1), 2, size(element_at(g.rings, 1)) - 1),"
+        "   (p, q) -> sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y))),"
+        "   0D, (a, v) -> a + v)"
+        " ELSE 0D END",
+    ),
+    "st_contains_point": (
+        f"g {GEOM_T}, px DOUBLE, py DOUBLE",
+        "BOOLEAN",
+        "g.gtype = 'POLYGON' AND aggregate(transform(g.rings,"
+        " r -> aggregate(zip_with(slice(r, 1, size(r) - 1), slice(r, 2, size(r) - 1),"
+        "   (p, q) -> CASE WHEN ((p.y > py) != (q.y > py))"
+        "     AND (px < (q.x - p.x) * (py - p.y) / (q.y - p.y) + p.x)"
+        "     THEN 1 ELSE 0 END), 0, (a, v) -> a + v) % 2),"
+        " 0, (a, v) -> a + v) % 2 = 1",
+    ),
+    "st_point": (
+        "x DOUBLE, y DOUBLE",
+        GEOM_T,
+        "named_struct('gtype', 'POINT',"
+        " 'rings', array(array(named_struct('x', x, 'y', y))))",
+    ),
+    # Presto signature: ST_Contains(geometry, geometry) — supported for
+    # a POINT probe (the reference's spatial-join workload shape);
+    # non-point probes return NULL rather than a wrong answer.
+    "st_contains": (
+        f"g {GEOM_T}, p {GEOM_T}",
+        "BOOLEAN",
+        "CASE WHEN p.gtype = 'POINT' THEN st_contains_point(g,"
+        " element_at(element_at(p.rings, 1), 1).x,"
+        " element_at(element_at(p.rings, 1), 1).y) END",
+    ),
+    "st_geometrytype": (
+        f"g {GEOM_T}",
+        "STRING",
+        "concat('ST_', initcap(lower(g.gtype)))",
+    ),
+    "st_x": (
+        f"g {GEOM_T}",
+        "DOUBLE",
+        "CASE WHEN g.gtype = 'POINT'"
+        " THEN element_at(element_at(g.rings, 1), 1).x END",
+    ),
+    "st_y": (
+        f"g {GEOM_T}",
+        "DOUBLE",
+        "CASE WHEN g.gtype = 'POINT'"
+        " THEN element_at(element_at(g.rings, 1), 1).y END",
+    ),
+}
+
+
+def register_geometry_sql(spark) -> None:
+    """Register the SQL-invocable ST_* twins (idempotent per session)."""
+    marker = "spark.sql.prestoCompat.geometryRegistered"
+    try:
+        if spark.conf.get(marker, "false") == "true":
+            return
+    except Exception:
+        pass
+    for name, (sig, ret, body) in SQL_GEOMETRY_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig})"
+            f" RETURNS {ret} RETURN {body}"
+        )
+    spark.conf.set(marker, "true")

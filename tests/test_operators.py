@@ -513,3 +513,29 @@ def test_wkt_geometry_functions(spark):
         ).alias("a")
     ).collect()
     assert [r.a for r in rt] == [16.0, 32.0, 0.0, 0.0]
+
+
+def test_wkt_geometry_sql_surface(spark):
+    """The ST_* names through SQL text (Engine.transpile path) with
+    Presto signatures: ST_GeometryFromText / ST_Area / ST_Contains
+    (point probe) / ST_Point / ST_Length / ST_X/Y."""
+    from presto_copy_spark.engine import Engine
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    [r] = spark.sql(
+        Engine.transpile(
+            "SELECT"
+            " ST_Area(ST_GeometryFromText('POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2))')) AS area,"
+            " ST_Contains(ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+            "   ST_Point(1, 1)) AS inside,"
+            " ST_Contains(ST_GeometryFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+            "   ST_Point(9, 9)) AS outside,"
+            " ST_Length(ST_GeometryFromText('LINESTRING (0 0, 3 4)')) AS len,"
+            " ST_X(ST_Point(2.5, -3)) AS px,"
+            " ST_GeometryType(ST_GeometryFromText('MULTIPOINT ((1 1), (2 2))')) AS t"
+        )
+    ).collect()
+    assert (r.area, r.inside, r.outside, r.len, r.px, r.t) == (
+        32.0, True, False, 5.0, 2.5, "ST_Multipoint")
