@@ -66,3 +66,113 @@ def ml_learn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_K = 4  # clusters
+_ITERS = 2  # unrolled Lloyd iterations
+
+
+def _sql_kmeans_oracle() -> str:
+    """Unrolled deterministic Lloyd's iterations as CTEs (integer
+    arithmetic identical to the Spark plan)."""
+    coords = f"""
+coords AS (
+  SELECT vec_id, i,
+         CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent0 AS (
+  SELECT vec_id AS cluster, i, qv AS cv FROM coords WHERE vec_id < {_K}
+)"""
+    steps = []
+    for it in range(_ITERS):
+        steps.append(f"""
+dist{it} AS (
+  SELECT c.vec_id, ct.cluster,
+         CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
+  FROM coords c JOIN cent{it} ct ON c.i = ct.i
+  GROUP BY 1, 2
+),
+assign{it} AS (
+  SELECT vec_id, cluster
+  FROM (SELECT d.*, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) AS rn
+        FROM dist{it} d) t
+  WHERE rn = 1
+),
+cent{it + 1} AS (
+  SELECT a.cluster, c.i,
+         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM coords c JOIN assign{it} a USING (vec_id)
+  GROUP BY 1, 2
+)""")
+    last = _ITERS - 1
+    return (
+        "WITH " + coords + "," + ",".join(steps) + f"""
+SELECT a.cluster,
+       count(DISTINCT a.vec_id) AS n_members,
+       (SELECT CAST(sum(abs(cv)) AS BIGINT) FROM cent{_ITERS} c
+        WHERE c.cluster = a.cluster) AS centroid_l1
+FROM assign{last} a
+GROUP BY a.cluster
+"""
+    )
+
+
+@query("ml_kmeans", oracle=_sql_kmeans_oracle())
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (Lloyd's, {K=4, 2 iterations} unrolled):
+    the ITERATIVE-algorithm shape on Spark — assignment is one corpus
+    pass joined to a KB-sized broadcast centroid table with a
+    WindowGroupLimit argmin, update is a map-side-combined hash agg;
+    each iteration adds one shuffle, centroids never leave the
+    executors.  All arithmetic is quantized-integer (same CSCALE as the
+    IVF operator) so the DuckDB oracle — the identical iterations
+    unrolled as CTEs — matches bit-for-bit, including the (dist,
+    cluster) tie-break.  Returns per-cluster size + centroid L1 norm
+    (scalar columns only, per the driver canonicalizer contract).
+
+    At 100 TB: the per-iteration shuffle is on vec_id (already the
+    scan order) and the broadcast is k x dim x 8 bytes; this is the
+    standard distributed Lloyd's layout (MLlib's KMeans does the same
+    per-iteration broadcast-join + tree-aggregate)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    coords = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * CSCALE).cast("long").alias("qv"),
+    )
+    cents = coords.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cluster"), "i", F.col("qv").alias("cv")
+    )
+    assign = None
+    from pyspark.sql import Window
+
+    for _ in range(_ITERS):
+        diff = F.col("qv") - F.col("cv")
+        dists = (
+            coords.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).cast("long").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cents = (
+            coords.join(assign, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cv")
+            )
+        )
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    l1 = cents.groupBy("cluster").agg(F.sum(F.abs("cv")).cast("long").alias("centroid_l1"))
+    return sizes.join(l1, "cluster")
