@@ -303,3 +303,70 @@ def sim_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(nq).alias("min_norm_q"),
         F.max(nq).alias("max_norm_q"),
     )
+
+
+_Q8 = 127  # int8 quantization scale
+
+
+@query(
+    "sim_quantized_cosine",
+    oracle=f"""
+WITH q8 AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding,
+           x -> greatest(-{_Q8}, least({_Q8},
+                CAST(floor(x::DOUBLE * {_Q8}) AS BIGINT)))) AS q
+  FROM embeddings
+),
+scored AS (
+  SELECT label,
+         {sql_cosine_from_q(sql_qdot('embedding', 'embedding'), sql_qdot('embedding', 'embedding'), sql_qdot('embedding', 'embedding'))} AS exact_self,
+         CAST(list_sum(list_transform(list_zip(q, q),
+              z -> z[1] * z[2])) AS BIGINT) AS qq,
+         CAST(list_sum(q) AS BIGINT) AS qsum
+  FROM q8
+)
+SELECT label,
+       count(*) AS n,
+       CAST(sum(qq) AS BIGINT) AS sum_q_norm2,
+       CAST(sum(qsum) AS BIGINT) AS sum_q_coords,
+       round(avg(exact_self), 6) AS avg_exact_self
+FROM scored GROUP BY label
+""",
+)
+def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization — the 4x memory / bandwidth cut for
+    corpus-scale vector search (store int8, score with integer dot
+    products, re-rank survivors at full precision).  Quantize each
+    coordinate to clip(floor(x * 127), -127, 127), then aggregate the
+    integer self-dot and coordinate sums per label, alongside the
+    full-precision self-cosine (== 1 by construction — the oracle
+    cross-checks the exact path's plumbing too).  Everything is
+    zip_with/aggregate Column math, JVM-side, and every output is a
+    scalar, bit-exact across engines."""
+    e = _emb(spark, sf_dir)
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-_Q8),
+            F.least(F.lit(_Q8), F.floor(x.cast("double") * _Q8).cast("long")),
+        ),
+    )
+    qq = F.aggregate(
+        F.zip_with(q8, q8, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qsum = F.aggregate(q8, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    nq = qdot(F.col("embedding"), F.col("embedding"))
+    exact_self = cosine_from_q(nq, nq, nq)
+    return (
+        e.select("label", qq.alias("qq"), qsum.alias("qsum"), exact_self.alias("es"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qq").cast("long").alias("sum_q_norm2"),
+            F.sum("qsum").cast("long").alias("sum_q_coords"),
+            F.round(F.avg("es"), 6).alias("avg_exact_self"),
+        )
+    )
