@@ -7,12 +7,15 @@ Arrow-batched ``mapInPandas`` stages: bytes never hit the Python driver,
 batches flow executor-side, and the pipeline scales by partitioning
 exactly like any other operator.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is STUBBED — ``decode_image`` raises NotImplementedError
-unless a codec is importable, and ``extract_features`` substitutes a
-deterministic hash-derived fake feature vector.  Everything around the
-stub (schema, batch iteration, UDF signature, partitioning) is real and
-tested; swapping the fake for a real model call changes one function.
+Codec status: compressed codecs (PIL/ffmpeg/librosa) are NOT in this
+container, so JPEG/PNG/audio decode stays STUBBED with a clear
+NotImplementedError.  UNCOMPRESSED images are decoded for real:
+``decode_image``/``encode_bmp`` implement the public BMP format
+(BITMAPINFOHEADER, 24bpp bottom-up, 4-byte row padding) in pure numpy,
+``resize_nearest`` is numpy nearest-neighbor, and ``extract_features``
+computes real channel-statistics + grayscale-histogram features for BMP
+content (hash-derived fake vectors remain the fallback for non-BMP
+bytes, keeping the plumbing testable for any payload).
 
 Reference: no counterpart in Presto (varbinary + UDF would be the
 closest) — this is §"beyond the reference" training-pipeline surface.
@@ -40,7 +43,10 @@ __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_DIM",
     "blob_table_from_documents",
+    "bmp_media_from_documents",
     "decode_image",
+    "encode_bmp",
+    "resize_nearest",
     "extract_features",
     "sample_frames",
 ]
@@ -94,21 +100,133 @@ def blob_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Decode raw image bytes -> (H, W, 3) array.
+def bmp_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose image rows carry REAL BMP bytes: each document
+    becomes a small deterministic RGB pattern image (seeded by doc_id)
+    encoded with :func:`encode_bmp` inside mapInPandas — the bytes are
+    produced and consumed executor-side, never on the driver."""
+    from ..catalog import load_table
 
-    STUB: image codecs are not installed in this environment.  With PIL
-    present this is Image.open(BytesIO(content)); the Spark-side call
-    sites (extract_features) do not change.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 4 + int(doc_id) % 13
+                h = 4 + int(n_chars) % 11
+                rng = np.random.default_rng(int(doc_id))
+                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                rows.append((int(doc_id), encode_bmp(px), w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    media = d.mapInPandas(
+        gen, schema="media_id long, content binary, width int, height int"
+    )
+    return media.select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.struct(
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("bmp").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def encode_bmp(pixels) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24bpp bottom-up BMP bytes (public spec:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, BGR byte order, rows padded to
+    4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(body)
+
+
+def decode_image(content: bytes):
+    """Decode image bytes -> (H, W, 3) uint8 RGB array.
+
+    REAL for 24bpp uncompressed BMP (pure numpy, public spec).
+    Compressed codecs are not installed in this container, so other
+    magics raise NotImplementedError with the documented message —
+    extract_features then substitutes the deterministic fake embedding.
     """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow (not available in this container); "
-            "extract_features substitutes a deterministic fake embedding"
-        ) from e
-    raise NotImplementedError("real decode path reserved for codec-enabled deployments")
+    import struct
+
+    import numpy as np
+
+    if content[:2] == b"BM":
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", content, 14
+        )
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP variant bpp={bpp} comp={comp}")
+        pad = (-(w * 3)) % 4
+        stride = w * 3 + pad
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=abs(h) * stride, offset=data_off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # bottom-up
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(
+        "compressed image decode requires PIL/pillow (not available in this"
+        " container); extract_features substitutes a deterministic fake"
+        " embedding"
+    )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize for (H, W, 3) arrays — the pre-model
+    normalization step, pure numpy."""
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
+def _bmp_features(content: bytes) -> list[float]:
+    """Real features for decodable content: per-channel means + overall
+    std (4) + 12-bin grayscale histogram of the 8x8 nearest-resize =
+    FEATURE_DIM floats, all in [0, 1]."""
+    import numpy as np
+
+    img = decode_image(content).astype(np.float64) / 255.0
+    small = resize_nearest(img, 8, 8)
+    gray = small.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+    hist = hist / gray.size
+    return [
+        float(img[:, :, 0].mean()),
+        float(img[:, :, 1].mean()),
+        float(img[:, :, 2].mean()),
+        float(img.std()),
+        *[float(v) for v in hist],
+    ]
 
 
 def _fake_embedding(content: bytes) -> list[float]:
@@ -140,6 +258,12 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         ]
     )
 
+    def embed(content: bytes) -> list[float]:
+        try:
+            return _bmp_features(bytes(content))
+        except NotImplementedError:
+            return _fake_embedding(bytes(content))
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
@@ -149,7 +273,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "feature": pdf["content"].map(_fake_embedding),
+                    "feature": pdf["content"].map(embed),
                 }
             )
 

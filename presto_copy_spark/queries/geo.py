@@ -235,16 +235,29 @@ def geo_wkt_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("POLYGON (("), diamond(cx, cy, r), F.lit("), ("),
         diamond(cx, cy, h), F.lit("))"),
     )
-    g = st_geometry_from_text(wkt)
-    env = st_envelope_of(g)
-    return s.select(
-        "s_suppkey",
-        st_area(g).alias("area"),
-        F.round(st_centroid(g)["x"], 6).alias("centroid_x"),
-        F.round(st_centroid(g)["y"], 6).alias("centroid_y"),
-        st_polygon_contains_point(g, cx + 3 * r / 4, cy).alias("ring_has"),
-        st_polygon_contains_point(g, cx, cy).alias("hole_has"),
-        st_num_points(g).cast("long").alias("n_points"),
-        env["xmin"].alias("xmin"),
-        env["ymax"].alias("ymax"),
+
+    # Let-bind the parsed geometry: referencing st_geometry_from_text's
+    # expression from each of the 8 output columns would inline the
+    # regexp+transform parse tree 9x per row (measured 2.2s -> 0.3s at
+    # sf0.1).  transform-over-singleton evaluates the parse ONCE and the
+    # lambda variable g is a cheap reference — the same let-binding
+    # trick as the compat-aggregate rewrites (functions/presto.py).
+    def outputs(g):
+        env = st_envelope_of(g)
+        return F.struct(
+            st_area(g).alias("area"),
+            F.round(st_centroid(g)["x"], 6).alias("centroid_x"),
+            F.round(st_centroid(g)["y"], 6).alias("centroid_y"),
+            st_polygon_contains_point(g, cx + 3 * r / 4, cy).alias("ring_has"),
+            st_polygon_contains_point(g, cx, cy).alias("hole_has"),
+            st_num_points(g).cast("long").alias("n_points"),
+            env["xmin"].alias("xmin"),
+            env["ymax"].alias("ymax"),
+        )
+
+    res = F.element_at(
+        F.transform(F.array(st_geometry_from_text(wkt)), outputs), 1
     )
+    # two-step projection: expanding res.* in the SAME select would
+    # substitute the full expression into every output column again
+    return s.select("s_suppkey", res.alias("res")).select("s_suppkey", "res.*")
