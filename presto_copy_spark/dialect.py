@@ -525,10 +525,13 @@ def _rewrite_view_ddl(tokens: list) -> str | None:
 # ---------------------------------------------------------------------------
 def _row_type_to_struct(tokens: list) -> str:
     """`ROW(name type, ...)` type syntax -> `STRUCT<name: type, ...>`
-    (recursive for nested ROW; VARCHAR -> STRING inside types)."""
-    close = len(tokens) - 1
+    (recursive for nested ROW; VARCHAR -> STRING inside types).
+    tokens = [ROW, ..., (, fields..., )] — the paren is located by
+    significance, not position, so `ROW (x int)` whitespace parses."""
+    opn = _next_sig(tokens, 1)
+    close = _match_paren(tokens, opn)
     fields = []
-    for arg in _split_args(tokens, 2, close):
+    for arg in _split_args(tokens, opn + 1, close):
         sig = _strip(arg)
         if not sig:
             continue
@@ -822,10 +825,15 @@ def _transpile_tokens(tokens: list) -> str:
                             f"quantified comparison {prev_op} {text.upper()}"
                         )
                     # drop the already-emitted comparison operator
+                    # (match its text — a comment between the operator
+                    # and the quantifier must not be popped instead)
+                    kept: list[str] = []
                     while out:
                         popped = out.pop()
-                        if popped.strip():
+                        if popped.strip() == prev_op:
                             break
+                        kept.append(popped)
+                    out.extend(reversed(kept))
                     out.append(f" {repl} ")
                     i += 1
                     continue
@@ -909,7 +917,31 @@ def _transpile_tokens(tokens: list) -> str:
                     # word was already emitted; the message names the gap.
                     raise PrestoFeatureUnsupportedError("type with time zone")
                 if prev == "as" and j1 < n and tokens[j1] == ("op", ")"):
-                    raise PrestoFeatureUnsupportedError("CAST to time type")
+                    # only a CAST's type position — `SELECT 1 AS time)`
+                    # inside a subquery is a legal alias.  Walk back to
+                    # the innermost unmatched '(' and require cast(.
+                    depth = 0
+                    k2 = i - 1
+                    in_cast = False
+                    while k2 >= 0:
+                        kk, tt = tokens[k2]
+                        if kk == "op" and tt == ")":
+                            depth += 1
+                        elif kk == "op" and tt == "(":
+                            if depth == 0:
+                                p2 = k2 - 1
+                                while p2 >= 0 and not _is_sig(tokens[p2]):
+                                    p2 -= 1
+                                in_cast = (
+                                    p2 >= 0
+                                    and tokens[p2][0] == "word"
+                                    and tokens[p2][1].lower() in ("cast", "try_cast")
+                                )
+                                break
+                            depth -= 1
+                        k2 -= 1
+                    if in_cast:
+                        raise PrestoFeatureUnsupportedError("CAST to time type")
             # function-call rewrites
             j = _next_sig(tokens, i + 1)
             if j < n and tokens[j] == ("op", "("):

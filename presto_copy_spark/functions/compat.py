@@ -178,11 +178,15 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     # return the serialized JSON text.  Delta: a JSON *string* value whose
     # text itself starts with '[' or '{' is indistinguishable from the
     # serialized form and also maps to NULL here.
+    # let-bound via transform-over-singleton so the JSON document is
+    # parsed ONCE per call, not once for the guard and once for the
+    # result (the dominant cost on hot JSON paths)
     "json_extract_scalar": (
         "j STRING, p STRING",
         "STRING",
-        "CASE WHEN substring(ltrim(get_json_object(j, p)), 1, 1) IN ('[', '{')"
-        " THEN NULL ELSE get_json_object(j, p) END",
+        "element_at(transform(array(get_json_object(j, p)),"
+        " v -> CASE WHEN substring(ltrim(v), 1, 1) IN ('[', '{')"
+        " THEN NULL ELSE v END), 1)",
     ),
     "json_extract_compat": ("j STRING, p STRING", "STRING", "get_json_object(j, p)"),
     "json_array_contains_str": (

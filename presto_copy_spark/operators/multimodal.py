@@ -259,9 +259,13 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     )
 
     def embed(content: bytes) -> list[float]:
+        # ANY undecodable payload falls back to the deterministic fake —
+        # including garbage that starts with 'BM' but truncates mid-
+        # header (struct.error/ValueError), which a corpus of arbitrary
+        # bytes will always contain
         try:
             return _bmp_features(bytes(content))
-        except NotImplementedError:
+        except Exception:
             return _fake_embedding(bytes(content))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

@@ -591,7 +591,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
 
 
-_CC_ITERS = 3  # min-label hops; fixture chains have diameter <= 3
+_CC_MAX_ITERS = 20  # safety bound; the loop stops at convergence
 
 
 _SQL_CC_GRAPH = f"""
@@ -646,10 +646,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter up to 3), so components genuinely require propagation.
     Components come from ITERATIVE min-label propagation — per
     iteration one edge join + one min-aggregate (each a single shuffle
-    on node id), labels never leave the executors; {_CC_ITERS}
-    iterations cover the fixture diameter, and the same loop with a
-    convergence check (labels-changed count per iteration) is the
-    unbounded form.  The oracle computes the SAME components via
+    on node id), labels never leave the executors; the loop
+    runs until a round changes no label (scalar count per round), so
+    components of ANY diameter merge fully.  The oracle computes the SAME components via
     DuckDB's recursive CTE transitive closure — two independent
     formulations of connectivity.
 
@@ -682,19 +681,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(_CC_ITERS):
+    # Propagate to CONVERGENCE, not a fixed hop count: duplicate groups
+    # larger than the planted ones form longer chains, and an
+    # under-iterated run silently splits one component in two.  Each
+    # round is one edge join + one min-aggregate; the per-round
+    # changed-label count (a scalar action, the standard driver-side
+    # convergence check of every iterative Spark algorithm) stops the
+    # loop; _CC_MAX_ITERS bounds adversarial graphs.
+    for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-        )
+        improved = F.least(F.col("label"), F.coalesce("nmin", "label"))
+        nxt = labels.join(
+            neighbor_min, labels.node == neighbor_min.dst, "left"
+        ).select("node", F.col("label").alias("old"), improved.alias("label"))
+        changed = nxt.filter(F.col("label") < F.col("old")).count()
+        labels = nxt.select("node", "label")
+        if changed == 0:
+            break
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("node").cast("long").alias("member_sum"),

@@ -202,12 +202,44 @@ def _read_header(buf: memoryview) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
-def write_avro(df: DataFrame, path: str) -> DataFrame:
-    """Write ``df`` as Avro part files under ``path``; returns the
-    written manifest (file, n_rows) — also the write's action."""
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
+    """Write ``df`` as Avro part files under ``path``; runs the write
+    EAGERLY (exactly one action) and returns the materialized manifest
+    (file, n_rows) as a local DataFrame — re-using the result cannot
+    re-trigger the encoder and duplicate files.
+
+    ``mode='overwrite'`` (default) clears prior ``*.avro`` parts first,
+    ``'append'`` keeps them.  Caveat (documented, like any
+    committer-less sink): a task retried by the scheduler after
+    partially finishing could leave an extra part file; production
+    deployments should stage to a temp dir + rename, which is what the
+    engine's DELETE sink does (sources/connectors.py).
+
+    Nullable int/long columns are routed through strings: Arrow->pandas
+    turns them into float64 (NaN for null), which silently corrupts
+    values above 2^53 — the string path is exact at any magnitude."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F  # noqa: N812
+
     schema_json = json.dumps(_avro_schema_for(df))
     fts = _field_types(json.loads(schema_json))
     os.makedirs(path, exist_ok=True)
+    if mode == "overwrite":
+        for old in _glob.glob(os.path.join(path, "*.avro")):
+            os.remove(old)
+    elif mode != "append":
+        raise ValueError(f"unsupported write mode {mode!r}")
+
+    via_str = {
+        name for name, typ, nullable in fts if nullable and typ in ("int", "long")
+    }
+    src = df.select(
+        *[
+            F.col(name).cast("string").alias(name) if name in via_str else F.col(name)
+            for name, _, _ in fts
+        ]
+    )
 
     def encode(batches):
         import pandas as pd
@@ -232,6 +264,8 @@ def write_avro(df: DataFrame, path: str) -> DataFrame:
                         block += _zigzag_encode(1)
                     elif isnull:
                         raise ValueError(f"null in non-nullable field {name}")
+                    if name in via_str:
+                        v = int(v)
                     block += _enc_value(typ, v)
             out.write(_zigzag_encode(len(pdf)))
             out.write(_zigzag_encode(len(block)))
@@ -244,9 +278,8 @@ def write_avro(df: DataFrame, path: str) -> DataFrame:
             return
         yield pd.DataFrame({"file": [fname], "n_rows": [n_total]})
 
-    manifest = df.mapInPandas(encode, schema="file string, n_rows long")
-    # materialize deterministically (the manifest IS the write action)
-    return manifest
+    rows = src.mapInPandas(encode, schema="file string, n_rows long").collect()
+    return df.sparkSession.createDataFrame(rows, schema="file string, n_rows long")
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read an Avro directory/file written by any Avro writer whose

@@ -324,3 +324,20 @@ def test_quantified_comparisons_and_row(spark):
     assert r.d == 3
     # Spark's any() aggregate must pass through untouched
     assert "any(" in transpile("SELECT any(id > 1) FROM qt1")
+
+
+def test_review_regressions_row_quantifier_time_alias(spark):
+    """r3 code-review regressions: ROW type with whitespace before the
+    paren, a comment between the comparison operator and ANY, and an
+    alias literally named `time` (must NOT be rejected — only CAST's
+    type position is the documented gap)."""
+    from presto_copy_spark.dialect import transpile
+
+    assert "STRUCT<x: int, y: int>" in transpile(
+        "SELECT CAST(ROW(1, 2) AS ROW (x int, y int)).x"
+    )
+    t = transpile("SELECT x FROM t WHERE y = /*c*/ ANY(SELECT k FROM u)")
+    assert " IN " in t and "=" not in t.split("WHERE")[1]
+    spark.range(1).createOrReplaceTempView("qt3")
+    [r] = spark.sql(transpile("SELECT (SELECT 7 AS time) AS v FROM qt3")).collect()
+    assert r.v == 7

@@ -20,7 +20,7 @@ from decimal import Decimal
 
 import numpy as np
 
-CACHE = "/tmp/spark_graft_tpch_full"
+CACHE = "/tmp/spark_graft_tpch_full_v2"
 SRC = "/root/testdata/sf0.001"
 
 _SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
@@ -137,8 +137,9 @@ def _build() -> None:
         k = int(k)
         for i in range(4):
             rows_pk.append(k)
-            # dbgen's spread: supplier j = (k + i*(S/4 + (k-1)//S)) % S + 1
-            rows_sk.append((k + i * (n_supp // 4 + (k - 1) // n_supp)) % n_supp + 1)
+            # spread the 4 suppliers across the key space with a stride
+            # that guarantees distinctness (4 * max(1, S//4) <= S)
+            rows_sk.append((k + i * max(1, n_supp // 4)) % n_supp + 1)
             rows_qty.append((k * 7 + i * 13) % 9999 + 1)
             rows_cost.append(Decimal((k * 31 + i * 97) % 100000 + 100) / 100)
     pq.write_table(
