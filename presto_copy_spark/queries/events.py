@@ -291,6 +291,52 @@ def events_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(session_agg(stream_events(spark, sf_dir)), mode="append")
 
 
+def _summarize_deduped(deduped: DataFrame) -> DataFrame:
+    """Post-dedup summary shared by the streaming query and its bench
+    batch-parity twin: scalar-typed, order-insensitive columns."""
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _cents_sum().alias("sum_value_cents"),
+    )
+
+
+@query(
+    "events_streaming_dedup",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {SQL_CENTS_SUM} AS sum_value_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (at-least-once -> exactly-once): the event
+    stream with simulated broker redeliveries (every 5th event arrives
+    twice) runs through ``dropDuplicatesWithinWatermark(event_id)`` under
+    AvailableNow; the deduped sink output is then summarized per type.
+
+    The oracle is the plain batch aggregate over the ORIGINAL events —
+    redeliveries are exact copies, so a correct dedup stage must restore
+    the original stream bit-for-bit.  State is bounded by the 30-minute
+    watermark (streaming/jobs.dedup_stream docstring has the scale
+    analysis)."""
+    from ..streaming.jobs import (
+        _with_redelivery,
+        dedup_stream,
+        run_stream_to_batch,
+        stream_events,
+    )
+
+    deduped = run_stream_to_batch(
+        dedup_stream(_with_redelivery(stream_events(spark, sf_dir))),
+        mode="append",
+    )
+    return _summarize_deduped(deduped)
+
+
 @query(
     "events_json_props",
     oracle="""

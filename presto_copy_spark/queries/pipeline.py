@@ -1,0 +1,343 @@
+"""Training-data pipeline operators over the ``documents`` fixture:
+corpus mixing (stratified hash sampling), sequence packing, eval-set
+decontamination, repetition filtering (Gopher-style), PII redaction.
+
+These extend the dedup/similarity/text suite (queries/text.py) with the
+remaining stages a 100 TB LLM-data pipeline runs between "raw crawl"
+and "training batches".  No Presto counterpart — this is the
+§"beyond the reference" surface (SURVEY §2 addendum); the designs are
+the published ones (Gopher/MassiveText data quality rules, Rae et al.
+2021 §A1; GPT-style concat-then-chunk sequence packing; n-gram-overlap
+decontamination as in GPT-3 appendix C / PaLM §7).
+
+Scale design (100 TB corpus):
+- docs_mix_sample: the keep/drop decision is a row-local hash
+  comparison — zero shuffle before the (tiny) per-source aggregate.
+  This is THE sampling primitive that survives any scale: no window,
+  no count-then-sample second pass, deterministic across reruns and
+  engine (md5-based hash60, identical in the DuckDB oracle).
+- docs_pack_sequences: packing needs a running position, which is a
+  window cumsum — the partition key (source, shard) bounds each window
+  to one writer's worth of docs, so partitions stay task-sized at any
+  corpus size (increase SHARDS with corpus growth; each shard is an
+  independent deterministic packer, matching multi-writer reality).
+- docs_decontaminate: the eval-side shingle set is small by
+  construction (eval benchmarks are thousands of docs, not billions),
+  so it broadcasts; the train side stays a single scan + broadcast
+  semi-join — no shuffle of the 100 TB side at all.
+- text_repetition: two hash aggregations keyed on doc_id — map-side
+  partial aggregation collapses each doc's bigrams before exchange.
+- pii_scrub: pure row-local projection (regexp_count/regexp_replace
+  compile once per task); zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.text import (
+    bpe_token_count,
+    hash60,
+    shingles,
+    sql_bpe_token_count,
+    sql_hash60,
+    sql_shingles_cte,
+    sql_tokens,
+    tokens,
+)
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: deterministic stratified hash sampling.
+# Per-source keep-rate derived from the source id (src7 -> (7%4+1)*25% =
+# 100%) stands in for the mixing-weights table a real pipeline joins in.
+@query(
+    "docs_mix_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         (CAST(substr(source, 4) AS INT) % 4 + 1) * 250 AS keep_pm,
+         {sql_hash60('CAST(doc_id AS VARCHAR)')} % 1000 AS slot
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(coalesce(sum(CASE WHEN slot < keep_pm THEN 1 END), 0)
+            AS BIGINT) AS n_kept,
+       round(coalesce(sum(CASE WHEN slot < keep_pm THEN 1 END), 0)::DOUBLE
+             / count(*), 6) AS kept_frac,
+       CAST(coalesce(sum(CASE WHEN slot < keep_pm THEN doc_id END), 0)
+            AS BIGINT) AS kept_id_sum
+FROM scored GROUP BY source
+""",
+)
+def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a
+    source-dependent fraction of documents by comparing a row-local
+    md5 hash slot against the source's keep-rate (per-mille).
+
+    The keep decision needs no count, no window, no second pass — the
+    property that makes it THE mixing primitive at 100 TB (rerunnable,
+    resumable, engine-portable).  Output aggregates per source so the
+    driver hash stays scalar."""
+    d = _docs(spark, sf_dir)
+    keep_pm = (
+        F.substring(F.col("source"), 4, 10).cast("int") % 4 + 1
+    ) * 250
+    slot = hash60(F.col("doc_id").cast("string")) % 1000
+    kept = F.col("slot") < F.col("keep_pm")
+    return (
+        d.select("source", "doc_id", keep_pm.alias("keep_pm"), slot.alias("slot"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+            F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-then-chunk at a fixed token budget.
+PACK_BUDGET = 256
+PACK_SHARDS = 2
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, doc_id % {PACK_SHARDS} AS shard,
+         {sql_bpe_token_count('text')} AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, shard, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, shard,
+       CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY 1, 2, 3
+""",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    deterministic (doc_id) order within each (source, shard) writer and
+    chunked at PACK_BUDGET BPE tokens; a document belongs to the chunk
+    where it STARTS (concat-then-chunk semantics — chunks may straddle
+    document boundaries, exactly like the real pretraining layout).
+
+    The running position is a window cumsum partitioned by
+    (source, shard): each partition is one writer's worth of documents,
+    so window size is bounded by design — scale the corpus by raising
+    PACK_SHARDS, never by growing a partition."""
+    d = _docs(spark, sf_dir)
+    n_tok = bpe_token_count(F.col("text"))
+    t = d.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn("cum", F.sum("n_tok").over(w))
+    seq_id = F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_BUDGET))
+    return (
+        packed.select("source", "shard", seq_id.alias("seq_id"), "n_tok", "doc_id")
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: n-gram overlap against a held-out set.
+DECON_K = 5  # shingle width: long enough that chance overlap is evidence
+DECON_MOD = 97  # every 97th doc plays the "eval benchmark" role
+
+
+@query(
+    "docs_decontaminate",
+    oracle=f"""
+WITH sh AS ({sql_shingles_cte(k=DECON_K)}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % {DECON_MOD} <> 0
+GROUP BY 1
+""",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix C style): flag
+    training documents sharing any DECON_K-token shingle with the eval
+    set, with the per-doc overlapping-shingle count as evidence.
+
+    The eval shingle set is broadcast — eval benchmarks are tiny
+    relative to the corpus — so the 100 TB train side is ONE scan into
+    a broadcast hash join; no shuffle of the big side exists in the
+    plan.  At sf0.01 exactly one planted near-dup crosses the split,
+    so the output is small but non-empty by construction."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    sh = d.repartition(par).select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), k=DECON_K)).alias("shingle"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % DECON_MOD != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering: Gopher/MassiveText top-bigram fraction rule.
+REP_THRESHOLD = 0.06
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+),
+counted AS (SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       max(n) AS top_n,
+       round(max(n)::DOUBLE / sum(n), 6) AS top_frac,
+       CAST(max(n)::DOUBLE / sum(n) > {REP_THRESHOLD} AS INT) AS repetitive
+FROM counted GROUP BY 1
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality rule (Gopher §A1.1): fraction of all bigram
+    occurrences taken by the single most frequent bigram; documents
+    above REP_THRESHOLD are flagged as degenerate/boilerplate.
+
+    Two hash aggregations keyed on doc_id — the bigram explode
+    preserves document partitioning, so partial aggregation collapses
+    each doc's grams map-side before the exchange."""
+    d = _docs(spark, sf_dir)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counted = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_frac = F.col("top_n").cast("double") / F.col("n_bigrams")
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").alias("top_n"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_n",
+            F.round(top_frac, 6).alias("top_frac"),
+            (top_frac > REP_THRESHOLD).cast("int").alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: regex detect + scrub, fingerprint-verified.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(s, '{_PHONE_RE}')) AS n_phones,
+       {sql_hash60(
+           "regexp_replace(regexp_replace(s, '" + _EMAIL_RE + "', '<EMAIL>', 'g'), '"
+           + _PHONE_RE + "', '<PHONE>', 'g')"
+       )} AS redacted_fp,
+       len(regexp_extract_all(
+           regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_EMAIL_RE}')) AS residual_pii
+FROM injected
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and scrub email/phone patterns,
+    returning the redacted-text fingerprint (so the oracle proves the
+    SCRUBBED BYTES match, not just the counts) and a residual-PII
+    recount as the pipeline's own safety assertion.
+
+    The fixture text carries no PII, so a deterministic synthetic
+    email+phone per document is appended on BOTH engine and oracle
+    sides before scrubbing — the operator under test is the regex
+    detect/redact stage, which is a pure row-local projection (zero
+    shuffle; the regex compiles once per task, not per row)."""
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PHONE_RE)).alias("n_phones"),
+        hash60(redacted).alias("redacted_fp"),
+        F.regexp_count(redacted, F.lit(_EMAIL_RE)).alias("residual_pii"),
+    )

@@ -123,6 +123,7 @@ def load_all() -> None:
         geo,
         ml,
         multimodal,
+        pipeline,
         relational,
         similarity,
         sqltext,

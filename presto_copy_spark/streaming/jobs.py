@@ -30,6 +30,7 @@ __all__ = [
     "run_stream_to_batch",
     "tumbling_agg",
     "session_agg",
+    "dedup_stream",
     "BATCH_PARITY",
 ]
 
@@ -103,6 +104,28 @@ def session_agg(events: DataFrame) -> DataFrame:
             "n_events",
             "sum_value_cents",
         )
+    )
+
+
+def _with_redelivery(events: DataFrame) -> DataFrame:
+    """Simulate at-least-once delivery: every 5th event arrives twice
+    (identical payload, as a broker redelivery would be)."""
+    return events.unionByName(events.filter(F.col("event_id") % 5 == 0))
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming ingest dedup: the standard at-least-once -> effectively-
+    exactly-once repair stage at the front of every streaming pipeline.
+
+    ``dropDuplicatesWithinWatermark`` keys state on event_id only and
+    evicts entries once the watermark passes their event time + delay —
+    bounded state at any stream length (plain dropDuplicates with an
+    event-time key column would keep exact-timestamp state; the
+    WithinWatermark form is the Spark 3.5+ operator built for exactly
+    this).  State shuffles on event_id — uniformly distributed, no skew.
+    """
+    return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
 
 
@@ -243,8 +266,16 @@ def _batch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.events import _events, _summarize_deduped
+
+    deduped = _with_redelivery(_events(spark, sf_dir)).dropDuplicates(["event_id"])
+    return _summarize_deduped(deduped)
+
+
 BATCH_PARITY = {
     "events_streaming_tumbling": _batch_tumbling,
     "events_streaming_session": _batch_session,
     "events_stateful_profile": _batch_profile,
+    "events_streaming_dedup": _batch_dedup,
 }

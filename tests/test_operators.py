@@ -439,12 +439,18 @@ def test_streaming_batch_parity_twins(spark, sf_dir):
         "events_streaming_tumbling",
         "events_streaming_session",
         "events_stateful_profile",
+        "events_streaming_dedup",
     }
     for name, parity in BATCH_PARITY.items():
         a = registry.QUERIES[name](spark, sf_dir)
         b = parity(spark, sf_dir)
         assert a.columns == b.columns, name
-        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+        # sorted-rows compare, not exceptAll: Spark 4.1 hits
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND resolving exceptAll over a
+        # countDistinct aggregate, and these results are tiny
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb, name
 
 
 def test_ml_sql_learn_classify_multigroup(spark):
