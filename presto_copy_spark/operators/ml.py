@@ -68,9 +68,12 @@ def classify_nearest_centroid(
         .groupBy(id_col, "_cand")
         .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
     )
-    w = Window.partitionBy(id_col).orderBy("dist", "_cand")
-    return (
-        dists.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("_cand").alias("predicted"))
+    # argmin via min_by over the (dist, cand) struct, not a row_number
+    # window: lexicographic struct order preserves the tie-break, and the
+    # hash aggregation's map-side partials collapse the K candidate rows
+    # per id BEFORE the exchange (the window form ships all K and sorts
+    # each partition).  Measured parity at sf0.1 (noise-dominated); the
+    # partial-agg form is the one that wins at scale.
+    return dists.groupBy(id_col).agg(
+        F.min_by("_cand", F.struct("dist", "_cand")).alias("predicted")
     )

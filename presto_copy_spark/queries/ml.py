@@ -53,7 +53,7 @@ def ml_learn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: training is a map-side-combined hash agg over the
     exploded coordinates; prediction is one corpus pass joined to a
-    KB-sized broadcast model with a WindowGroupLimit argmin — the same
+    KB-sized broadcast model with a min_by hash-agg argmin — the same
     train/apply split the reference plans for learn_classifier inside
     an aggregation and classify as a scalar."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -123,8 +123,8 @@ GROUP BY a.cluster
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (Lloyd's, {K=4, 2 iterations} unrolled):
     the ITERATIVE-algorithm shape on Spark — assignment is one corpus
-    pass joined to a KB-sized broadcast centroid table with a
-    WindowGroupLimit argmin, update is a map-side-combined hash agg;
+    pass joined to a KB-sized broadcast centroid table with a min_by
+    hash-agg argmin, update is a map-side-combined hash agg;
     each iteration adds one shuffle, centroids never leave the
     executors.  All arithmetic is quantized-integer (same CSCALE as the
     IVF operator) so the DuckDB oracle — the identical iterations
@@ -149,8 +149,6 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), "i", F.col("qv").alias("cv")
     )
     assign = None
-    from pyspark.sql import Window
-
     for _ in range(_ITERS):
         diff = F.col("qv") - F.col("cv")
         dists = (
@@ -158,11 +156,12 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "cluster")
             .agg(F.sum(diff * diff).cast("long").alias("dist"))
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster")
+        # argmin via min_by (hash agg, map-side partials) instead of a
+        # row_number window sort — same (dist, cluster) tie-break through
+        # lexicographic struct order; K partial rows per vec_id collapse
+        # map-side before the exchange (see operators/ml.py)
+        assign = dists.groupBy("vec_id").agg(
+            F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
         )
         cents = (
             coords.join(assign, "vec_id")

@@ -455,7 +455,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
       train on a hash-sampled slice (docs_mix_sample's primitive) since
       codebook quality saturates in thousands of points per cell.
     - ENCODE: one corpus pass joined to the KB-sized broadcast codebook,
-      argmin per (vec_id, m) via WindowGroupLimit — output is 4 bytes
+      argmin per (vec_id, m) via min_by hash agg — output is 4 bytes
       per vector, the artifact you persist.
     - SEARCH (ADC): each query builds an M x K integer LUT from the
       broadcast codebook (PQ_M * PQ_K = 128 rows per query); scoring is
@@ -473,18 +473,17 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _nearest(cents: DataFrame) -> DataFrame:
-        """argmin code per (vec_id, m) against a broadcast codebook."""
+        """argmin code per (vec_id, m) against a broadcast codebook —
+        min_by over the (dist, code) struct keeps the tie-break while
+        staying a hash agg with map-side partials (no window sort)."""
         d = F.col("qv") - F.col("cv")
         dists = (
             coords.join(F.broadcast(cents), ["m", "j"])
             .groupBy("vec_id", "m", "code")
             .agg(F.sum(d * d).cast("long").alias("dist"))
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
-        return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "code")
+        return dists.groupBy("vec_id", "m").agg(
+            F.min_by("code", F.struct("dist", "code")).alias("code")
         )
 
     cent0 = coords.filter(F.col("vec_id") < PQ_K).select(
