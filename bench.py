@@ -50,6 +50,8 @@ def main() -> None:
             "ml",
             "multimodal",
             "geo",
+            "docs",
+            "pii",
         ):
             names.append(extra)
 

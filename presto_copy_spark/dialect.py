@@ -172,6 +172,10 @@ _CALL_RENAMES = {
     # get_json_object rename would not.
     "zip": "arrays_zip",
     "regexp_like": "rlike",
+    # lambda predicates (ArrayFunctions.java anyMatch/allMatch): Spark
+    # spells them exists/forall; none_match needs a NOT wrap (below)
+    "any_match": "exists",
+    "all_match": "forall",
 }
 
 _TIME_UNITS = {
@@ -321,6 +325,12 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             return "rand()"
         a0 = _render_tokens(_strip(args[0]))
         return f"CAST(floor(rand() * ({a0})) AS BIGINT)"
+    if low == "none_match" and len(args) == 2:
+        # ArrayFunctions.java noneMatch == NOT exists; Presto's NULL
+        # semantics carry over (exists -> NULL => NOT NULL => NULL)
+        a0 = _render_tokens(_strip(args[0]))
+        a1 = _render_tokens(_strip(args[1]))
+        return f"(NOT exists({a0}, {a1}))"
     if low == "map" and len(args) == 2:
         # Presto's MAP(key_array, value_array) constructor
         # (MapConstructor.java) vs Spark's varargs map(k, v, ...): only

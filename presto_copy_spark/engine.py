@@ -16,13 +16,68 @@ name gaps.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from . import dialect
 from .catalog import register_tables
 from .functions import register_all
 from .session import get_spark
 
-__all__ = ["Engine"]
+__all__ = ["Engine", "presto_type_name"]
+
+
+def presto_type_name(dt: T.DataType) -> str:
+    """Spark DataType -> Presto type name (StandardTypes.java:24-58),
+    recursive through array/map/row — the DESCRIBE/SHOW COLUMNS output
+    a Presto client expects."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"array({presto_type_name(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return f"map({presto_type_name(dt.keyType)}, {presto_type_name(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        fields = ", ".join(
+            f"{f.name} {presto_type_name(f.dataType)}" for f in dt.fields
+        )
+        return f"row({fields})"
+    return {
+        T.LongType: "bigint",
+        T.IntegerType: "integer",
+        T.ShortType: "smallint",
+        T.ByteType: "tinyint",
+        T.DoubleType: "double",
+        T.FloatType: "real",
+        T.StringType: "varchar",
+        T.BinaryType: "varbinary",
+        T.BooleanType: "boolean",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+        T.TimestampNTZType: "timestamp",
+        T.DayTimeIntervalType: "interval day to second",
+        T.YearMonthIntervalType: "interval year to month",
+        T.NullType: "unknown",
+    }.get(type(dt), dt.simpleString())
+
+
+# Presto system session properties with a direct Spark conf twin
+# (SystemSessionProperties.java:83-88; SetSessionTask.java applies them
+# per-session, exactly what spark.conf runtime settings are).  Unmapped
+# names are stored and visible in SHOW SESSION but have no engine
+# effect — the honest subset.
+_SESSION_PROP_TO_CONF = {
+    # hash_partition_count = number of partitions for distributed hash
+    # exchanges == spark.sql.shuffle.partitions
+    "hash_partition_count": lambda v: [("spark.sql.shuffle.partitions", v)],
+    # join_distribution_type: PARTITIONED forbids broadcast; BROADCAST /
+    # AUTOMATIC restore Spark's size-based auto-broadcast default
+    "join_distribution_type": lambda v: [
+        (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "-1" if v.strip("'\"").upper() == "PARTITIONED" else "10485760",
+        )
+    ],
+}
 
 
 class Engine:
@@ -32,6 +87,9 @@ class Engine:
         self.spark = spark or get_spark()
         self.tables = register_tables(self.spark, sf_dir)
         register_all(self.spark)
+        # PREPARE name -> statement text; SET SESSION name -> value text
+        self._prepared: dict[str, str] = {}
+        self._session_props: dict[str, str] = {}
 
     # -- dialect -----------------------------------------------------------
     @staticmethod
@@ -43,7 +101,204 @@ class Engine:
 
     # -- API ---------------------------------------------------------------
     def sql(self, text: str) -> DataFrame:
+        routed = self._route_statement(text)
+        if routed is not None:
+            return routed
         return self.spark.sql(self.transpile(text))
+
+    # -- statement surface (SqlBase.g4:33-136 `statement` alternatives
+    # that are session/metadata tasks, not queries; reference executes
+    # them as DataDefinitionTask subclasses under presto-main/.../
+    # execution/: SetSessionTask, PrepareTask, DeallocateTask, the SHOW
+    # rewrites in ShowQueriesRewrite.java) ------------------------------
+    def _route_statement(self, text: str) -> DataFrame | None:
+        toks = [t for t in dialect.tokenize(text) if t[0] not in ("ws", "comment")]
+        if not toks:
+            return None
+        words = [v.upper() if k == "word" else v for k, v in toks]
+
+        def _df(rows, *cols):
+            schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            )
+            return self.spark.createDataFrame(sorted(rows), schema)
+
+        head = words[0] if toks[0][0] == "word" else None
+        # --- SET SESSION name = value (SetSessionTask.java) -----------
+        if head == "SET" and len(words) > 1 and words[1] == "SESSION":
+            eq = next(i for i, (k, v) in enumerate(toks) if k == "op" and v == "=")
+            name = "".join(v for _, v in toks[2:eq])
+            value = " ".join(v for _, v in toks[eq + 1 :])
+            self._session_props[name] = value
+            for conf_key, conf_val in _SESSION_PROP_TO_CONF.get(
+                name, lambda v: []
+            )(value):
+                self.spark.conf.set(conf_key, conf_val)
+            return self._empty()
+        # --- RESET SESSION name (ResetSessionTask.java) ---------------
+        if head == "RESET" and len(words) > 1 and words[1] == "SESSION":
+            name = "".join(v for _, v in toks[2:])
+            self._session_props.pop(name, None)
+            for conf_key, _ in _SESSION_PROP_TO_CONF.get(name, lambda v: [])(""):
+                self.spark.conf.unset(conf_key)
+            return self._empty()
+        # --- PREPARE name FROM statement (PrepareTask.java) -----------
+        if head == "PREPARE":
+            name = toks[1][1]
+            from_idx = next(
+                i for i, w in enumerate(words) if i >= 2 and w == "FROM"
+            )
+            # store the ORIGINAL text after FROM (whitespace intact)
+            raw = [t for t in dialect.tokenize(text)]
+            sig_seen = 0
+            for j, t in enumerate(raw):
+                if t[0] not in ("ws", "comment"):
+                    if sig_seen == from_idx:
+                        break
+                    sig_seen += 1
+            self._prepared[name] = "".join(v for _, v in raw[j + 1 :])
+            return self._empty()
+        # --- DEALLOCATE PREPARE name (DeallocateTask.java) ------------
+        if head == "DEALLOCATE":
+            name = toks[-1][1]
+            if name not in self._prepared:
+                raise KeyError(f"prepared statement not found: {name}")
+            del self._prepared[name]
+            return self._empty()
+        # --- EXECUTE name [USING expr, ...] ---------------------------
+        if head == "EXECUTE":
+            name = toks[1][1]
+            if name not in self._prepared:
+                raise KeyError(f"prepared statement not found: {name}")
+            body = self._prepared[name]
+            args: list[str] = []
+            if len(words) > 2 and words[2] == "USING":
+                arg_toks = toks[3:]
+                cur: list[str] = []
+                depth = 0
+                for k, v in arg_toks:
+                    if k == "op" and v == "(":
+                        depth += 1
+                    if k == "op" and v == ")":
+                        depth -= 1
+                    if k == "op" and v == "," and depth == 0:
+                        args.append(" ".join(cur))
+                        cur = []
+                    else:
+                        cur.append(v)
+                if cur:
+                    args.append(" ".join(cur))
+            # positional ?-parameter substitution, token-aware (never
+            # inside string literals)
+            out, used = [], 0
+            for k, v in dialect.tokenize(body):
+                if k == "op" and v == "?":
+                    if used >= len(args):
+                        raise ValueError(
+                            f"EXECUTE {name}: {len(args)} parameters for "
+                            f"more ? placeholders"
+                        )
+                    out.append(args[used])
+                    used += 1
+                else:
+                    out.append(v)
+            if used < len(args):
+                raise ValueError(
+                    f"EXECUTE {name}: {len(args)} parameters but only "
+                    f"{used} placeholders"
+                )
+            return self.sql("".join(out))
+        # --- DESCRIBE t / SHOW COLUMNS FROM t (ShowQueriesRewrite) ----
+        if head == "DESCRIBE" or (
+            head == "SHOW" and len(words) > 1 and words[1] == "COLUMNS"
+        ):
+            skip = 1 if head == "DESCRIBE" else 3  # SHOW COLUMNS FROM|IN
+            name = "".join(v for _, v in toks[skip:])
+            rows = [
+                (f.name, presto_type_name(f.dataType), "", "")
+                for f in self.spark.table(name).schema.fields
+            ]
+            schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in
+                 ("Column", "Type", "Extra", "Comment")]
+            )
+            return self.spark.createDataFrame(rows, schema)  # declaration order
+        # --- SHOW STATS FOR t (ShowStatsRewrite.java: per-column
+        # null_fraction / ndv / min / max + table row_count) -----------
+        if head == "SHOW" and len(words) > 2 and words[1] == "STATS":
+            name = "".join(v for _, v in toks[3:])
+            t = self.spark.table(name)
+            from pyspark.sql import functions as F
+
+            n = t.count()
+            numeric = (
+                T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.DecimalType, T.DateType,
+                T.TimestampType, T.TimestampNTZType,
+            )
+            aggs, stat_cols = [], []
+            for f in t.schema.fields:
+                ok = isinstance(f.dataType, numeric + (T.StringType, T.BooleanType))
+                aggs += [
+                    F.approx_count_distinct(f.name).alias(f"{f.name}__ndv"),
+                    (F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0))
+                     / F.lit(max(n, 1))).alias(f"{f.name}__nullfrac"),
+                    (F.min(f.name) if ok else F.lit(None)).cast("string").alias(f"{f.name}__lo"),
+                    (F.max(f.name) if ok else F.lit(None)).cast("string").alias(f"{f.name}__hi"),
+                ]
+                stat_cols.append(f.name)
+            stats = t.agg(*aggs).collect()[0].asDict() if stat_cols else {}
+            rows = [
+                (
+                    c,
+                    float(stats[f"{c}__ndv"]),
+                    float(stats[f"{c}__nullfrac"]),
+                    stats[f"{c}__lo"],
+                    stats[f"{c}__hi"],
+                    None,
+                )
+                for c in stat_cols
+            ] + [(None, None, None, None, None, float(n))]
+            schema = T.StructType([
+                T.StructField("column_name", T.StringType()),
+                T.StructField("distinct_values_count", T.DoubleType()),
+                T.StructField("nulls_fraction", T.DoubleType()),
+                T.StructField("low_value", T.StringType()),
+                T.StructField("high_value", T.StringType()),
+                T.StructField("row_count", T.DoubleType()),
+            ])
+            return self.spark.createDataFrame(rows, schema)
+        if head == "SHOW" and len(words) > 1:
+            if words[1] == "TABLES":
+                return _df(
+                    [(t.name,) for t in self.spark.catalog.listTables()], "Table"
+                )
+            if words[1] == "SCHEMAS":
+                return _df(
+                    [(d.name,) for d in self.spark.catalog.listDatabases()],
+                    "Schema",
+                )
+            if words[1] == "CATALOGS":
+                return _df(
+                    [(c.name,) for c in self.spark.catalog.listCatalogs()],
+                    "Catalog",
+                )
+            if words[1] == "FUNCTIONS":
+                rows = [
+                    (r[0],)
+                    for r in self.spark.sql("SHOW FUNCTIONS").collect()
+                ]
+                return _df(rows, "Function")
+            if words[1] == "SESSION":
+                return _df(list(self._session_props.items()), "Name", "Value")
+        return None
+
+    def _empty(self) -> DataFrame:
+        """Zero-row result for effect-only statements (the reference
+        returns an empty page with an OK status)."""
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("result", T.StringType())])
+        )
 
     def execute(self, script: str) -> DataFrame | None:
         """Run a ``;``-separated multi-statement script (the Presto CLI /

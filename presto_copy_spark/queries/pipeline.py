@@ -341,3 +341,157 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(redacted).alias("redacted_fp"),
         F.regexp_count(redacted, F.lit(_EMAIL_RE)).alias("residual_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary induction + out-of-vocabulary profiling.
+VOCAB_SIZE = 25
+
+
+@query(
+    "docs_vocab_coverage",
+    oracle=f"""
+WITH occ AS (
+  SELECT source, unnest({sql_tokens('text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+    FROM occ GROUP BY token) t
+  WHERE rn <= {VOCAB_SIZE}
+)
+SELECT source,
+       count(*) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0)
+            AS BIGINT) AS oov_tokens,
+       round(coalesce(sum(CASE WHEN v.token IS NULL THEN 1 END), 0)::DOUBLE
+             / count(*), 6) AS oov_rate
+FROM occ o LEFT JOIN vocab v USING (token)
+GROUP BY source
+""",
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction: take the corpus-frequency top
+    VOCAB_SIZE tokens as the vocabulary, then profile each source's
+    out-of-vocabulary token rate — the coverage report that drives
+    vocab-size / tokenizer decisions before a training run.
+
+    Vocab selection is sort-limit over the token-frequency aggregate
+    (TakeOrderedAndProject: per-partition partial top-K, never a global
+    single-partition window), and the OOV pass is one occurrence scan
+    left-joined to the broadcast vocabulary — at 100 TB the vocab is
+    KBs while the corpus side never shuffles."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    occ = d.repartition(par).select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1))
+    return (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.coalesce(oov, F.lit(0)).cast("long").alias("oov_tokens"),
+            F.round(
+                F.coalesce(oov, F.lit(0)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: the pipeline's yield report.
+FUNNEL_MIN_TOKENS = 40
+FUNNEL_MIN_DIVERSITY = 0.45
+
+
+@query(
+    "docs_filter_funnel",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+),
+rep AS (
+  SELECT doc_id, max(n)::DOUBLE / sum(n) AS top_frac
+  FROM (SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY 1, 2) c
+  GROUP BY doc_id
+),
+per_doc AS (
+  SELECT t.doc_id,
+         len(tk) >= {FUNNEL_MIN_TOKENS} AS pass_len,
+         len(list_distinct(tk))::DOUBLE / len(tk)
+           >= {FUNNEL_MIN_DIVERSITY} AS pass_div,
+         coalesce(r.top_frac <= {REP_THRESHOLD}, FALSE) AS pass_rep
+  FROM toks t LEFT JOIN rep r USING (doc_id)
+)
+SELECT count(*) AS n_total,
+       CAST(coalesce(sum(CASE WHEN pass_len THEN 1 END), 0) AS BIGINT) AS n_len,
+       CAST(coalesce(sum(CASE WHEN pass_len AND pass_div THEN 1 END), 0)
+            AS BIGINT) AS n_quality,
+       CAST(coalesce(sum(CASE WHEN pass_len AND pass_div AND pass_rep
+                          THEN 1 END), 0) AS BIGINT) AS n_clean
+FROM per_doc
+""",
+)
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality-filter funnel with per-stage survivor counts —
+    the yield report every data pipeline publishes: length gate, then
+    lexical-diversity gate, then the Gopher top-bigram repetition gate,
+    counted CUMULATIVELY so each stage's marginal cost is visible.
+
+    One corpus scan computes the row-local gates; the repetition gate
+    reuses text_repetition's two doc-keyed hash aggs; everything meets
+    in a single global aggregate (4 scalar outputs)."""
+    d = _docs(spark, sf_dir)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    rep = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("bn").cast("double") / F.sum("bn")).alias("top_frac")
+        )
+    )
+    per_doc = (
+        d.select(
+            "doc_id",
+            (n >= FUNNEL_MIN_TOKENS).alias("pass_len"),
+            (
+                F.size(F.array_distinct(tok)).cast("double") / n
+                >= FUNNEL_MIN_DIVERSITY
+            ).alias("pass_div"),
+        )
+        .join(rep, "doc_id", "left")
+        .withColumn(
+            "pass_rep",
+            F.coalesce(F.col("top_frac") <= REP_THRESHOLD, F.lit(False)),
+        )
+    )
+    c = lambda cond: F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).cast("long")  # noqa: E731
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        c(F.col("pass_len")).alias("n_len"),
+        c(F.col("pass_len") & F.col("pass_div")).alias("n_quality"),
+        c(F.col("pass_len") & F.col("pass_div") & F.col("pass_rep")).alias(
+            "n_clean"
+        ),
+    )

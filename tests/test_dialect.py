@@ -341,3 +341,22 @@ def test_review_regressions_row_quantifier_time_alias(spark):
     spark.range(1).createOrReplaceTempView("qt3")
     [r] = spark.sql(transpile("SELECT (SELECT 7 AS time) AS v FROM qt3")).collect()
     assert r.v == 7
+
+
+def test_lambda_match_functions(spark):
+    """ArrayFunctions.java anyMatch/allMatch/noneMatch -> Spark
+    exists/forall/NOT exists, with Presto null propagation."""
+    from presto_copy_spark.dialect import transpile
+
+    out = transpile("SELECT any_match(a, x -> x > 1), none_match(a, x -> x > 0) FROM t")
+    assert "exists(a, x -> x > 1)" in out
+    assert "(NOT exists(a, x -> x > 0))" in out
+    row = spark.sql(
+        transpile(
+            "SELECT any_match(array(1,2,3), x -> x > 2) AS a,"
+            " all_match(array(1,2,3), x -> x > 0) AS b,"
+            " none_match(array(1,2,3), x -> x > 1) AS c,"
+            " none_match(CAST(NULL AS ARRAY<INT>), x -> x > 1) AS d"
+        )
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (True, True, False, None)

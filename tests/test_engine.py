@@ -133,3 +133,88 @@ ORDER BY s_suppkey;
     assert len(rows) >= 1 and rows[0]["semi"] == ";"
     assert rows[0]["total_revenue"] > 0
     eng.drop_view("rev")
+
+
+# ---------------------------------------------------------------------------
+# Statement surface: SET/RESET SESSION, PREPARE/EXECUTE/DEALLOCATE,
+# DESCRIBE / SHOW (SqlBase.g4:104-136; SetSessionTask / PrepareTask /
+# DeallocateTask / ShowQueriesRewrite in presto-main).
+# ---------------------------------------------------------------------------
+def test_set_session_maps_to_spark_conf(engine):
+    prev = engine.spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        engine.sql("SET SESSION hash_partition_count = 16")
+        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+        engine.sql("SET SESSION join_distribution_type = 'PARTITIONED'")
+        assert engine.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        engine.sql("SET SESSION join_distribution_type = 'AUTOMATIC'")
+        assert engine.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+        shown = {r.Name: r.Value for r in engine.sql("SHOW SESSION").collect()}
+        assert shown["hash_partition_count"] == "16"
+        engine.sql("RESET SESSION hash_partition_count")
+        assert "hash_partition_count" not in {
+            r.Name for r in engine.sql("SHOW SESSION").collect()
+        }
+    finally:
+        engine.spark.conf.set("spark.sql.shuffle.partitions", prev)
+        engine.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_prepare_execute_deallocate(engine):
+    engine.sql("PREPARE q1 FROM SELECT n_name FROM nation WHERE n_regionkey = ? ORDER BY n_name LIMIT ?")
+    got = [r.n_name for r in engine.sql("EXECUTE q1 USING 2, 3").collect()]
+    want = [
+        r.n_name
+        for r in engine.sql(
+            "SELECT n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_name LIMIT 3"
+        ).collect()
+    ]
+    assert got == want and len(got) == 3
+    # Presto-spelled body goes through the dialect on EXECUTE
+    engine.sql("PREPARE q2 FROM SELECT strpos(n_name, ?) AS p FROM nation WHERE n_nationkey = 0")
+    assert engine.sql("EXECUTE q2 USING 'GER'").collect()[0].p >= 0
+    engine.sql("DEALLOCATE PREPARE q1")
+    with pytest.raises(KeyError):
+        engine.sql("EXECUTE q1 USING 1, 1")
+    with pytest.raises(ValueError):
+        engine.sql("EXECUTE q2 USING 'a', 'b'")  # too many parameters
+
+
+def test_describe_returns_presto_types(engine):
+    rows = {r.Column: r.Type for r in engine.sql("DESCRIBE lineitem").collect()}
+    assert rows["l_orderkey"] == "bigint"
+    assert rows["l_returnflag"] == "varchar"
+    assert rows["l_quantity"] in ("double", "decimal(12,2)")
+    cols = [r.Column for r in engine.sql("SHOW COLUMNS FROM region").collect()]
+    assert cols[:2] == ["r_regionkey", "r_name"]  # declaration order
+
+
+def test_show_tables_and_functions(engine):
+    tables = {r.Table for r in engine.sql("SHOW TABLES").collect()}
+    assert {"lineitem", "orders", "documents"} <= tables
+    fns = {r.Function for r in engine.sql("SHOW FUNCTIONS").collect()}
+    assert "strpos" in fns  # registered compat function is visible
+
+
+def test_presto_type_name_nested():
+    from pyspark.sql import types as T
+
+    from presto_copy_spark.engine import presto_type_name
+
+    dt = T.ArrayType(T.MapType(T.StringType(), T.DecimalType(10, 2)))
+    assert presto_type_name(dt) == "array(map(varchar, decimal(10,2)))"
+    st = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.FloatType())])
+    assert presto_type_name(st) == "row(a integer, b real)"
+
+
+def test_show_stats_for_table(engine):
+    """SHOW STATS FOR t (ShowStatsRewrite.java output shape): per-column
+    ndv / null-fraction / min / max rows plus the row_count summary row."""
+    rows = engine.sql("SHOW STATS FOR nation").collect()
+    by_col = {r.column_name: r for r in rows}
+    assert by_col[None].row_count == 25.0
+    nk = by_col["n_nationkey"]
+    assert nk.nulls_fraction == 0.0
+    assert abs(nk.distinct_values_count - 25) <= 2  # HLL estimate
+    assert (nk.low_value, nk.high_value) == ("0", "24")
+    assert by_col["n_name"].low_value is not None
