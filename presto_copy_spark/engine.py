@@ -208,6 +208,42 @@ class Engine:
                     f"{used} placeholders"
                 )
             return self.sql("".join(out))
+        # --- DESCRIBE INPUT/OUTPUT name (SqlBase.g4:137-138;
+        # DescribeInputRewrite / DescribeOutputRewrite) ----------------
+        if head == "DESCRIBE" and len(words) > 2 and words[1] in ("INPUT", "OUTPUT"):
+            name = toks[2][1]
+            if name not in self._prepared:
+                raise KeyError(f"prepared statement not found: {name}")
+            body = self._prepared[name]
+            if words[1] == "INPUT":
+                # parameter positions; types are unknown without full
+                # type inference, which is DescribeInputRewrite's own
+                # fallback ("unknown") for untypable positions
+                positions = [
+                    i
+                    for i, (k, v) in enumerate(
+                        t for t in dialect.tokenize(body) if t[0] == "op" and t[1] == "?"
+                    )
+                ]
+                rows = [(p, "unknown") for p in range(len(positions))]
+                schema = T.StructType([
+                    T.StructField("Position", T.IntegerType()),
+                    T.StructField("Type", T.StringType()),
+                ])
+                return self.spark.createDataFrame(rows, schema)
+            # OUTPUT: analyze the body with parameters bound to NULL —
+            # the schema (names + types) of the result
+            null_body = "".join(
+                "NULL" if (k == "op" and v == "?") else v
+                for k, v in dialect.tokenize(body)
+            )
+            fields = self.sql(null_body).schema.fields
+            rows = [(f.name, presto_type_name(f.dataType)) for f in fields]
+            schema = T.StructType([
+                T.StructField("Column Name", T.StringType()),
+                T.StructField("Type", T.StringType()),
+            ])
+            return self.spark.createDataFrame(rows, schema)
         # --- DESCRIBE t / SHOW COLUMNS FROM t (ShowQueriesRewrite) ----
         if head == "DESCRIBE" or (
             head == "SHOW" and len(words) > 1 and words[1] == "COLUMNS"

@@ -109,6 +109,14 @@ DRIVER_PRIORITY: list[str] = [
     # ---- the 50-entry cut lands here ----
     # Everything below stays verified by tests/test_queries_vs_oracle.py
     # against the same DuckDB oracle each pytest run.
+    #
+    # Round-4 rotation plan: promote the (r3-proven, never driver-
+    # checked) pipeline suite — docs_mix_sample, docs_pack_sequences,
+    # docs_decontaminate, docs_vocab_coverage, docs_filter_funnel,
+    # text_repetition, pii_scrub, sim_pq_adc, events_streaming_dedup,
+    # ml_kmeans, dedup_connected_components, sim_quantized_cosine,
+    # geo_wkt_polygon_ops stays — retiring window/setop/func slots that
+    # are green in r2 ∪ r3 (keep one per family as regression canary).
 ]
 
 

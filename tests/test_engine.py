@@ -218,3 +218,16 @@ def test_show_stats_for_table(engine):
     assert abs(nk.distinct_values_count - 25) <= 2  # HLL estimate
     assert (nk.low_value, nk.high_value) == ("0", "24")
     assert by_col["n_name"].low_value is not None
+
+
+def test_describe_input_output_for_prepared(engine):
+    """DESCRIBE INPUT/OUTPUT name (SqlBase.g4:137-138): parameter
+    positions and the output schema with parameters bound to NULL."""
+    engine.sql(
+        "PREPARE qd FROM SELECT n_name, n_regionkey + ? AS rk2 FROM nation WHERE n_nationkey = ?"
+    )
+    inp = engine.sql("DESCRIBE INPUT qd").collect()
+    assert [r.Position for r in inp] == [0, 1]
+    out = {r["Column Name"]: r.Type for r in engine.sql("DESCRIBE OUTPUT qd").collect()}
+    assert out["n_name"] == "varchar" and out["rk2"] == "integer"
+    engine.sql("DEALLOCATE PREPARE qd")

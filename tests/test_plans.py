@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from presto_copy_spark.catalog import load_table
 from presto_copy_spark.plans.inspect import (
     has_broadcast_join,
+    has_sort_merge_join,
     has_window_group_limit,
     partial_final_agg_count,
     plan_string,
@@ -188,3 +189,49 @@ def test_khll_sample_avoids_global_window(spark, sf_dir):
     plan = plan_string(df, "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-operator plan shapes (queries/pipeline.py; the scale claims in
+# those docstrings, proven against the optimized physical plan).
+# ---------------------------------------------------------------------------
+def test_mix_sample_has_single_exchange(spark, sf_dir):
+    """docs_mix_sample's keep/drop is row-local: the ONLY exchange in
+    the plan is the final per-source aggregation shuffle."""
+    df = registry.QUERIES["docs_mix_sample"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """docs_decontaminate: eval shingles broadcast; the train side must
+    NOT go through a sort-merge join."""
+    df = registry.QUERIES["docs_decontaminate"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_vocab_coverage_uses_take_ordered_and_broadcast(spark, sf_dir):
+    """docs_vocab_coverage: vocab selection is TakeOrderedAndProject
+    (partial top-K per partition), never a global single-partition
+    window; the OOV join is broadcast."""
+    df = registry.QUERIES["docs_vocab_coverage"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_pq_adc_codebook_joins_are_broadcast(spark, sf_dir):
+    """sim_pq_adc: every codebook/LUT join is broadcast — the corpus
+    side never shuffles for a join (only for its aggregations)."""
+    df = registry.QUERIES["sim_pq_adc"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_pii_scrub_is_scan_project_only(spark, sf_dir):
+    """pii_scrub must be a pure scan+project plan: zero exchanges."""
+    df = registry.QUERIES["pii_scrub"](spark, sf_dir)
+    plan = plan_string(df, "simple")
+    assert "Exchange" not in plan, plan
