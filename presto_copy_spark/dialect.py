@@ -176,6 +176,11 @@ _CALL_RENAMES = {
     # spells them exists/forall; none_match needs a NOT wrap (below)
     "any_match": "exists",
     "all_match": "forall",
+    # Presto contains(array, elem) (ArrayContains.java); Presto has no
+    # string contains, so the rename is unambiguous in Presto-spelled SQL
+    "contains": "array_contains",
+    "split_to_map": "str_to_map",
+    "ends_with": "endswith",
 }
 
 _TIME_UNITS = {
@@ -325,6 +330,16 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             return "rand()"
         a0 = _render_tokens(_strip(args[0]))
         return f"CAST(floor(rand() * ({a0})) AS BIGINT)"
+    if low == "normalize" and len(args) == 2:
+        # normalize(x, NFD) — the form is a bare identifier keyword
+        # (SqlBase.g4 normalForm); route to the per-form pandas UDF
+        form_arg = _strip(args[1])
+        if len(form_arg) == 1 and form_arg[0][0] == "word":
+            form = form_arg[0][1].lower()
+            if form in ("nfc", "nfd", "nfkc", "nfkd"):
+                a0 = _render_tokens(_strip(args[0]))
+                return f"__normalize_{form}({a0})"
+        return None
     if low == "none_match" and len(args) == 2:
         # ArrayFunctions.java noneMatch == NOT exists; Presto's NULL
         # semantics carry over (exists -> NULL => NOT NULL => NULL)

@@ -23,3 +23,31 @@ def register_all(spark: SparkSession) -> None:
     register_sql_udfs(spark)
     register_ml_sql(spark)
     register_geometry_sql(spark)
+    _register_normalize(spark)
+
+
+def _register_normalize(spark: SparkSession) -> None:
+    """SQL-invocable normalize(string[, form]) (StringFunctions.java
+    normalize): Unicode normalization has no JVM-side Spark builtin, so
+    the four forms register as Arrow-batched pandas UDFs
+    (normalize = NFC default; the dialect rewrites the 2-arg
+    literal-form call to the per-form name)."""
+    from pyspark.sql import functions as F
+
+    def make(form: str):
+        # no parameter type hints: `from __future__ import annotations`
+        # stringifies them and pandas_udf's hint inference then rejects
+        # the signature; the explicit returnType carries the schema
+        @F.pandas_udf("string")
+        def _norm(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: None if x is None else unicodedata.normalize(form, x)
+            )
+
+        return _norm
+
+    spark.udf.register("normalize", make("NFC"))
+    for form in ("nfc", "nfd", "nfkc", "nfkd"):
+        spark.udf.register(f"__normalize_{form}", make(form.upper()))

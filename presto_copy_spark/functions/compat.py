@@ -38,6 +38,27 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     ),
     "levenshtein_distance": ("a STRING, b STRING", "INT", "levenshtein(a, b)"),
     "starts_with": ("x STRING, p STRING", "BOOLEAN", "startswith(x, p)"),
+    "ends_with": ("x STRING, p STRING", "BOOLEAN", "endswith(x, p)"),
+    "split_to_map": (
+        "x STRING, ed STRING, kvd STRING",
+        "MAP<STRING, STRING>",
+        "str_to_map(x, ed, kvd)",
+    ),
+    # WordStemFunction.java:35 (Lucene stemmer in the reference; the
+    # deterministic suffix subset here matches functions/presto.word_stem
+    # and its DuckDB twin sql_word_stem)
+    "word_stem": (
+        "w STRING",
+        "STRING",
+        """CASE
+      WHEN w LIKE '%sses' THEN substr(w, 1, length(w) - 2)
+      WHEN w LIKE '%ies' THEN substr(w, 1, length(w) - 2)
+      WHEN w LIKE '%ss' THEN w
+      WHEN w LIKE '%s' AND length(w) > 3 THEN substr(w, 1, length(w) - 1)
+      WHEN w LIKE '%ing' AND length(w) > 5 THEN substr(w, 1, length(w) - 3)
+      WHEN w LIKE '%ed' AND length(w) > 4 THEN substr(w, 1, length(w) - 2)
+      ELSE w END""",
+    ),
     # ---- math (MathFunctions.java) ----
     "truncate": (
         "x DOUBLE",

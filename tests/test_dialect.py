@@ -360,3 +360,22 @@ def test_lambda_match_functions(spark):
         )
     ).collect()[0]
     assert (row.a, row.b, row.c, row.d) == (True, True, False, None)
+
+
+def test_string_map_and_normalize_names(spark):
+    """split_to_map/ends_with/contains renames + normalize forms
+    (StringFunctions.java, ArrayContains.java)."""
+    from presto_copy_spark.dialect import transpile
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        transpile(
+            "SELECT split_to_map('a=1,b=2', ',', '=')['b'] AS m,"
+            " ends_with('abc', 'bc') AS e,"
+            " contains(ARRAY[1,2], 2) AS c,"
+            " normalize('①', NFKC) AS n,"
+            " word_stem('running') AS w"
+        )
+    ).collect()[0]
+    assert (row.m, row.e, row.c, row.n, row.w) == ("2", True, True, "1", "runn")
