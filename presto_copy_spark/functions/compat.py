@@ -59,6 +59,86 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
       WHEN w LIKE '%ed' AND length(w) > 4 THEN substr(w, 1, length(w) - 2)
       ELSE w END""",
     ),
+    # ---- binary (BinaryFunctions.java) ----
+    "sha256": ("x BINARY", "BINARY", "unhex(sha2(x, 256))"),
+    "sha512": ("x BINARY", "BINARY", "unhex(sha2(x, 512))"),
+    "to_base64url": ("x BINARY", "STRING", "translate(base64(x), '+/', '-_')"),
+    "from_base64url": ("x STRING", "BINARY", "unbase64(translate(x, '-_', '+/'))"),
+    # hex() on BIGINT emits the full 16-digit two's complement for
+    # negatives; lpad covers small positives, and the 32-bit form keeps
+    # the low 8 digits
+    "to_big_endian_64": ("x BIGINT", "BINARY", "unhex(lpad(hex(x), 16, '0'))"),
+    "to_big_endian_32": (
+        "x INT",
+        "BINARY",
+        "unhex(substr(lpad(hex(CAST(x AS BIGINT)), 16, '0'), 9, 8))",
+    ),
+    # big-endian decode: conv() yields the UNSIGNED value as a decimal
+    # string; split hi/lo 32-bit halves and re-sign the high half so the
+    # 64-bit form never overflows a BIGINT mid-expression
+    "from_big_endian_32": (
+        "b BINARY",
+        "INT",
+        "CAST(CAST(conv(hex(b), 16, 10) AS BIGINT)"
+        " - IF(CAST(conv(hex(b), 16, 10) AS BIGINT) >= 2147483648L,"
+        " 4294967296L, 0L) AS INT)",
+    ),
+    "from_big_endian_64": (
+        "b BINARY",
+        "BIGINT",
+        "(CAST(conv(substr(hex(b), 1, 8), 16, 10) AS BIGINT)"
+        " - IF(CAST(conv(substr(hex(b), 1, 8), 16, 10) AS BIGINT) >= 2147483648L,"
+        " 4294967296L, 0L)) * 4294967296L"
+        " + CAST(conv(substr(hex(b), 9, 8), 16, 10) AS BIGINT)",
+    ),
+    # ---- datetime (DateTimeFunctions.java) ----
+    "from_iso8601_date": ("s STRING", "DATE", "to_date(s)"),
+    "year_of_week": ("d DATE", "BIGINT", "CAST(extract(YEAROFWEEK FROM d) AS BIGINT)"),
+    "yow": ("d DATE", "BIGINT", "CAST(extract(YEAROFWEEK FROM d) AS BIGINT)"),
+    # ---- arrays tier-2 SQL twins (functions/presto.py Column forms) ----
+    "array_sort_desc": (
+        "a ARRAY<DOUBLE>",
+        "ARRAY<DOUBLE>",
+        # descending with NULLs at the END (sort_array desc puts nulls
+        # first, so sort non-nulls and append the nulls)
+        "concat(sort_array(filter(a, e -> e IS NOT NULL), false),"
+        " filter(a, e -> e IS NULL))",
+    ),
+    "remove_nulls": ("a ARRAY<DOUBLE>", "ARRAY<DOUBLE>", "filter(a, e -> e IS NOT NULL)"),
+    "array_top_n": (
+        "a ARRAY<DOUBLE>, n INT",
+        "ARRAY<DOUBLE>",
+        "slice(sort_array(filter(a, e -> e IS NOT NULL), false), 1, n)",
+    ),
+    "array_split_into_chunks": (
+        "a ARRAY<DOUBLE>, n INT",
+        "ARRAY<ARRAY<DOUBLE>>",
+        "transform(sequence(1, CAST(ceil(size(a) / CAST(n AS DOUBLE)) AS INT)),"
+        " i -> slice(a, (i - 1) * n + 1, n))",
+    ),
+    # ---- json (JsonFunctions.java) ----
+    "json_array_get": ("j STRING, i BIGINT", "STRING", "get_json_object(j, concat('$[', i, ']'))"),
+    "json_array_contains": (
+        "j STRING, v STRING",
+        "BOOLEAN",
+        "exists(from_json(j, 'array<string>'), e -> e = v)",
+    ),
+    "is_json_scalar": (
+        "j STRING",
+        "BOOLEAN",
+        # scalar JSON = parseable and not an object/array document
+        "CASE WHEN j IS NULL THEN NULL"
+        " ELSE NOT (ltrim(j) LIKE '[%' OR ltrim(j) LIKE '{%') END",
+    ),
+    # ---- ml (MLFunctions.java cosine_similarity on sparse maps) ----
+    "cosine_similarity": (
+        "a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>",
+        "DOUBLE",
+        "aggregate(map_keys(a), CAST(0.0 AS DOUBLE),"
+        " (acc, k) -> acc + coalesce(a[k] * b[k], CAST(0.0 AS DOUBLE)))"
+        " / sqrt(aggregate(map_values(a), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        " / sqrt(aggregate(map_values(b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))",
+    ),
     # ---- math (MathFunctions.java) ----
     "truncate": (
         "x DOUBLE",
