@@ -181,6 +181,10 @@ _CALL_RENAMES = {
     "contains": "array_contains",
     "split_to_map": "str_to_map",
     "ends_with": "endswith",
+    "regexp_split": "split",
+    # BitwiseFunctions.java aggregate twins (Spark names)
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
 }
 
 _TIME_UNITS = {
@@ -330,6 +334,24 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             return "rand()"
         a0 = _render_tokens(_strip(args[0]))
         return f"CAST(floor(rand() * ({a0})) AS BIGINT)"
+    if low in ("regexp_extract", "regexp_extract_all") and len(args) == 2:
+        # Presto's 2-arg form returns the FULL match (group 0); Spark's
+        # default group is 1 and errors on group-less patterns
+        a0 = _render_tokens(_strip(args[0]))
+        a1 = _render_tokens(_strip(args[1]))
+        return f"{low}({a0}, {a1}, 0)"
+    if low == "bit_count" and len(args) == 2:
+        # Presto bit_count(x, bits) counts over the `bits`-wide two's
+        # complement value; Spark's builtin is 1-arg (64-bit), so mask
+        # down for literal widths < 64
+        bits = _lit_num(args[1])
+        a0 = _render_tokens(_strip(args[0]))
+        if bits == 64:
+            return f"bit_count({a0})"
+        if bits is not None and 2 <= bits < 64:
+            mask = (1 << int(bits)) - 1
+            return f"bit_count(({a0}) & {mask}L)"
+        return None
     if low == "normalize" and len(args) == 2:
         # normalize(x, NFD) — the form is a bare identifier keyword
         # (SqlBase.g4 normalForm); route to the per-form pandas UDF

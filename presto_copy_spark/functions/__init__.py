@@ -74,6 +74,38 @@ def _register_binary_py(spark: SparkSession) -> None:
                 lambda b, k, _alg=alg: _hmac.new(bytes(k), bytes(b), _alg).digest(),
             ),
         )
+    import base64 as _b64
+
+    spark.udf.register(
+        "to_base32", _pdudf("string", lambda b: _b64.b32encode(bytes(b)).decode())
+    )
+    spark.udf.register(
+        "from_base32", _pdudf("binary", lambda s: _b64.b32decode(s))
+    )
+
+    # FNV-1 / FNV-1a (public-domain spec: offset-basis/prime constants)
+    def _fnv(data: bytes, bits: int, variant_a: bool) -> int:
+        if bits == 32:
+            h, prime, mask = 0x811C9DC5, 0x01000193, 0xFFFFFFFF
+        else:
+            h, prime, mask = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
+        for byte in bytes(data):
+            if variant_a:
+                h = ((h ^ byte) * prime) & mask
+            else:
+                h = ((h * prime) & mask) ^ byte
+        if bits == 64 and h >= 1 << 63:
+            h -= 1 << 64  # Presto returns the signed BIGINT
+        return h
+
+    spark.udf.register("fnv1_32", _pdudf("long", lambda b: _fnv(b, 32, False)))
+    spark.udf.register("fnv1_64", _pdudf("long", lambda b: _fnv(b, 64, False)))
+    spark.udf.register("fnv1a_32", _pdudf("long", lambda b: _fnv(b, 32, True)))
+    spark.udf.register("fnv1a_64", _pdudf("long", lambda b: _fnv(b, 64, True)))
+
+    spark.udf.register(
+        "murmur3_x64_128", _pdudf("binary", _murmur3_x64_128)
+    )
     spark.udf.register(
         "is_private_ip",
         _pdudf(
@@ -113,3 +145,51 @@ def _register_normalize(spark: SparkSession) -> None:
     spark.udf.register("normalize", make("NFC"))
     for form in ("nfc", "nfd", "nfkc", "nfkd"):
         spark.udf.register(f"__normalize_{form}", make(form.upper()))
+
+
+def _murmur3_x64_128(data) -> bytes:
+    """MurmurHash3 x64_128 (Austin Appleby's public-domain reference
+    algorithm; HashFunctions.java delegates to the same) — little-endian
+    16-byte digest, matching Presto's varbinary output."""
+    key = bytes(data)
+    m = (1 << 64) - 1
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = 0
+    length = len(key)
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & m
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & m
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & m
+        k ^= k >> 33
+        return k
+
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(key[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(key[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (rotl((k1 * c1) & m, 31) * c2) & m
+        h1 = ((rotl(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & m
+        k2 = (rotl((k2 * c2) & m, 33) * c1) & m
+        h2 = ((rotl(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & m
+    tail = key[nblocks * 16 :]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        h2 ^= (rotl((k2 * c2) & m, 33) * c1) & m
+    if tail:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        h1 ^= (rotl((k1 * c1) & m, 31) * c2) & m
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & m
+    h2 = (h2 + h1) & m
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & m
+    h2 = (h2 + h1) & m
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")

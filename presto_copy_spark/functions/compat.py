@@ -91,6 +91,19 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         " 4294967296L, 0L)) * 4294967296L"
         " + CAST(conv(substr(hex(b), 9, 8), 16, 10) AS BIGINT)",
     ),
+    "bitwise_right_shift_arithmetic": (
+        "x BIGINT, s INT",
+        "BIGINT",
+        "shiftright(x, s)",
+    ),
+    "regexp_position": (
+        "s STRING, p STRING",
+        "BIGINT",
+        # Presto returns 1-based position or -1; regexp_instr returns 0
+        # on no-match
+        "CASE WHEN regexp_instr(s, p) = 0 THEN -1L"
+        " ELSE CAST(regexp_instr(s, p) AS BIGINT) END",
+    ),
     # ---- datetime (DateTimeFunctions.java) ----
     "from_iso8601_date": ("s STRING", "DATE", "to_date(s)"),
     "year_of_week": ("d DATE", "BIGINT", "CAST(extract(YEAROFWEEK FROM d) AS BIGINT)"),

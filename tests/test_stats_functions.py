@@ -139,3 +139,55 @@ def test_json_and_ip_helpers(spark):
     assert (row.a, row.b, row.c, row.d) == ("2", True, True, False)
     assert (row.e, row.f, row.g) == (True, False, True)
     assert row.h == 1.0 and row.i == 2004
+
+
+def test_hash_functions_published_vectors(spark):
+    """FNV-1/1a and MurmurHash3 x64_128 against the published test
+    vectors (FNV test suite; Appleby's reference x64_128 of 'hello')."""
+    row = spark.sql(
+        "SELECT fnv1_64(to_utf8('a')) a, fnv1a_64(to_utf8('a')) b,"
+        " fnv1_32(to_utf8('a')) c, fnv1a_32(to_utf8('a')) d,"
+        " hex(murmur3_x64_128(to_utf8('hello'))) e,"
+        " hex(murmur3_x64_128(to_utf8(''))) f"
+    ).collect()[0]
+    assert row.a + (1 << 64) == 0xAF63BD4C8601B7BE
+    assert row.b + (1 << 64) == 0xAF63DC4C8601EC8C
+    assert row.c == 0x050C5D7E
+    assert row.d == 0xE40C292C
+    assert row.e == "029BBD41B3A7D8CB191DAE486A901E5B"
+    assert row.f == "0" * 32
+
+
+def test_regex_presto_semantics(spark):
+    """2-arg regexp_extract[_all] = full match (group 0);
+    regexp_split / regexp_position; 2-arg bit_count width masking."""
+    from presto_copy_spark.dialect import transpile
+
+    row = spark.sql(
+        transpile(
+            "SELECT regexp_extract('abc123', '[0-9]+') a,"
+            " regexp_extract('a1b2', '([a-z])([0-9])', 2) b,"
+            " regexp_extract_all('a1b2', '[0-9]') c,"
+            " regexp_split('a1b2', '[0-9]') d,"
+            " regexp_position('abc', 'b') e, regexp_position('abc', 'z') f,"
+            " bit_count(9, 8) g, bit_count(-7, 64) h, bit_count(-7, 8) i,"
+            " bitwise_right_shift_arithmetic(-16, 3) j"
+        )
+    ).collect()[0]
+    assert (row.a, row.b) == ("123", "1")
+    assert row.c == ["1", "2"] and row.d == ["a", "b", ""]
+    assert (row.e, row.f) == (2, -1)
+    assert (row.g, row.h, row.i, row.j) == (2, 62, 6, -2)
+
+
+def test_base32_and_bitwise_aggs(spark):
+    from presto_copy_spark.dialect import transpile
+
+    row = spark.sql(
+        transpile(
+            "SELECT from_utf8(from_base32(to_base32(to_utf8('abc')))) a,"
+            " (SELECT bitwise_and_agg(x) FROM (VALUES 5, 3) t(x)) b,"
+            " (SELECT bitwise_or_agg(x) FROM (VALUES 5, 3) t(x)) c"
+        )
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == ("abc", 1, 7)
