@@ -208,6 +208,50 @@ class Engine:
                     f"{used} placeholders"
                 )
             return self.sql("".join(out))
+        # --- EXPLAIN (TYPE ...) / EXPLAIN ANALYZE (SqlBase.g4:139-141;
+        # ExplainRewrite.java).  Spark's EXPLAIN takes no parenthesized
+        # option list, so strip it and map TYPE VALIDATE to an analysis
+        # pass (schema resolution IS validation under Catalyst) ---------
+        if head == "EXPLAIN" and len(toks) > 1:
+            rest = toks[1:]
+            mode = "formatted"
+            if rest and rest[0] == ("op", "("):
+                close = next(
+                    i for i, t in enumerate(rest) if t == ("op", ")")
+                )
+                opts = " ".join(
+                    v.upper() for k, v in rest[:close] if k == "word"
+                )
+                rest = rest[close + 1 :]
+                body = " ".join(v for _, v in rest)
+                if "VALIDATE" in opts:
+                    self.sql(body).schema  # analysis = validation
+                    valid = self.spark.createDataFrame(
+                        [(True,)],
+                        T.StructType([T.StructField("Valid", T.BooleanType())]),
+                    )
+                    return valid
+                if "DISTRIBUTED" in opts or "IO" in opts:
+                    mode = "formatted"  # physical plan w/ exchanges
+                elif "LOGICAL" in opts:
+                    mode = "extended"
+                from .plans.inspect import plan_string
+
+                plan = plan_string(self.sql(body), mode)
+                return self.spark.createDataFrame(
+                    [(plan,)],
+                    T.StructType([T.StructField("Query Plan", T.StringType())]),
+                )
+            if rest and rest[0][1].upper() == "ANALYZE":
+                body = " ".join(v for _, v in rest[1:])
+                df = self.sql(body)
+                df.write.format("noop").mode("overwrite").save()  # execute
+                from .plans.inspect import plan_string
+
+                return self.spark.createDataFrame(
+                    [(plan_string(df, "formatted"),)],
+                    T.StructType([T.StructField("Query Plan", T.StringType())]),
+                )
         # --- DESCRIBE INPUT/OUTPUT name (SqlBase.g4:137-138;
         # DescribeInputRewrite / DescribeOutputRewrite) ----------------
         if head == "DESCRIBE" and len(words) > 2 and words[1] in ("INPUT", "OUTPUT"):

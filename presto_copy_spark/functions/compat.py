@@ -108,6 +108,41 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "from_iso8601_date": ("s STRING", "DATE", "to_date(s)"),
     "year_of_week": ("d DATE", "BIGINT", "CAST(extract(YEAROFWEEK FROM d) AS BIGINT)"),
     "yow": ("d DATE", "BIGINT", "CAST(extract(YEAROFWEEK FROM d) AS BIGINT)"),
+    "to_milliseconds": (
+        "i INTERVAL DAY TO SECOND",
+        "BIGINT",
+        "unix_millis(TIMESTAMP '1970-01-01 00:00:00' + i)",
+    ),
+    # session-zone offset of a plain timestamp (DateTimeFunctions.java
+    # :1261-1276; Presto applies the SESSION zone to zoneless values) —
+    # offset = wall-clock minus the UTC instant of that wall clock
+    "timezone_hour": (
+        "t TIMESTAMP",
+        "BIGINT",
+        "CAST((unix_seconds(t)"
+        " - unix_seconds(to_utc_timestamp(t, current_timezone()))) DIV 3600"
+        " AS BIGINT)",
+    ),
+    "timezone_minute": (
+        "t TIMESTAMP",
+        "BIGINT",
+        "CAST(((unix_seconds(t)"
+        " - unix_seconds(to_utc_timestamp(t, current_timezone()))) DIV 60) % 60"
+        " AS BIGINT)",
+    ),
+    # AT TIME ZONE twins (DateTimeFunctions.java:318-351): at_timezone
+    # keeps the instant and re-renders in tz; with_timezone re-interprets
+    # the wall clock as being in tz
+    "at_timezone": (
+        "t TIMESTAMP, tz STRING",
+        "TIMESTAMP",
+        "from_utc_timestamp(to_utc_timestamp(t, current_timezone()), tz)",
+    ),
+    "with_timezone": (
+        "t TIMESTAMP, tz STRING",
+        "TIMESTAMP",
+        "from_utc_timestamp(to_utc_timestamp(t, tz), current_timezone())",
+    ),
     # ---- arrays tier-2 SQL twins (functions/presto.py Column forms) ----
     "array_sort_desc": (
         "a ARRAY<DOUBLE>",

@@ -171,3 +171,24 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 )(_via_engine(PRESTO_AGGREGATES))
+
+
+# ---------------------------------------------------------------------------
+# WITH RECURSIVE (SqlBase.g4:146) — iterative transitive traversal in
+# pure SQL.  Spark 4 executes recursive CTEs natively (UnionLoop);
+# the parent chain node -> floor(node/2) forms a binary tree over
+# doc_ids, so every document walks to the root and the per-depth
+# aggregate has one row per tree level — identical in DuckDB's
+# recursive CTE implementation.
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(doc_id, node, depth) AS (
+  SELECT doc_id, doc_id, CAST(0 AS INT) FROM documents
+  UNION ALL
+  SELECT w.doc_id, CAST(floor(w.node / 2.0) AS BIGINT), w.depth + 1
+  FROM walk w WHERE w.node > 0
+)
+SELECT depth, count(*) AS n_nodes, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM walk GROUP BY depth
+"""
+
+query("sql_recursive_cte", oracle=_RECURSIVE_SQL)(_via_engine(_RECURSIVE_SQL))

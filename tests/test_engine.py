@@ -231,3 +231,18 @@ def test_describe_input_output_for_prepared(engine):
     out = {r["Column Name"]: r.Type for r in engine.sql("DESCRIBE OUTPUT qd").collect()}
     assert out["n_name"] == "varchar" and out["rk2"] == "integer"
     engine.sql("DEALLOCATE PREPARE qd")
+
+
+def test_explain_variants(engine):
+    """EXPLAIN (TYPE ...) and EXPLAIN ANALYZE route through the engine
+    (SqlBase.g4:139-141) instead of tripping Spark's parser."""
+    plan = engine.sql(
+        "EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM lineitem"
+    ).collect()[0]["Query Plan"]
+    assert "Exchange" in plan or "HashAggregate" in plan
+    valid = engine.sql("EXPLAIN (TYPE VALIDATE) SELECT 1").collect()[0]
+    assert valid.Valid is True
+    analyzed = engine.sql(
+        "EXPLAIN ANALYZE SELECT count(*) FROM region"
+    ).collect()[0]["Query Plan"]
+    assert "Aggregate" in analyzed

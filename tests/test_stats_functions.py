@@ -191,3 +191,22 @@ def test_base32_and_bitwise_aggs(spark):
         )
     ).collect()[0]
     assert (row.a, row.b, row.c) == ("abc", 1, 7)
+
+
+def test_timezone_functions(spark):
+    """to_milliseconds / timezone_hour/minute / at_timezone /
+    with_timezone (DateTimeFunctions.java:318-351, 1261-1276, 1467)."""
+    row = spark.sql(
+        "SELECT to_milliseconds(INTERVAL '3.5' SECOND) a,"
+        " timezone_hour(TIMESTAMP '2024-01-01 00:00:00') b,"
+        " timezone_minute(TIMESTAMP '2024-01-01 00:00:00') c,"
+        " CAST(at_timezone(TIMESTAMP '2024-01-01 00:00:00',"
+        "      'America/Los_Angeles') AS STRING) d,"
+        " CAST(with_timezone(TIMESTAMP '2024-01-01 00:00:00',"
+        "      'America/Los_Angeles') AS STRING) e"
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (3500, 0, 0)
+    # instant preserved, wall clock re-rendered in LA (UTC-8 in winter)
+    assert row.d == "2023-12-31 16:00:00"
+    # wall clock re-interpreted as LA time -> 8h later as a UTC instant
+    assert row.e == "2024-01-01 08:00:00"

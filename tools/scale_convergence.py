@@ -45,6 +45,13 @@ KEYED = {
     "part": ["p_partkey"],
 }
 SHARED = ["nation", "region"]
+# Corpus tables for the pipeline-operator suite: doc_id/vec_id shift
+# like the TPC-H keys, and each copy's TEXT is made globally dissimilar
+# (every token prefixed with a copy tag) so the shingle/minhash/simhash
+# workload scales linearly — verbatim text copies would multiply every
+# LSH bucket 10x and square the candidate pairs, which is an adversarial
+# duplicate structure, not a bigger corpus.
+CORPUS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def build_layouts(spark) -> dict[str, str]:
@@ -80,17 +87,50 @@ def build_layouts(spark) -> dict[str, str]:
                 big = src
             n = 32 if name in ("lineitem", "orders") else 4
             big.repartition(n).write.mode("overwrite").parquet(bp)
+    for name, key in CORPUS.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        sp = f"{split_dir}/{name}.parquet"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            src.repartition(4).write.mode("overwrite").parquet(sp)
+        bp = f"{big_dir}/{name}.parquet"
+        if not os.path.exists(f"{bp}/_SUCCESS"):
+            copies = []
+            for i in range(COPIES):
+                c = src.withColumn(key, F.col(key) + i * OFF)
+                if name == "documents":
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", " ", f" x{i}")
+                    ).withColumn("n_chars", F.length("text"))
+                copies.append(c)
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            big.repartition(8).write.mode("overwrite").parquet(bp)
     layouts["sf0.1_split"] = split_dir
     layouts["sf1x"] = big_dir
     return layouts
+
+
+PIPELINE_QUERIES = (
+    "dedup_minhash_lsh,dedup_simhash,text_repetition,docs_vocab_coverage,"
+    "docs_filter_funnel,docs_pack_sequences,sim_pq_adc,sim_topk_bruteforce"
+)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default="tpch_q01,tpch_q03,tpch_q05,tpch_q06,tpch_q09,tpch_q10,tpch_q18,tpch_q21")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--suite",
+        choices=["tpch", "pipeline"],
+        default="tpch",
+        help="pipeline = the LLM-corpus operator set over documents/embeddings",
+    )
     args = ap.parse_args()
-    names = args.queries.split(",")
+    names = (
+        PIPELINE_QUERIES.split(",") if args.suite == "pipeline" else args.queries.split(",")
+    )
 
     import duckdb
 
@@ -115,7 +155,7 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             spark_t[q] = statistics.median(samples)
         con = duckdb.connect()
-        for t in list(KEYED) + SHARED:
+        for t in list(KEYED) + SHARED + list(CORPUS):
             p = f"{ldir}/{t}.parquet"
             glob = p if os.path.isfile(p) else f"{p}/*.parquet"
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
