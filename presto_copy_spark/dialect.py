@@ -182,6 +182,7 @@ _CALL_RENAMES = {
     "split_to_map": "str_to_map",
     "ends_with": "endswith",
     "regexp_split": "split",
+    "week": "weekofyear",  # DateTimeFunctions.java week == week_of_year
     # BitwiseFunctions.java aggregate twins (Spark names)
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",

@@ -164,6 +164,86 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "transform(sequence(1, CAST(ceil(size(a) / CAST(n AS DOUBLE)) AS INT)),"
         " i -> slice(a, (i - 1) * n + 1, n))",
     ),
+    # ---- Bing tiles (BingTileFunctions.java; public Bing tile-system
+    # spec).  Tile value = STRUCT<x, y, zoom>; bing_tile_at mirrors
+    # functions/geo.py's Column form (same clamped Web-Mercator math).
+    "bing_tile": (
+        "x INT, y INT, zoom INT",
+        "STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "named_struct('x', CAST(x AS BIGINT), 'y', CAST(y AS BIGINT), 'zoom', zoom)",
+    ),
+    "bing_tile_at": (
+        "lat DOUBLE, lon DOUBLE, zoom INT",
+        "STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "named_struct("
+        " 'x', greatest(0L, least(CAST(floor((lon + 180.0) / 360.0"
+        "      * shiftleft(1L, zoom)) AS BIGINT), shiftleft(1L, zoom) - 1)),"
+        " 'y', greatest(0L, least(CAST(floor((0.5 - ln((1.0 + sin(radians(lat)))"
+        "      / (1.0 - sin(radians(lat)))) / (4.0 * pi()))"
+        "      * shiftleft(1L, zoom)) AS BIGINT), shiftleft(1L, zoom) - 1)),"
+        " 'zoom', zoom)",
+    ),
+    "bing_tile_coordinates": (
+        "t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "STRUCT<x: BIGINT, y: BIGINT>",
+        "named_struct('x', t.x, 'y', t.y)",
+    ),
+    "bing_tile_zoom_level": ("t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>", "INT", "t.zoom"),
+    "bing_tile_parent": (
+        "t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "named_struct('x', t.x DIV 2, 'y', t.y DIV 2, 'zoom', t.zoom - 1)",
+    ),
+    "bing_tile_children": (
+        "t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "ARRAY<STRUCT<x: BIGINT, y: BIGINT, zoom: INT>>",
+        "array("
+        " named_struct('x', t.x * 2,     'y', t.y * 2,     'zoom', t.zoom + 1),"
+        " named_struct('x', t.x * 2 + 1, 'y', t.y * 2,     'zoom', t.zoom + 1),"
+        " named_struct('x', t.x * 2,     'y', t.y * 2 + 1, 'zoom', t.zoom + 1),"
+        " named_struct('x', t.x * 2 + 1, 'y', t.y * 2 + 1, 'zoom', t.zoom + 1))",
+    ),
+    "bing_tile_quadkey": (
+        "t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "STRING",
+        "CASE WHEN t.zoom = 0 THEN ''"
+        " ELSE aggregate(sequence(t.zoom - 1, 0, -1), '',"
+        "      (acc, i) -> acc || CAST(((t.y DIV shiftleft(1L, i)) % 2) * 2"
+        "                            + ((t.x DIV shiftleft(1L, i)) % 2) AS STRING))"
+        " END",
+    ),
+    "bing_tiles_around": (
+        "lat DOUBLE, lon DOUBLE, zoom INT",
+        "ARRAY<STRUCT<x: BIGINT, y: BIGINT, zoom: INT>>",
+        # 3x3 neighborhood of the containing tile, out-of-range rows
+        # dropped (reference keeps only valid tiles)
+        "filter(flatten(transform(array(-1L, 0L, 1L), dy ->"
+        " transform(array(-1L, 0L, 1L), dx -> named_struct("
+        "  'x', bing_tile_at(lat, lon, zoom).x + dx,"
+        "  'y', bing_tile_at(lat, lon, zoom).y + dy,"
+        "  'zoom', zoom)))),"
+        " c -> c.x >= 0 AND c.y >= 0 AND c.x < shiftleft(1L, zoom)"
+        "      AND c.y < shiftleft(1L, zoom))",
+    ),
+    "bing_tile_polygon": (
+        "t STRUCT<x: BIGINT, y: BIGINT, zoom: INT>",
+        "STRING",
+        # WKT envelope of the tile via inverse Web-Mercator (our
+        # geometry subset is WKT-string-valued; the reference returns a
+        # Geometry object with the same corner coordinates)
+        "concat('POLYGON ((',"
+        " CAST(t.x / shiftleft(1L, t.zoom) * 360.0 - 180.0 AS STRING), ' ',"
+        " CAST(degrees(atan(sinh(pi() * (1.0 - 2.0 * (t.y + 1) / shiftleft(1L, t.zoom))))) AS STRING), ', ',"
+        " CAST((t.x + 1) / shiftleft(1L, t.zoom) * 360.0 - 180.0 AS STRING), ' ',"
+        " CAST(degrees(atan(sinh(pi() * (1.0 - 2.0 * (t.y + 1) / shiftleft(1L, t.zoom))))) AS STRING), ', ',"
+        " CAST((t.x + 1) / shiftleft(1L, t.zoom) * 360.0 - 180.0 AS STRING), ' ',"
+        " CAST(degrees(atan(sinh(pi() * (1.0 - 2.0 * t.y / shiftleft(1L, t.zoom))))) AS STRING), ', ',"
+        " CAST(t.x / shiftleft(1L, t.zoom) * 360.0 - 180.0 AS STRING), ' ',"
+        " CAST(degrees(atan(sinh(pi() * (1.0 - 2.0 * t.y / shiftleft(1L, t.zoom))))) AS STRING), ', ',"
+        " CAST(t.x / shiftleft(1L, t.zoom) * 360.0 - 180.0 AS STRING), ' ',"
+        " CAST(degrees(atan(sinh(pi() * (1.0 - 2.0 * (t.y + 1) / shiftleft(1L, t.zoom))))) AS STRING),"
+        " '))')",
+    ),
     # ---- json (JsonFunctions.java) ----
     "json_array_get": ("j STRING, i BIGINT", "STRING", "get_json_object(j, concat('$[', i, ']'))"),
     "json_array_contains": (
@@ -186,6 +266,63 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         " (acc, k) -> acc + coalesce(a[k] * b[k], CAST(0.0 AS DOUBLE)))"
         " / sqrt(aggregate(map_values(a), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
         " / sqrt(aggregate(map_values(b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))",
+    ),
+    # Vincenty-form great-circle distance in KM
+    # (SphericalGeographyUtils.java:82-108, EARTH_RADIUS_KM = 6371.01)
+    "great_circle_distance": (
+        "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE",
+        "DOUBLE",
+        "atan2(sqrt(pow(cos(radians(lat2)) * sin(radians(lon1) - radians(lon2)), 2)"
+        " + pow(cos(radians(lat1)) * sin(radians(lat2))"
+        "   - sin(radians(lat1)) * cos(radians(lat2))"
+        "     * cos(radians(lon1) - radians(lon2)), 2)),"
+        " sin(radians(lat1)) * sin(radians(lat2))"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        "   * cos(radians(lon1) - radians(lon2))) * 6371.01",
+    ),
+    # TypeUtils.java combineHash: h1 * 31 + h2
+    "combine_hash": ("h1 BIGINT, h2 BIGINT", "BIGINT", "h1 * 31 + h2"),
+    # MathFunctions.java secureRandom(lower, upper) -> [lower, upper)
+    "secure_random": (
+        "lo DOUBLE, hi DOUBLE",
+        "DOUBLE",
+        "lo + rand() * (hi - lo)",
+    ),
+    # FailureFunction.java fail(message) — planned through raise_error
+    "fail": ("m STRING", "STRING", "raise_error(m)"),
+    # StringFunctions.java stringReversePosition: 1-based position of the
+    # LAST occurrence, 0 when absent
+    "strrpos": (
+        "x STRING, sub STRING",
+        "BIGINT",
+        "CASE WHEN instr(reverse(x), reverse(sub)) = 0 THEN 0L"
+        " ELSE CAST(length(x) - instr(reverse(x), reverse(sub))"
+        "      - length(sub) + 2 AS BIGINT) END",
+    ),
+    # BitwiseFunctions.java width-masked shifts (x, shift, bits)
+    "bitwise_shift_left": (
+        "x BIGINT, s INT, bits INT",
+        "BIGINT",
+        "CASE WHEN bits = 64 THEN shiftleft(x, s)"
+        " ELSE shiftleft(x, s) & (shiftleft(1L, bits) - 1) END",
+    ),
+    "bitwise_logical_shift_right": (
+        "x BIGINT, s INT, bits INT",
+        "BIGINT",
+        "CASE WHEN bits = 64 THEN shiftrightunsigned(x, s)"
+        " ELSE shiftrightunsigned(x & (shiftleft(1L, bits) - 1), s) END",
+    ),
+    "bitwise_arithmetic_shift_right": ("x BIGINT, s INT", "BIGINT", "shiftright(x, s)"),
+    # StringFunctions.java splitToMultimap: duplicate keys KEPT as
+    # array values (str_to_map would drop them)
+    "split_to_multimap": (
+        "x STRING, ed STRING, kvd STRING",
+        "MAP<STRING, ARRAY<STRING>>",
+        "map_from_arrays("
+        " array_distinct(transform(split(x, ed), e -> split_part(e, kvd, 1))),"
+        " transform(array_distinct(transform(split(x, ed), e -> split_part(e, kvd, 1))),"
+        "  k -> transform(filter(split(x, ed), e -> split_part(e, kvd, 1) = k),"
+        "       e -> substr(e, instr(e, kvd) + length(kvd)))))",
     ),
     # ---- math (MathFunctions.java) ----
     "truncate": (

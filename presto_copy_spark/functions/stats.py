@@ -264,6 +264,16 @@ def inverse_weibull_cdf(a: float, b: float, p: float) -> float:
     return b * (-math.log1p(-p)) ** (1.0 / a)
 
 
+def inverse_binomial_cdf(trials: int, success_p: float, p: float) -> int:
+    _check(0 <= success_p <= 1, "successProbability must be in the interval [0, 1]")
+    _check(0 <= p <= 1, "p must be in the interval [0, 1]")
+    _check(trials > 0, "numberOfTrials must be greater than 0")
+    k = 0
+    while k < trials and binomial_cdf(trials, success_p, k) < p:
+        k += 1
+    return k
+
+
 def binomial_cdf(trials: int, success_p: float, value: int) -> float:
     _check(0 <= success_p <= 1, "successProbability must be in the interval [0, 1]")
     _check(trials > 0, "numberOfTrials must be greater than 0")
@@ -296,6 +306,11 @@ CDF_IMPLS = {
     "weibull_cdf": (weibull_cdf, ("double", "double", "double"), "double"),
     "inverse_weibull_cdf": (inverse_weibull_cdf, ("double", "double", "double"), "double"),
     "binomial_cdf": (binomial_cdf, ("long", "double", "long"), "double"),
+    "inverse_binomial_cdf": (
+        inverse_binomial_cdf,
+        ("long", "double", "double"),
+        "long",
+    ),
 }
 
 

@@ -210,3 +210,70 @@ def test_timezone_functions(spark):
     assert row.d == "2023-12-31 16:00:00"
     # wall clock re-interpreted as LA time -> 8h later as a UTC instant
     assert row.e == "2024-01-01 08:00:00"
+
+
+def test_misc_scalar_additions(spark):
+    """week rename, strrpos, combine_hash, great_circle_distance (vs the
+    reference formula), width-masked shifts, split_to_multimap, fail."""
+    import math
+
+    from presto_copy_spark.dialect import transpile
+
+    def ref_gcd(lat1, lon1, lat2, lon2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon1) - math.radians(lon2)
+        t1 = math.cos(rl2) * math.sin(dl)
+        t2 = math.cos(rl1) * math.sin(rl2) - math.sin(rl1) * math.cos(rl2) * math.cos(dl)
+        t3 = math.sin(rl1) * math.sin(rl2) + math.cos(rl1) * math.cos(rl2) * math.cos(dl)
+        return math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3) * 6371.01
+
+    row = spark.sql(
+        transpile(
+            "SELECT week(DATE '2024-01-08') a,"
+            " strrpos('ababab', 'ab') b, strrpos('abc', 'z') c,"
+            " combine_hash(17, 99) d,"
+            " great_circle_distance(36.12, -86.67, 33.94, -118.40) e,"
+            " bitwise_shift_left(200, 1, 8) f,"
+            " bitwise_logical_shift_right(200, 2, 8) g,"
+            " split_to_multimap('a=1,a=2,b=3', ',', '=')['a'] h,"
+            " inverse_binomial_cdf(20, 0.3, 0.5) i"
+        )
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (2, 5, 0, 17 * 31 + 99)
+    assert abs(row.e - ref_gcd(36.12, -86.67, 33.94, -118.40)) < 1e-9
+    assert (row.f, row.g) == ((200 << 1) & 255, 200 >> 2)
+    assert row.h == ["1", "2"]
+    from presto_copy_spark.functions.stats import binomial_cdf
+
+    assert binomial_cdf(20, 0.3, row.i) >= 0.5 > binomial_cdf(20, 0.3, row.i - 1)
+    with pytest.raises(Exception, match="boom"):
+        spark.sql("SELECT fail('boom')").collect()
+
+
+def test_bing_tile_sql_family(spark):
+    """Bing tile SQL surface vs the published tile-system example
+    (Seattle 47.6097,-122.3331 -> tile (656,1430) quadkey 021230030220
+    at level 12) and hand-computed quadkey bit interleaving."""
+    row = spark.sql(
+        "SELECT bing_tile_at(47.6097, -122.3331, 12) t,"
+        " bing_tile_quadkey(bing_tile_at(47.6097, -122.3331, 12)) qk,"
+        " bing_tile_quadkey(bing_tile(3, 5, 3)) qk2,"
+        " bing_tile_parent(bing_tile(3, 5, 3)) par,"
+        " bing_tile_children(bing_tile(1, 1, 3)) ch,"
+        " size(bing_tiles_around(0.0, 0.0, 1)) na,"
+        " bing_tile_coordinates(bing_tile(7, 9, 5)) co"
+    ).collect()[0]
+    assert (row.t.x, row.t.y, row.t.zoom) == (656, 1430, 12)
+    assert row.qk == "021230030220"
+    assert row.qk2 == "213"  # x=011,y=101 -> (0,1)(1,0)(1,1) -> 2,1,3
+    assert (row.par.x, row.par.y, row.par.zoom) == (1, 2, 2)
+    assert [(c.x, c.y, c.zoom) for c in row.ch] == [
+        (2, 2, 4), (3, 2, 4), (2, 3, 4), (3, 3, 4)
+    ]
+    assert row.na == 4  # 2x2 world at zoom 1, out-of-range clipped
+    assert (row.co.x, row.co.y) == (7, 9)
+    # quadkey round-trips through parent: parent quadkey is the prefix
+    pq = spark.sql(
+        "SELECT bing_tile_quadkey(bing_tile_parent(bing_tile_at(47.6, -122.3, 12))) q"
+    ).collect()[0].q
+    assert row.qk.startswith(pq)
