@@ -186,6 +186,7 @@ _CALL_RENAMES = {
     # BitwiseFunctions.java aggregate twins (Spark names)
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
+    "bitwise_xor_agg": "bit_xor",
 }
 
 _TIME_UNITS = {
@@ -363,6 +364,11 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
                 a0 = _render_tokens(_strip(args[0]))
                 return f"__normalize_{form}({a0})"
         return None
+    if low == "set_union" and len(args) == 1:
+        # SetUnionFunction.java: aggregate union of array values ->
+        # distinct-flatten over the collected arrays
+        a0 = _render_tokens(_strip(args[0]))
+        return f"array_distinct(flatten(collect_list({a0})))"
     if low == "none_match" and len(args) == 2:
         # ArrayFunctions.java noneMatch == NOT exists; Presto's NULL
         # semantics carry over (exists -> NULL => NOT NULL => NULL)

@@ -379,3 +379,17 @@ def test_string_map_and_normalize_names(spark):
         )
     ).collect()[0]
     assert (row.m, row.e, row.c, row.n, row.w) == ("2", True, True, "1", "runn")
+
+
+def test_aggregate_name_rewrites(spark):
+    """bitwise_xor_agg -> bit_xor; set_union -> distinct-flatten over
+    collected arrays (SetUnionFunction.java)."""
+    from presto_copy_spark.dialect import transpile
+
+    assert spark.sql(
+        transpile("SELECT bitwise_xor_agg(x) a FROM (VALUES 5, 3) t(x)")
+    ).collect()[0].a == 6
+    u = spark.sql(
+        transpile("SELECT set_union(a) u FROM (VALUES ARRAY[1,2], ARRAY[2,3]) t(a)")
+    ).collect()[0].u
+    assert sorted(u) == [1, 2, 3]
