@@ -187,6 +187,10 @@ _CALL_RENAMES = {
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
     "bitwise_xor_agg": "bit_xor",
+    # HLL sketch constructor (ApproximateSetAggregation.java) -> the
+    # Datasketches twin; merge/cardinality accessors stay type-dependent
+    # (documented in COVERAGE) so only the unambiguous name is renamed
+    "approx_set": "hll_sketch_agg",
 }
 
 _TIME_UNITS = {
@@ -364,6 +368,15 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
                 a0 = _render_tokens(_strip(args[0]))
                 return f"__normalize_{form}({a0})"
         return None
+    if low == "entropy" and len(args) == 1:
+        # EntropyAggregation.java: Shannon entropy (bits) of the count
+        # distribution c -> log2(S) - sum(c*log2(c))/S with S = sum(c);
+        # one aggregation pass, 0*log(0) dropped by the CASE
+        c = _render_tokens(_strip(args[0]))
+        return (
+            f"(log2(sum({c})) - sum(CASE WHEN ({c}) > 0 THEN ({c}) * log2({c}) END)"
+            f" / sum({c}))"
+        )
     if low == "set_union" and len(args) == 1:
         # SetUnionFunction.java: aggregate union of array values ->
         # distinct-flatten over the collected arrays

@@ -393,3 +393,27 @@ def test_aggregate_name_rewrites(spark):
         transpile("SELECT set_union(a) u FROM (VALUES ARRAY[1,2], ARRAY[2,3]) t(a)")
     ).collect()[0].u
     assert sorted(u) == [1, 2, 3]
+
+
+def test_entropy_and_approx_set_rewrites(spark, duck):
+    """entropy(c) -> single-pass Shannon entropy of the count
+    distribution (EntropyAggregation.java), checked against DuckDB
+    computing the same formula; approx_set -> hll_sketch_agg."""
+    from presto_copy_spark.dialect import transpile
+
+    got = spark.sql(
+        transpile("SELECT entropy(c) e FROM (VALUES 1, 1, 2) t(c)")
+    ).collect()[0].e
+    want = duck.sql(
+        "SELECT log2(sum(c)) - sum(CASE WHEN c > 0 THEN c * log2(c) END)"
+        " / sum(c) FROM (VALUES (1), (1), (2)) t(c)"
+    ).fetchone()[0]
+    assert abs(got - want) < 1e-12 and abs(got - 1.5) < 1e-12
+    n = spark.sql(
+        transpile(
+            "SELECT cardinality(a) + hll_sketch_estimate(approx_set(x)) n"
+            " FROM (VALUES (ARRAY[9], 1), (ARRAY[9], 2)) t(a, x)"
+            " GROUP BY a"
+        )
+    ).collect()[0].n
+    assert n == 3  # cardinality still array-length; approx_set is HLL
