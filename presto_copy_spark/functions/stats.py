@@ -9,7 +9,7 @@ from the standard public algorithms (regularized incomplete gamma via
 series + Lentz continued fraction, regularized incomplete beta via the
 Lentz continued fraction — the textbook formulations, e.g. Numerical
 Recipes §6.2, DLMF 8.9/8.17) on top of stdlib ``math``.  Accuracy is
-~1e-12 relative in the tested domain (tests/test_operators.py checks
+~1e-12 relative in the tested domain (tests/test_stats_functions.py checks
 identities: CDF/inverse round-trips, symmetry, closed-form cases).
 
 These are Arrow-batched Python UDFs — OFF the hot path by design
