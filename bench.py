@@ -113,13 +113,20 @@ def main() -> None:
     # also measured at the 10x key-shifted layout (32-file tables, join
     # cardinalities scale linearly — tools/scale_convergence.py builds
     # it).  BASELINE.md §scale-convergence carries the DuckDB twins.
+    # The pipeline-operator suite rides along at the 10x corpus layout —
+    # its convergence (2.8x -> 1.2x vs DuckDB, three ops outright
+    # faster; BASELINE.md §pipeline convergence) is the sharpest scale
+    # evidence in the repo, so it gets re-measured every round.
     sf1x: dict[str, float] = {}
+    sf1x_pipeline: dict[str, float] = {}
     if os.environ.get("BENCH_SF1X", "1") == "1" and sf_dir.rstrip("/").endswith("sf0.1"):
         try:
-            from tools.scale_convergence import build_layouts
+            from tools.scale_convergence import PIPELINE_QUERIES, build_layouts
 
             big_dir = build_layouts(spark)["sf1x"]
-            for name in [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]:
+            tpch = [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]
+            pipeline = PIPELINE_QUERIES.split(",")
+            for name in tpch + pipeline:
                 gc.collect()
                 jvm_gc()
                 df = registry.QUERIES[name](spark, big_dir)
@@ -129,7 +136,8 @@ def main() -> None:
                     t0 = time.perf_counter()
                     df.write.format("noop").mode("overwrite").save()
                     samples.append(time.perf_counter() - t0)
-                sf1x[name] = round(statistics.median(samples), 4)
+                out = sf1x if name in tpch else sf1x_pipeline
+                out[name] = round(statistics.median(samples), 4)
         except Exception as e:
             print(f"bench: sf1x section failed: {e}", file=sys.stderr)
 
@@ -144,6 +152,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1x_tpch_sec": sf1x,
                 "sf1x_tpch_total": round(sum(sf1x.values()), 4),
+                "sf1x_pipeline_sec": sf1x_pipeline,
+                "sf1x_pipeline_total": round(sum(sf1x_pipeline.values()), 4),
                 # full streaming-path runs (state store + checkpoint +
                 # query lifecycle) for the three streaming rows; their
                 # `queries` entries above price the identical plan on
