@@ -368,6 +368,34 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
                 a0 = _render_tokens(_strip(args[0]))
                 return f"__normalize_{form}({a0})"
         return None
+    if low == "combinations" and len(args) == 2:
+        # ArrayCombinationsFunction.java: n-element subsequences in
+        # index order, n <= 5.  Expanded for LITERAL n as nested
+        # transform/flatten over index tuples i1 < i2 < ... < in.
+        n = _lit_num(args[1])
+        if n is not None and 0 <= int(n) <= 5:
+            n = int(n)
+            a = _render_tokens(_strip(args[0]))
+            if n == 0:
+                return f"array(slice({a}, 1, 0))"  # [[]] typed like a
+            inner = (
+                "array(" + ", ".join(f"element_at({a}, i{k})" for k in range(1, n + 1)) + ")"
+            )
+            expr = inner
+            for k in range(n, 0, -1):
+                lo = "1" if k == 1 else f"i{k-1} + 1"
+                # upper bound leaves room for the remaining n-k indices;
+                # also keeps lo <= hi always (Spark sequence(4, 3) would
+                # DESCEND, not return empty)
+                hi = f"size({a}) - {n - k}" if k < n else f"size({a})"
+                body = f"transform(sequence({lo}, {hi}), i{k} -> {expr})"
+                expr = body if k == n else f"flatten({body})"
+            # empty sequence(x, y) with x > y errors in Spark; guard
+            # short arrays (Presto returns [] when n > cardinality)
+            return (
+                f"(CASE WHEN size({a}) < {n} THEN array() ELSE {expr} END)"
+            )
+        return None
     if low == "entropy" and len(args) == 1:
         # EntropyAggregation.java: Shannon entropy (bits) of the count
         # distribution c -> log2(S) - sum(c*log2(c))/S with S = sum(c);

@@ -417,3 +417,18 @@ def test_entropy_and_approx_set_rewrites(spark, duck):
         )
     ).collect()[0].n
     assert n == 3  # cardinality still array-length; approx_set is HLL
+
+
+def test_combinations_rewrite(spark):
+    """combinations(array, n) (ArrayCombinationsFunction.java) expands
+    for literal n as nested index-tuple transforms — matches
+    itertools.combinations ordering for every n in the 0..5 contract."""
+    import itertools
+
+    from presto_copy_spark.dialect import transpile
+
+    for arr, n in [([1, 2, 3], 2), ([1, 2, 3, 4], 3), ([1, 2], 5), ([1, 2, 3], 1)]:
+        lit = "ARRAY[" + ",".join(map(str, arr)) + "]"
+        got = spark.sql(transpile(f"SELECT combinations({lit}, {n}) x")).collect()[0].x
+        want = [list(c) for c in itertools.combinations(arr, n)]
+        assert [list(g) for g in got] == want, (arr, n)
