@@ -106,6 +106,36 @@ def _register_binary_py(spark: SparkSession) -> None:
     spark.udf.register(
         "murmur3_x64_128", _pdudf("binary", _murmur3_x64_128)
     )
+    # IpPrefixFunctions.java ipSubnetRange / ipSubnetMin/Max /
+    # isSubnetOf over our string-modeled IPPREFIX/IPADDRESS
+    def _net(s):
+        return _ip.ip_network(s if "/" in s else s + "/32", strict=False)
+
+    spark.udf.register(
+        "ip_subnet_range",
+        _pdudf(
+            "array<string>",
+            lambda s: [
+                str(_net(s).network_address),
+                str(_net(s).broadcast_address),
+            ],
+        ),
+    )
+    spark.udf.register(
+        "ip_subnet_min",
+        _pdudf("string", lambda s: str(_net(s).network_address)),
+    )
+    spark.udf.register(
+        "ip_subnet_max",
+        _pdudf("string", lambda s: str(_net(s).broadcast_address)),
+    )
+    spark.udf.register(
+        "is_subnet_of",
+        _pdudf(
+            "boolean",
+            lambda pfx, addr: _ip.ip_address(addr) in _net(pfx),
+        ),
+    )
     spark.udf.register(
         "is_private_ip",
         _pdudf(

@@ -277,3 +277,19 @@ def test_bing_tile_sql_family(spark):
         "SELECT bing_tile_quadkey(bing_tile_parent(bing_tile_at(47.6, -122.3, 12))) q"
     ).collect()[0].q
     assert row.qk.startswith(pq)
+
+
+def test_ip_subnet_functions(spark):
+    """IpPrefixFunctions.java ip_subnet_range/min/max + is_subnet_of
+    over the string-modeled IPPREFIX/IPADDRESS types (v4 + v6)."""
+    row = spark.sql(
+        "SELECT ip_subnet_range('192.168.1.77/24') a,"
+        " ip_subnet_min('10.0.0.0/8') b, ip_subnet_max('10.0.0.0/8') c,"
+        " is_subnet_of('192.168.0.0/16', '192.168.44.3') d,"
+        " is_subnet_of('192.168.0.0/16', '10.1.1.1') e,"
+        " ip_subnet_range('2001:db8::/126') f"
+    ).collect()[0]
+    assert row.a == ["192.168.1.0", "192.168.1.255"]
+    assert (row.b, row.c) == ("10.0.0.0", "10.255.255.255")
+    assert (row.d, row.e) == (True, False)
+    assert row.f == ["2001:db8::", "2001:db8::3"]
