@@ -142,23 +142,52 @@ def main() -> None:
             print(f"bench: sf1x section failed: {e}", file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "median_query_seconds_total",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "sf1x_tpch_sec": sf1x,
+        "sf1x_tpch_total": round(sum(sf1x.values()), 4),
+        "sf1x_pipeline_sec": sf1x_pipeline,
+        "sf1x_pipeline_total": round(sum(sf1x_pipeline.values()), 4),
+        # full streaming-path runs (state store + checkpoint + query
+        # lifecycle) for the streaming rows; their `queries` entries
+        # above price the identical plan on the batch source
+        # (row-for-row-equal twins)
+        "streaming_machinery_sec": streaming_machinery,
+    }
+    # The driver captures only a bounded tail (~2000 chars) of stdout,
+    # so the FINAL line must stay compact or the headline is lost
+    # (BENCH_r03 "parsed": null).  Full per-query detail goes to a repo
+    # file + an earlier stdout line; the last line carries only the
+    # headline numbers and easily fits the tail window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    compact_queries = {
+        k: v for k, v in timings.items() if k.startswith("tpch_")
+    }
     print(
         json.dumps(
             {
                 "metric": "median_query_seconds_total",
-                "value": round(sum(ok.values()), 4),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sf1x_tpch_sec": sf1x,
-                "sf1x_tpch_total": round(sum(sf1x.values()), 4),
-                "sf1x_pipeline_sec": sf1x_pipeline,
-                "sf1x_pipeline_total": round(sum(sf1x_pipeline.values()), 4),
-                # full streaming-path runs (state store + checkpoint +
-                # query lifecycle) for the three streaming rows; their
-                # `queries` entries above price the identical plan on
-                # the batch source (row-for-row-equal twins)
-                "streaming_machinery_sec": streaming_machinery,
+                "sf": sf_val,
+                "queries": compact_queries,
+                "n_queries": len(timings),
+                "sf1x_tpch_total": detail["sf1x_tpch_total"],
+                "sf1x_pipeline_total": detail["sf1x_pipeline_total"],
+                "detail": "BENCH_detail.json",
             }
         )
     )

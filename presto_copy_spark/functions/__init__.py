@@ -21,12 +21,29 @@ __all__ = ["register_all", "SQL_UDFS", "presto"]
 
 
 def register_all(spark: SparkSession) -> None:
+    """Register the whole compat surface, once per SparkSession.
+
+    Idempotent: queries may call this defensively (the driver invokes
+    registry callables standalone), but re-registering ~100 UDFs per
+    invocation costs real time and spams "function replaced" warnings
+    (r3 func_specialty regression 0.11 -> 0.35 s), so repeat calls on
+    the same live session are no-ops.
+    """
+    registered = getattr(register_all, "_sessions", None)
+    if registered is None:
+        registered = register_all._sessions = set()
+    # applicationId is stable per live SparkContext and never reused
+    # within a process (unlike id() of a py4j proxy).
+    key = spark.sparkContext.applicationId
+    if key in registered:
+        return
     register_sql_udfs(spark)
     register_ml_sql(spark)
     register_geometry_sql(spark)
     register_stats_sql(spark)
     _register_normalize(spark)
     _register_binary_py(spark)
+    registered.add(key)
 
 
 def _register_binary_py(spark: SparkSession) -> None:
@@ -106,36 +123,12 @@ def _register_binary_py(spark: SparkSession) -> None:
     spark.udf.register(
         "murmur3_x64_128", _pdudf("binary", _murmur3_x64_128)
     )
-    # IpPrefixFunctions.java ipSubnetRange / ipSubnetMin/Max /
-    # isSubnetOf over our string-modeled IPPREFIX/IPADDRESS
-    def _net(s):
-        return _ip.ip_network(s if "/" in s else s + "/32", strict=False)
-
-    spark.udf.register(
-        "ip_subnet_range",
-        _pdudf(
-            "array<string>",
-            lambda s: [
-                str(_net(s).network_address),
-                str(_net(s).broadcast_address),
-            ],
-        ),
-    )
-    spark.udf.register(
-        "ip_subnet_min",
-        _pdudf("string", lambda s: str(_net(s).network_address)),
-    )
-    spark.udf.register(
-        "ip_subnet_max",
-        _pdudf("string", lambda s: str(_net(s).broadcast_address)),
-    )
-    spark.udf.register(
-        "is_subnet_of",
-        _pdudf(
-            "boolean",
-            lambda pfx, addr: _ip.ip_address(addr) in _net(pfx),
-        ),
-    )
+    # NOTE: ip_prefix / ip_subnet_range / ip_subnet_min / ip_subnet_max /
+    # is_subnet_of are NOT registered here anymore: they are generated
+    # pure-Catalyst SQL macros in compat.py (IPv4 + IPv6, RFC 5952
+    # output) — registering pandas versions over them put an
+    # ArrowEvalPython node in every plan that touched the IP surface
+    # (the r3 func_specialty regression).
     spark.udf.register(
         "is_private_ip",
         _pdudf(

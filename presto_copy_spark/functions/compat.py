@@ -23,6 +23,172 @@ from pyspark.sql import SparkSession
 
 __all__ = ["SQL_UDFS", "register_sql_udfs"]
 
+
+# --------------------------------------------------------------------------
+# Generated pure-SQL IPv4+IPv6 subnet math (IpPrefixFunctions.java
+# ipPrefix / ipSubnetMin / ipSubnetMax / ipSubnetRange / isSubnetOf).
+# Everything stays a Catalyst expression — no Python in the plan — so the
+# IP surface rides whole-stage codegen on a 100 TB scan.  IPv6 output is
+# RFC 5952 canonical (lowercase hex, no leading zeros, leftmost-longest
+# zero run >= 2 groups compressed to '::'), verified property-style
+# against stdlib `ipaddress` in tests/test_stats_functions.py.
+# --------------------------------------------------------------------------
+def _let(var: str, value: str, body: str) -> str:
+    """SQL let-binding: evaluate `value` once, bind it as lambda var
+    `var` inside `body` (transform over a one-element array) — keeps the
+    generated expression tree small instead of duplicating subtrees."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _v6_groups(addr: str, hv: str, tv: str) -> str:
+    """array<bigint> of the 8 hextet values of `addr` ('::' expanded)."""
+    head = f"filter(split(split_part({addr}, '::', 1), ':'), x6 -> x6 != '')"
+    tail = f"filter(split(split_part({addr}, '::', 2), ':'), y6 -> y6 != '')"
+    groups = _let(
+        hv,
+        head,
+        _let(
+            tv,
+            tail,
+            f"CASE WHEN contains({addr}, '::') THEN concat({hv}, "
+            f"array_repeat('0', 8 - size({hv}) - size({tv})), {tv}) "
+            f"ELSE split({addr}, ':') END",
+        ),
+    )
+    return f"transform({groups}, h6 -> cast(conv(h6, 16, 10) AS BIGINT))"
+
+
+def _v6_masked(vals: str, p: str, kind: str) -> str:
+    """Mask hextet i to the first `p` bits (i6 is transform's 0-based
+    index; each group keeps clamp(p - 16*i, 0, 16) bits)."""
+    shift = f"cast(pow(2, least(greatest(16 * (i6 + 1) - ({p}), 0), 16)) AS BIGINT)"
+    lo = f"(v6 DIV {shift}) * {shift}"
+    if kind == "min":
+        return f"transform({vals}, (v6, i6) -> {lo})"
+    return f"transform({vals}, (v6, i6) -> {lo} + {shift} - 1)"
+
+
+def _v6_format(masked: str) -> str:
+    """RFC 5952 canonical form of an array<bigint> of 8 hextets.
+
+    The zero-run scan is `instr` over a 'z'/'n' flag string: trying run
+    lengths 8..2 in order, the first hit is the longest run and `instr`
+    returns its leftmost position — exactly the RFC's tie-break."""
+    return _let(
+        "m6",
+        masked,
+        _let(
+            "p6",
+            "transform(m6, w6 -> lower(conv(w6, 10, 16)))",
+            _let(
+                "f6",
+                "concat_ws('', transform(m6, z6 -> IF(z6 = 0, 'z', 'n')))",
+                _let(
+                    "b6",
+                    "get(filter(transform(sequence(8, 2, -1), "
+                    "r6 -> struct(r6 AS r, instr(f6, repeat('z', r6)) AS pos)), "
+                    "s6 -> s6.pos > 0), 0)",
+                    "CASE WHEN b6 IS NULL THEN concat_ws(':', p6) "
+                    "ELSE concat(concat_ws(':', slice(p6, 1, b6.pos - 1)), '::', "
+                    "concat_ws(':', IF(b6.pos + b6.r > 8, array(), "
+                    "slice(p6, b6.pos + b6.r, 9 - b6.pos - b6.r)))) END",
+                ),
+            ),
+        ),
+    )
+
+
+def _v4_val(ip: str, var: str) -> str:
+    return _let(
+        var,
+        f"split({ip}, '[.]')",
+        f"cast({var}[0] AS BIGINT) * 16777216 + cast({var}[1] AS BIGINT) * 65536"
+        f" + cast({var}[2] AS BIGINT) * 256 + cast({var}[3] AS BIGINT)",
+    )
+
+
+def _v4_fmt(v: str) -> str:
+    return (
+        f"concat(cast({v} DIV 16777216 AS STRING), '.',"
+        f" cast({v} DIV 65536 % 256 AS STRING), '.',"
+        f" cast({v} DIV 256 % 256 AS STRING), '.', cast({v} % 256 AS STRING))"
+    )
+
+
+def _ip_subnet_bound_sql(cidr: str, kind: str) -> str:
+    """min/max address of `cidr` (either family), canonical string."""
+    addr = f"split_part({cidr}, '/', 1)"
+    p = f"cast(split_part({cidr}, '/', 2) AS INT)"
+    v6 = _let(
+        "a6",
+        addr,
+        _let(
+            "q6",
+            p,
+            _v6_format(_v6_masked(_v6_groups("a6", "h6h", "t6t"), "q6", kind)),
+        ),
+    )
+    s4 = "cast(pow(2, 32 - q4) AS BIGINT)"
+    base = f"(n4 DIV {s4}) * {s4}"
+    if kind == "max":
+        base = f"{base} + {s4} - 1"
+    v4 = _let("q4", p, _let("n4", _v4_val(addr, "o4"), _v4_fmt(f"({base})")))
+    return f"CASE WHEN contains({cidr}, ':') THEN {v6} ELSE {v4} END"
+
+
+def _ip_prefix_sql(ip: str, p: str) -> str:
+    v6 = _let(
+        "a6", ip, _v6_format(_v6_masked(_v6_groups("a6", "h6h", "t6t"), p, "min"))
+    )
+    s4 = f"cast(pow(2, 32 - ({p})) AS BIGINT)"
+    v4 = _let("n4", _v4_val(ip, "o4"), _v4_fmt(f"((n4 DIV {s4}) * {s4})"))
+    return (
+        f"CASE WHEN contains({ip}, ':') THEN concat({v6}, '/', cast({p} AS STRING)) "
+        f"ELSE concat({v4}, '/', cast({p} AS STRING)) END"
+    )
+
+
+def _is_subnet_of_sql(cidr: str, ip: str) -> str:
+    """Membership via lexicographic array<bigint> comparison for v6
+    (8 equal-length groups, so array ordering IS 128-bit ordering) and
+    plain 32-bit range math for v4; families never mix (Presto: false)."""
+    addr = f"split_part({cidr}, '/', 1)"
+    p = f"cast(split_part({cidr}, '/', 2) AS INT)"
+    v6 = _let(
+        "q6",
+        p,
+        _let(
+            "iv",
+            _v6_groups(ip, "h6a", "t6a"),
+            _let(
+                "nv",
+                _let("c6", addr, _v6_groups("c6", "h6b", "t6b")),
+                f"iv >= {_v6_masked('nv', 'q6', 'min')}"
+                f" AND iv <= {_v6_masked('nv', 'q6', 'max')}",
+            ),
+        ),
+    )
+    s4 = "cast(pow(2, 32 - q4) AS BIGINT)"
+    v4 = _let(
+        "q4",
+        p,
+        _let(
+            "n4",
+            _v4_val(addr, "o4"),
+            _let(
+                "w4",
+                _v4_val(ip, "u4"),
+                f"w4 BETWEEN (n4 DIV {s4}) * {s4}"
+                f" AND (n4 DIV {s4}) * {s4} + {s4} - 1",
+            ),
+        ),
+    )
+    return (
+        f"CASE WHEN contains({cidr}, ':') != contains({ip}, ':') THEN false "
+        f"WHEN contains({cidr}, ':') THEN {v6} ELSE {v4} END"
+    )
+
+
 # name: (arg signature, return type, body expression)
 SQL_UDFS: dict[str, tuple[str, str, str]] = {
     # ---- string (StringFunctions.java) ----
@@ -520,23 +686,26 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "typeof_compat": ("x STRING", "STRING", "typeof(x)"),
     "index": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
     "cbrt_compat": ("x DOUBLE", "DOUBLE", "cbrt(x)"),
-    # ---- specialty: ipaddress (IpPrefixFunctions.java; IPv4 dotted-quad
-    # subset — IPv6 needs 128-bit ints the SQL-macro layer lacks) ----
-    "ip_prefix": (
-        "ip STRING, p INT",
-        "STRING",
-        "concat(concat(CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - p) AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT)) % 256 AS STRING)), '/', CAST(p AS STRING))",
-    ),
-    "ip_subnet_min": ("cidr STRING", "STRING", "concat(CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) % 256 AS STRING))"),
-    "ip_subnet_max": (
+    # ---- specialty: ipaddress (IpPrefixFunctions.java ipPrefix /
+    # ipSubnetMin/Max/Range / isSubnetOf) — generated pure-Catalyst
+    # IPv4 + IPv6 expressions (helpers above); RFC 5952 v6 output,
+    # property-tested against stdlib ipaddress ----
+    "ip_prefix": ("ip STRING, p INT", "STRING", _ip_prefix_sql("ip", "p")),
+    "ip_subnet_min": ("cidr STRING", "STRING", _ip_subnet_bound_sql("cidr", "min")),
+    "ip_subnet_max": ("cidr STRING", "STRING", _ip_subnet_bound_sql("cidr", "max")),
+    "ip_subnet_range": (
         "cidr STRING",
-        "STRING",
-        "concat(CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 16777216 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 65536 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) DIV 256 % 256 AS STRING), '.', CAST(((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1) % 256 AS STRING))",
+        "ARRAY<STRING>",
+        "array("
+        + _ip_subnet_bound_sql("cidr", "min")
+        + ", "
+        + _ip_subnet_bound_sql("cidr", "max")
+        + ")",
     ),
     "is_subnet_of": (
         "cidr STRING, ip STRING",
         "BOOLEAN",
-        "(CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT)) BETWEEN (((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) AND ((((CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 1) AS BIGINT) * 16777216 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 2) AS BIGINT) * 65536 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 3) AS BIGINT) * 256 + CAST(element_at(split(split_part(cidr, '/', 1), '[.]'), 4) AS BIGINT))) DIV CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT)) * CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) + CAST(pow(2, 32 - CAST(split_part(cidr, '/', 2) AS INT)) AS BIGINT) - 1)",
+        _is_subnet_of_sql("cidr", "ip"),
     ),
     # ---- specialty: durations / data sizes (DateTimeFunctions.java
     # parse_duration -> seconds as DOUBLE here, not INTERVAL — Spark SQL

@@ -570,17 +570,21 @@ FROM ipn
 """,
 )
 def func_specialty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ip_prefix/ip_subnet_max/is_subnet_of (IPv4), parse_duration,
-    parse_presto_data_size, char2hexint, lambda find_first — the
-    compat-layer SQL macros plus the lambda Column helper, all inlined
-    into whole-stage codegen.  The oracle spells the same bit math with
-    DuckDB's list/string toolkit."""
+    """ip_prefix/ip_subnet_max/is_subnet_of (generated v4+v6 Catalyst
+    macros), parse_duration, parse_presto_data_size, char2hexint, lambda
+    find_first — all inlined into whole-stage codegen.  The oracle
+    spells the same bit math with DuckDB's list/string toolkit.
+
+    The prefix is computed once in an inner SELECT: the macro bodies are
+    sizeable trees, and nesting ip_prefix inside ip_subnet_max /
+    is_subnet_of would re-inline it three times — pure Catalyst planning
+    overhead (execution is identical)."""
     from pyspark.sql import functions as F
 
     from ..functions import register_all
     from ..functions.presto import find_first
 
-    register_all(spark)
+    register_all(spark)  # no-op when the session is already registered
     t = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 30 == 0)
@@ -609,14 +613,14 @@ def func_specialty(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql(
         """
 SELECT c_custkey, ip, p,
-       ip_prefix(ip, p) AS prefix,
-       ip_subnet_max(ip_prefix(ip, p)) AS subnet_max,
-       is_subnet_of(ip_prefix(ip, p), ip) AS in_own_subnet,
+       prefix,
+       ip_subnet_max(prefix) AS subnet_max,
+       is_subnet_of(prefix, ip) AS in_own_subnet,
        parse_duration(dur) AS dur_secs,
        parse_presto_data_size(ds) AS ds_bytes,
        char2hexint(tail2) AS hex16,
        digits
-FROM _specialty_t
+FROM (SELECT *, ip_prefix(ip, p) AS prefix FROM _specialty_t)
 """
     )
     return out.withColumn(

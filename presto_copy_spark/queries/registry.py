@@ -40,83 +40,79 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-3 rotation (VERDICT r2 item 2): every name green in the
-    # r2 driver window keeps pytest-oracle coverage; the driver budget is
-    # spent on (a) a core regression sample and (b) queries that have
-    # never had a driver row, so every SURVEY §2 family gets a green
-    # driver row across r2 ∪ r3 (tracked in COVERAGE.md).
+    # ---- Round-4 rotation (VERDICT r3 item 2): spend the 50-slot
+    # driver budget on (a) a per-family regression canary sample of
+    # r2 ∪ r3-green rows — including every query touched by this
+    # round's perf pass, which MUST re-prove green — and (b) the 26
+    # registry entries that have never had a driver row (the r3
+    # training-data-pipeline suite plus this round's new queries).
+    # Everything rotated out stays DuckDB-oracle-verified on every
+    # pytest run (tests/test_queries_vs_oracle.py).
     #
-    # Core regression sample (16): TPC-H joins/aggs, window, dedup, sim,
-    # plus the two round-2 array-output fixes that MUST re-prove green.
+    # Canaries + perf-pass re-proofs (24):
     "tpch_q01",
     "tpch_q03",
-    # q05 rotated out for r3 (driver-green in r2; its join-agg shape is
-    # covered by q03/q09) to give the new WKT-geometry family a row.
-    "geo_wkt_polygon_ops",
     "tpch_q09",
-    "tpch_q13",
+    "tpch_q13",  # perf item r4 (shared-shuffle pass) — must stay green
     "tpch_q18",
-    "tpch_q20",
     "tpch_q21",
+    "tpch_q22",  # perf item r4 (fold scalar subqueries) — re-prove
     "win_topn_row_number",
-    "win_groups_frame",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
     "sim_topk_bruteforce",
-    "sql_presto_aggregates",  # r2's one red row — fixed (array_join'd)
+    "sql_presto_aggregates",  # r2's one red row — keep regression-guarded
     "agg_histogram_map",  # r1's red row, regression-guard the fix class
-    # New driver rows (34): oracle-proven in pytest since r2, never
-    # checked by the driver.  Aggregate functions:
-    "agg_classification",
-    "agg_noisy_zero_scale",
     "agg_percentiles",
-    "agg_min_max_by",
-    "agg_corr_covar",
-    "agg_grouping_sets",
-    "agg_top_k_frequent",
-    "agg_numeric_histogram",
-    "agg_setdigest_jaccard",
-    "agg_khll_uniqueness",
-    # Geospatial:
-    "geo_point_functions",
-    "geo_bing_tiles",
+    "geo_wkt_polygon_ops",
     "geo_distance_join",
-    # Event-time / streaming upgrade path / as-of:
-    "events_session",
-    "events_tumbling",
-    "events_streaming_session",
-    "events_json_props",
     "events_asof_join",
-    # Scalar function families:
-    "func_specialty",
-    "func_string",
-    "func_array",
-    "func_map_json",
-    "func_i18n_color",
-    "func_tier2_arrays_maps",
-    # ML, multimodal, relational long tail:
-    "ml_learn_classify",
-    "multimodal_frame_sample",
+    "events_json_props",  # perf item r4
+    "func_specialty",  # register_all hoisted out of body r4 — re-prove
+    "func_i18n_color",  # perf item r4
     "join_full_outer",
-    "join_cross_theta",
-    "setop_except_all",
     "subquery_exists_correlated",
-    "unnest_with_ordinality",
-    "lateral_view",
-    "sort_limit_offset",
-    "sample_systematic",
+    "multimodal_frame_sample",
+    # Never driver-checked until now (23) — the r3 pipeline suite first:
+    "docs_mix_sample",
+    "docs_pack_sequences",
+    "docs_decontaminate",
+    "docs_vocab_coverage",
+    "docs_filter_funnel",
+    "pii_scrub",
+    "text_repetition",
+    "sim_pq_adc",
+    "sim_quantized_cosine",
+    "events_streaming_dedup",
+    "ml_kmeans",
+    "dedup_connected_components",
+    "sql_recursive_cte",
+    "case_when_buckets",
+    "distinct_limit",
+    "setop_except",
+    "setop_intersect_all",
+    "subquery_in",
+    "subquery_scalar",
+    "text_bpe_tokens",
+    "text_lang_id",
+    "text_token_stats",
+    "try_cast_absorbs",
+    # New this round (3):
+    "sim_ivfadc",  # IVF coarse quantizer composed with PQ-ADC (r3 item 3)
+    "func_qdigest_quantile",  # value_at_quantile SQL names (r3 item 6)
+    "geo_polygon_predicates",  # ST_Intersects/ST_Within poly-poly (r3 item 7)
     # ---- the 50-entry cut lands here ----
-    # Everything below stays verified by tests/test_queries_vs_oracle.py
-    # against the same DuckDB oracle each pytest run.
-    #
-    # Round-4 rotation plan: promote the (r3-proven, never driver-
-    # checked) pipeline suite — docs_mix_sample, docs_pack_sequences,
-    # docs_decontaminate, docs_vocab_coverage, docs_filter_funnel,
-    # text_repetition, pii_scrub, sim_pq_adc, events_streaming_dedup,
-    # ml_kmeans, dedup_connected_components, sim_quantized_cosine,
-    # geo_wkt_polygon_ops stays — retiring window/setop/func slots that
-    # are green in r2 ∪ r3 (keep one per family as regression canary).
+    # Rotated out this round (all r2 ∪ r3 driver-green, still pytest-
+    # oracled): tpch_q20, win_groups_frame, agg_classification,
+    # agg_noisy_zero_scale, agg_min_max_by, agg_corr_covar,
+    # agg_grouping_sets, agg_top_k_frequent, agg_numeric_histogram,
+    # agg_setdigest_jaccard, agg_khll_uniqueness, geo_point_functions,
+    # geo_bing_tiles, events_session, events_tumbling,
+    # events_streaming_session, func_string, func_array, func_map_json,
+    # func_tier2_arrays_maps, ml_learn_classify, join_cross_theta,
+    # setop_except_all, unnest_with_ordinality, lateral_view,
+    # sort_limit_offset, sample_systematic.
 ]
 
 

@@ -293,3 +293,56 @@ def test_ip_subnet_functions(spark):
     assert (row.b, row.c) == ("10.0.0.0", "10.255.255.255")
     assert (row.d, row.e) == (True, False)
     assert row.f == ["2001:db8::", "2001:db8::3"]
+
+
+def test_ip_functions_property_vs_stdlib(spark):
+    """The generated pure-Catalyst IPv4+IPv6 subnet macros (compat.py
+    _ip_prefix_sql/_ip_subnet_bound_sql/_is_subnet_of_sql) agree with
+    stdlib `ipaddress` on random addresses/prefix lengths of both
+    families, including RFC 5952 '::' compression edges and mixed-family
+    is_subnet_of (always false)."""
+    import ipaddress
+    import random
+
+    rnd = random.Random(20260814)
+    cases = []
+    for _ in range(40):
+        cases.append((str(ipaddress.IPv4Address(rnd.getrandbits(32))), rnd.randint(0, 32)))
+    for _ in range(40):
+        cases.append((str(ipaddress.IPv6Address(rnd.getrandbits(128))), rnd.randint(0, 128)))
+    cases += [
+        ("::", 0), ("::", 128), ("::1", 128), ("2001:db8::", 48),
+        ("ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff", 1),
+        ("0.0.0.0", 0), ("255.255.255.255", 32),
+        ("2001:0:0:1:0:0:0:1", 64), ("1:0:0:2:0:0:0:3", 128),
+    ]
+    probes = [str(ipaddress.IPv4Address(rnd.getrandbits(32))) for _ in range(3)]
+    probes += [str(ipaddress.IPv6Address(rnd.getrandbits(128))) for _ in range(3)]
+
+    df = spark.createDataFrame(
+        [(ip, p, probes[i % len(probes)]) for i, (ip, p) in enumerate(cases)],
+        "ip string, p int, probe string",
+    )
+    df.createOrReplaceTempView("_ip_prop_t")
+    rows = spark.sql(
+        """
+        SELECT ip, p, probe,
+               ip_prefix(ip, p) AS pfx,
+               ip_subnet_min(concat(ip, '/', p)) AS mn,
+               ip_subnet_max(concat(ip, '/', p)) AS mx,
+               ip_subnet_range(concat(ip, '/', p)) AS rng,
+               is_subnet_of(concat(ip, '/', p), ip) AS own,
+               is_subnet_of(concat(ip, '/', p), probe) AS probed
+        FROM _ip_prop_t
+        """
+    ).collect()
+    for r in rows:
+        net = ipaddress.ip_network(f"{r.ip}/{r.p}", strict=False)
+        assert r.pfx == str(net), (r.ip, r.p, r.pfx)
+        assert r.mn == str(net[0]), (r.ip, r.p, r.mn)
+        assert r.mx == str(net[-1]), (r.ip, r.p, r.mx)
+        assert r.rng == [str(net[0]), str(net[-1])]
+        assert r.own is True
+        probe = ipaddress.ip_address(r.probe)
+        expected = probe.version == net.version and probe in net
+        assert r.probed is expected, (r.ip, r.p, r.probe)
