@@ -111,3 +111,45 @@ SELECT qid, vec_id FROM (
     assert all((q, q) in pq for q in qids), "self-match must be recalled"
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.3, f"recall@{PQ_TOPK} = {recall}"
+
+
+def test_ivfadc_recall_beats_flat_pq(spark, duck, sf_dir):
+    """The composed IVFADC (coarse cells -> residual PQ -> ADC on 2
+    probed cells -> exact re-rank) must not lose recall vs the flat PQ
+    scan it replaces (measured 0.52 vs 0.44 at the driver SFs), and the
+    self-match must survive the cell pruning (a query's own cell is its
+    nearest cell by definition of the assignment argmin)."""
+    from presto_copy_spark.operators.similarity import CSCALE
+    from presto_copy_spark.queries.similarity import PQ_QMOD, PQ_TOPK
+
+    exact = {
+        tuple(t)
+        for t in duck.sql(
+            f"""
+WITH coords AS (
+  SELECT vec_id, i, CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+qc AS (SELECT vec_id AS qid, i, qv FROM coords WHERE vec_id % {PQ_QMOD} = 0),
+d AS (SELECT qc.qid, c.vec_id, sum((qc.qv - c.qv) * (qc.qv - c.qv)) AS dist
+      FROM qc JOIN coords c ON qc.i = c.i GROUP BY 1, 2)
+SELECT qid, vec_id FROM (
+  SELECT d.*, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+  FROM d) t WHERE rn <= {PQ_TOPK}
+"""
+        ).fetchall()
+    }
+    ivf = {
+        (r.qid, r.neighbor)
+        for r in registry.QUERIES["sim_ivfadc"](spark, sf_dir).collect()
+    }
+    flat = {
+        (r.qid, r.neighbor)
+        for r in registry.QUERIES["sim_pq_adc"](spark, sf_dir).collect()
+    }
+    qids = {q for q, _ in exact}
+    assert all((q, q) in ivf for q in qids), "self-match must survive probing"
+    ivf_recall = len(ivf & exact) / len(exact)
+    flat_recall = len(flat & exact) / len(exact)
+    assert ivf_recall >= flat_recall, (ivf_recall, flat_recall)
+    assert ivf_recall >= 0.4, ivf_recall
