@@ -179,7 +179,9 @@ _CALL_RENAMES = {
     # Presto contains(array, elem) (ArrayContains.java); Presto has no
     # string contains, so the rename is unambiguous in Presto-spelled SQL
     "contains": "array_contains",
-    "split_to_map": "str_to_map",
+    # split_to_map is NOT renamed to str_to_map: Presto splits on
+    # LITERAL delimiters, Spark's str_to_map on regexes — the compat
+    # macro (compat.py) regex-quotes the delimiters instead.
     "ends_with": "endswith",
     "regexp_split": "split",
     "week": "weekofyear",  # DateTimeFunctions.java week == week_of_year

@@ -70,11 +70,14 @@ _SESSION_PROP_TO_CONF = {
     # exchanges == spark.sql.shuffle.partitions
     "hash_partition_count": lambda v: [("spark.sql.shuffle.partitions", v)],
     # join_distribution_type: PARTITIONED forbids broadcast; BROADCAST /
-    # AUTOMATIC restore Spark's size-based auto-broadcast default
+    # AUTOMATIC restore the session's own threshold (conf value None =>
+    # conf.unset, which falls back to whatever the session was built
+    # with — hard-coding 10485760 here would clobber a user-configured
+    # threshold)
     "join_distribution_type": lambda v: [
         (
             "spark.sql.autoBroadcastJoinThreshold",
-            "-1" if v.strip("'\"").upper() == "PARTITIONED" else "10485760",
+            "-1" if v.strip("'\"").upper() == "PARTITIONED" else None,
         )
     ],
 }
@@ -89,7 +92,23 @@ class Engine:
         register_all(self.spark)
         # PREPARE name -> statement text; SET SESSION name -> value text
         self._prepared: dict[str, str] = {}
+        # Spark conf values captured before the first SET SESSION that
+        # touches them — RESET / AUTOMATIC restore these (conf.unset
+        # would fall back to Spark's hard-coded default, clobbering a
+        # session-builder-configured value)
+        self._conf_saved: dict[str, str | None] = {}
         self._session_props: dict[str, str] = {}
+
+    def _restore_conf(self, conf_key: str) -> None:
+        """Put a Spark conf back to its pre-SET-SESSION value."""
+        if conf_key in self._conf_saved:
+            saved = self._conf_saved[conf_key]
+            if saved is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, saved)
+        else:
+            self.spark.conf.unset(conf_key)
 
     # -- dialect -----------------------------------------------------------
     @staticmethod
@@ -133,14 +152,21 @@ class Engine:
             for conf_key, conf_val in _SESSION_PROP_TO_CONF.get(
                 name, lambda v: []
             )(value):
-                self.spark.conf.set(conf_key, conf_val)
+                if conf_key not in self._conf_saved:
+                    self._conf_saved[conf_key] = self.spark.conf.get(
+                        conf_key, None
+                    )
+                if conf_val is None:  # restore the session's own value
+                    self._restore_conf(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, conf_val)
             return self._empty()
         # --- RESET SESSION name (ResetSessionTask.java) ---------------
         if head == "RESET" and len(words) > 1 and words[1] == "SESSION":
             name = "".join(v for _, v in toks[2:])
             self._session_props.pop(name, None)
             for conf_key, _ in _SESSION_PROP_TO_CONF.get(name, lambda v: [])(""):
-                self.spark.conf.unset(conf_key)
+                self._restore_conf(conf_key)
             return self._empty()
         # --- PREPARE name FROM statement (PrepareTask.java) -----------
         if head == "PREPARE":
@@ -331,8 +357,11 @@ class Engine:
             rows = [
                 (
                     c,
-                    float(stats[f"{c}__ndv"]),
-                    float(stats[f"{c}__nullfrac"]),
+                    # aggregates over zero rows return NULL (empty
+                    # table): a stats row with ndv 0 / null-fraction 0
+                    # beats a TypeError from float(None)
+                    float(stats[f"{c}__ndv"] or 0),
+                    float(stats[f"{c}__nullfrac"] or 0.0),
                     stats[f"{c}__lo"],
                     stats[f"{c}__hi"],
                     None,

@@ -205,10 +205,21 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "levenshtein_distance": ("a STRING, b STRING", "INT", "levenshtein(a, b)"),
     "starts_with": ("x STRING, p STRING", "BOOLEAN", "startswith(x, p)"),
     "ends_with": ("x STRING, p STRING", "BOOLEAN", "endswith(x, p)"),
+    # SplitToMapFunction.java splits on LITERAL delimiters (indexOf);
+    # Spark's str_to_map treats both delimiters as REGEXES, so '.', '|',
+    # '+' etc. would silently split wrong — \\Q..\\E-quote them.  chr(92)
+    # builds the backslash so no SQL escape layer (CREATE-time parse +
+    # inline-time re-parse) can eat it; a delimiter containing the
+    # two-char sequence \\E would end the quoting early (noted in
+    # COVERAGE).  Duplicate keys: Presto raises "Duplicate keys are not
+    # allowed" and Spark's default mapKeyDedupPolicy=EXCEPTION also
+    # raises — aligned.
     "split_to_map": (
         "x STRING, ed STRING, kvd STRING",
         "MAP<STRING, STRING>",
-        "str_to_map(x, ed, kvd)",
+        "str_to_map(x,"
+        " concat(chr(92), 'Q', ed, chr(92), 'E'),"
+        " concat(chr(92), 'Q', kvd, chr(92), 'E'))",
     ),
     # WordStemFunction.java:35 (Lucene stemmer in the reference; the
     # deterministic suffix subset here matches functions/presto.word_stem
@@ -420,9 +431,14 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "is_json_scalar": (
         "j STRING",
         "BOOLEAN",
-        # scalar JSON = parseable and not an object/array document
+        # scalar JSON = parseable and not an object/array document; the
+        # wrap-in-array trick makes from_json (null on malformed input)
+        # validate that the value actually parses — 'not json' is false,
+        # not true (Presto raises for invalid JSON; false is the closest
+        # non-error behavior, noted in COVERAGE)
         "CASE WHEN j IS NULL THEN NULL"
-        " ELSE NOT (ltrim(j) LIKE '[%' OR ltrim(j) LIKE '{%') END",
+        " WHEN ltrim(j) LIKE '[%' OR ltrim(j) LIKE '{%' THEN false"
+        " ELSE from_json(concat('[', j, ']'), 'array<string>') IS NOT NULL END",
     ),
     # ---- ml (MLFunctions.java cosine_similarity on sparse maps) ----
     "cosine_similarity": (
@@ -484,11 +500,16 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     "split_to_multimap": (
         "x STRING, ed STRING, kvd STRING",
         "MAP<STRING, ARRAY<STRING>>",
+        # entry split is LITERAL in the reference (splitToMultimap uses
+        # indexOf), so the regex delimiter is quoted; split_part/instr on
+        # the kv delimiter are literal already
         "map_from_arrays("
-        " array_distinct(transform(split(x, ed), e -> split_part(e, kvd, 1))),"
-        " transform(array_distinct(transform(split(x, ed), e -> split_part(e, kvd, 1))),"
-        "  k -> transform(filter(split(x, ed), e -> split_part(e, kvd, 1) = k),"
-        "       e -> substr(e, instr(e, kvd) + length(kvd)))))",
+        " array_distinct(transform(split(x, __RQED__), e -> split_part(e, kvd, 1))),"
+        " transform(array_distinct(transform(split(x, __RQED__), e -> split_part(e, kvd, 1))),"
+        "  k -> transform(filter(split(x, __RQED__), e -> split_part(e, kvd, 1) = k),"
+        "       e -> substr(e, instr(e, kvd) + length(kvd)))))".replace(
+            "__RQED__", "concat(chr(92), 'Q', ed, chr(92), 'E')"
+        ),
     ),
     # ---- math (MathFunctions.java) ----
     "truncate": (

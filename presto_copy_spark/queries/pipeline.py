@@ -256,9 +256,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     tok = tokens(F.col("text"))
     n = F.size(tok)
+    # greatest(.., 0) guards empty token arrays: slice() with a negative
+    # length throws at runtime, and a whitespace-only document tokenizes
+    # to [] (n - 1 == -1)
     bigrams = F.zip_with(
-        F.slice(tok, 1, n - 1),
-        F.slice(tok, 2, n - 1),
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     counted = (
@@ -457,9 +460,12 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     tok = tokens(F.col("text"))
     n = F.size(tok)
+    # greatest(.., 0) guards empty token arrays: slice() with a negative
+    # length throws at runtime, and a whitespace-only document tokenizes
+    # to [] (n - 1 == -1)
     bigrams = F.zip_with(
-        F.slice(tok, 1, n - 1),
-        F.slice(tok, 2, n - 1),
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     rep = (

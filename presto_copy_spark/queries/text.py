@@ -578,8 +578,8 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/text.shingles
     n = F.size(tok)
     bigrams = F.zip_with(
-        F.slice(tok, 1, n - 1),
-        F.slice(tok, 2, n - 1),
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     counted = (

@@ -84,3 +84,90 @@ def test_color_long_hex_is_documented_extension():
     assert _py_color("#ff8800") == 0xFF8800
     assert _py_color("#f80") == 0xFF8800
     assert _py_color("red") == -2
+
+
+# ---- round-3 ADVICE items ------------------------------------------------
+
+
+def test_split_to_map_literal_delimiters(spark):
+    """SplitToMapFunction.java splits on literal delimiters (indexOf);
+    regex-special delimiters like '.', '|', '+' must not be interpreted
+    as patterns (ADVICE r3 item 1)."""
+    assert _one(spark, "split_to_map('k1.v1|k2.v2', '|', '.')") == {
+        "k1": "v1",
+        "k2": "v2",
+    }
+    assert _one(spark, "split_to_map('a+1;b+2', ';', '+')") == {"a": "1", "b": "2"}
+    assert _one(spark, "split_to_multimap('a.1|a.2|b.3', '|', '.')") == {
+        "a": ["1", "2"],
+        "b": ["3"],
+    }
+    # the plain cases keep working
+    assert _one(spark, "split_to_map('a=1,b=2', ',', '=')") == {"a": "1", "b": "2"}
+
+
+def test_bigram_queries_survive_empty_token_arrays(spark):
+    """slice(tok, 1, size-1) throws on a negative length; documents that
+    tokenize to [] must not crash the bigram queries (ADVICE r3 item 2).
+    Reproduced directly on the guarded expression shape."""
+    df = spark.createDataFrame([("",), ("   ",), ("one",), ("a b c",)], "text string")
+    from presto_copy_spark.operators.text import tokens
+
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    rows = df.select(bigrams.alias("b")).collect()
+    assert [r.b for r in rows] == [[], [], [], ["a b", "b c"]]
+
+
+def test_show_stats_empty_table(spark):
+    """SHOW STATS over an empty table: zero-row aggregates return NULL;
+    the stats surface must report zeros, not TypeError (ADVICE r3 item 3)."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame([], "a bigint, b string").createOrReplaceTempView(
+        "_advice_empty_t"
+    )
+    rows = eng.sql("SHOW STATS FOR _advice_empty_t").collect()
+    row_count = [r for r in rows if r.column_name is None]
+    assert len(row_count) == 1 and row_count[0].row_count == 0.0
+    per_col = [r for r in rows if r.column_name is not None]
+    assert {r.column_name for r in per_col} == {"a", "b"}
+
+
+def test_join_distribution_reset_restores_session_threshold(spark):
+    """SET SESSION join_distribution_type = AUTOMATIC must restore the
+    session's own autoBroadcastJoinThreshold, not hard-code the Spark
+    default (ADVICE r3 item 4)."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "123456789")
+        eng.sql("SET SESSION join_distribution_type = 'PARTITIONED'")
+        assert spark.conf.get(key) == "-1"
+        eng.sql("SET SESSION join_distribution_type = 'AUTOMATIC'")
+        # restores the value captured before the first SET (the user's
+        # own 123456789), not Spark's hard-coded 10485760 default
+        assert spark.conf.get(key) == "123456789"
+    finally:
+        spark.conf.set(key, before)
+
+
+def test_is_json_scalar_validates_parse(spark):
+    """is_json_scalar('not json') must not return true: the value has to
+    actually parse as JSON (ADVICE r3 item 5)."""
+    assert _one(spark, "is_json_scalar('123')") is True
+    assert _one(spark, "is_json_scalar('\"abc\"')") is True
+    assert _one(spark, "is_json_scalar('null')") is True
+    assert _one(spark, "is_json_scalar('not json')") is False
+    assert _one(spark, "is_json_scalar('[1,2]')") is False
+    assert _one(spark, "is_json_scalar('{\"a\":1}')") is False
+    assert _one(spark, "is_json_scalar(CAST(NULL AS STRING))") is None
