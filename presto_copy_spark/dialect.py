@@ -193,6 +193,16 @@ _CALL_RENAMES = {
     # Datasketches twin; merge/cardinality accessors stay type-dependent
     # (documented in COVERAGE) so only the unambiguous name is renamed
     "approx_set": "hll_sketch_agg",
+    # qdigest/tdigest surface (QuantileDigestFunctions.java,
+    # TDigestFunctions.java) over Spark's Datasketches KLL double sketch
+    # (the engine's digest model — COVERAGE.md): the rename carries the
+    # quantile/value LITERAL through to the Spark builtin, which demands
+    # a foldable rank argument (a CREATE FUNCTION macro parameter is not
+    # foldable — that blocked the macro form).
+    "value_at_quantile": "kll_sketch_get_quantile_double",
+    "quantile_at_value": "kll_sketch_get_rank_double",
+    "qdigest_agg": "kll_sketch_agg_double",
+    "tdigest_agg": "kll_sketch_agg_double",
 }
 
 _TIME_UNITS = {
@@ -397,6 +407,33 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             return (
                 f"(CASE WHEN size({a}) < {n} THEN array() ELSE {expr} END)"
             )
+        return None
+    if low == "values_at_quantiles" and len(args) == 2:
+        # QuantileDigestFunctions.java valuesAtQuantiles: expand a
+        # LITERAL quantile array into one foldable-rank KLL accessor
+        # call per quantile (Spark's accessor takes a single foldable
+        # rank; the rank argument must stay a literal, which is why this
+        # is a transpile-time rewrite and not a macro)
+        a1 = _strip(args[1])
+        nums, ok = [], True
+        for k, v in a1:
+            if k == "num":
+                nums.append(v)
+            elif k in ("ws", "comment"):
+                continue
+            elif k == "word" and v.lower() == "array":
+                continue
+            elif k == "op" and v in ("[", "]", "(", ")", ","):
+                continue
+            else:
+                ok = False
+                break
+        if ok and nums:
+            sk = _render_tokens(_strip(args[0]))
+            calls = ", ".join(
+                f"kll_sketch_get_quantile_double({sk}, {q})" for q in nums
+            )
+            return f"array({calls})"
         return None
     if low == "entropy" and len(args) == 1:
         # EntropyAggregation.java: Shannon entropy (bits) of the count

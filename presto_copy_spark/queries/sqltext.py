@@ -192,3 +192,48 @@ FROM walk GROUP BY depth
 """
 
 query("sql_recursive_cte", oracle=_RECURSIVE_SQL)(_via_engine(_RECURSIVE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# qdigest SQL-name surface through the dialect
+# (QuantileDigestFunctions.java value_at_quantile / values_at_quantiles /
+# quantile_at_value over qdigest_agg) — the KLL-backed digest model.
+# ---------------------------------------------------------------------------
+PRESTO_QDIGEST = """
+SELECT c_mktsegment,
+       value_at_quantile(qdigest_agg(c_acctbal), 0.5) AS med,
+       value_at_quantile(qdigest_agg(c_acctbal), 0.9) AS p90,
+       array_join(transform(values_at_quantiles(qdigest_agg(c_acctbal), ARRAY[0.25, 0.75]),
+                            x -> cast(x AS VARCHAR)), ',') AS quartiles,
+       quantile_at_value(qdigest_agg(c_acctbal), 1000.0) AS rank_1k,
+       count(*) AS n
+FROM customer
+WHERE c_custkey % 97 = 0
+GROUP BY c_mktsegment
+"""
+
+_q = query(
+    "func_qdigest_quantile",
+    # The KLL sketch stores values exactly below its compaction
+    # threshold (k = 200), where get_quantile(q) is the ceil(q*n)-th
+    # order statistic and get_rank(v) the inclusive fraction <= v — the
+    # oracle spells those order statistics directly.  The % 97 filter
+    # keeps every group under the exact-mode threshold at the
+    # correctness SFs (measured: exact through n = 200); at larger SFs
+    # the digest becomes approximate by design (bench only times it).
+    oracle="""
+SELECT c_mktsegment,
+       list_sort(list(c_acctbal))[CAST(greatest(1, ceil(0.5 * count(*))) AS INT)] AS med,
+       list_sort(list(c_acctbal))[CAST(greatest(1, ceil(0.9 * count(*))) AS INT)] AS p90,
+       CAST(list_sort(list(c_acctbal))[CAST(greatest(1, ceil(0.25 * count(*))) AS INT)] AS VARCHAR)
+         || ',' ||
+       CAST(list_sort(list(c_acctbal))[CAST(greatest(1, ceil(0.75 * count(*))) AS INT)] AS VARCHAR)
+         AS quartiles,
+       CAST(sum(CASE WHEN c_acctbal <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS rank_1k,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+WHERE c_custkey % 97 = 0
+GROUP BY c_mktsegment
+""",
+)(_via_engine(PRESTO_QDIGEST))

@@ -432,3 +432,35 @@ def test_combinations_rewrite(spark):
         got = spark.sql(transpile(f"SELECT combinations({lit}, {n}) x")).collect()[0].x
         want = [list(c) for c in itertools.combinations(arr, n)]
         assert [list(g) for g in got] == want, (arr, n)
+
+
+def test_qdigest_names_transpile_and_run(spark):
+    """QuantileDigestFunctions.java SQL names route to the KLL-backed
+    digest model at transpile time; the literal rank survives the
+    rewrite (Spark's accessor demands a foldable rank, which blocked
+    the CREATE FUNCTION macro form).  In KLL exact mode (n <= 200) the
+    quantile is the ceil(q*n)-th order statistic."""
+    from presto_copy_spark import dialect
+
+    out = dialect.transpile(
+        "SELECT value_at_quantile(qdigest_agg(x), 0.5),"
+        " quantile_at_value(tdigest_agg(x), 7.0),"
+        " values_at_quantiles(qdigest_agg(x), ARRAY[0.1, 0.9]) FROM t"
+    )
+    assert "kll_sketch_get_quantile_double(kll_sketch_agg_double(x), 0.5)" in out
+    assert "kll_sketch_get_rank_double(kll_sketch_agg_double(x), 7.0)" in out
+    assert out.count("kll_sketch_get_quantile_double") == 3  # array expanded
+
+    spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    ).createOrReplaceTempView("_qd_t")
+    row = spark.sql(
+        dialect.transpile(
+            "SELECT value_at_quantile(qdigest_agg(x), 0.5) AS med,"
+            " values_at_quantiles(qdigest_agg(x), ARRAY[0.25, 0.75]) AS qs,"
+            " quantile_at_value(qdigest_agg(x), 80.0) AS r FROM _qd_t"
+        )
+    ).collect()[0]
+    assert row.med == 50.0
+    assert row.qs == [25.0, 75.0]
+    assert row.r == 0.8
