@@ -306,9 +306,45 @@ def _rewrite_try(arg: list) -> str:
     return "(" + _render_tokens(arg) + ")"
 
 
+# GeoFunctions.java long-tail with no planar-core equivalent here (the
+# WKT parse / area / centroid / contains / intersects / within /
+# envelope / length subset IS implemented — functions/geometry.py).
+# Each of these raises the typed unsupported error with its own name so
+# a porting user hits a clear one-line diagnosis, not a Spark
+# resolution failure.  COVERAGE.md carries the full inventory.
+_GEO_UNSUPPORTED = frozenset(
+    {
+        "geometry_union",
+        "geometry_union_agg",
+        "convex_hull_agg",
+        "st_union",
+        "st_difference",
+        "st_symdifference",
+        "st_intersection",
+        "st_buffer",
+        "st_convexhull",
+        "nearest_points",
+        "line_interpolate_point",
+        "line_interpolate_points",
+        "line_locate_point",
+        "simplify_geometry",
+        "geometry_invalid_reason",
+        "flatten_geometry_collections",
+        "expand_envelope",
+        "to_geojson_geometry",
+        "from_geojson_geometry",
+    }
+)
+
+
 def _rewrite_call(name: str, args: list[list]) -> str | None:
     """Rewrite one call site; args are token lists. None = no rewrite."""
     low = name.lower()
+    if low in _GEO_UNSUPPORTED:
+        raise PrestoFeatureUnsupportedError(
+            f"geospatial function {low} (OGC long-tail; the WKT planar "
+            "core is implemented — see COVERAGE.md geometry inventory)"
+        )
     if low == "try" and len(args) == 1:
         return _rewrite_try(args[0])
     if low in ("date_add", "date_diff") and len(args) == 3:

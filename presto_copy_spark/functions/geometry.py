@@ -217,6 +217,76 @@ def st_polygon_contains_point(g, px, py) -> Column:
     return (g["gtype"] == "POLYGON") & (total % 2 == 1)
 
 
+def _segments(ring: Column) -> Column:
+    """Consecutive point pairs of a ring as array<struct<p, q>>."""
+    n = F.size(ring)
+    return F.zip_with(
+        F.slice(ring, 1, n - 1),
+        F.slice(ring, 2, n - 1),
+        lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+    )
+
+
+def _orient(p: Column, q: Column, r: Column) -> Column:
+    """Sign of the cross product (q-p) x (r-p): +1 left turn, -1 right,
+    0 collinear."""
+    return F.signum(
+        (q["x"] - p["x"]) * (r["y"] - p["y"])
+        - (q["y"] - p["y"]) * (r["x"] - p["x"])
+    )
+
+
+def _proper_cross(sa: Column, sb: Column) -> Column:
+    """Segments properly cross (straddle each other; endpoints touching
+    or collinear overlap excluded — boundary contact is
+    implementation-defined in the reference's Esri relate too)."""
+    o1 = _orient(sa["p"], sa["q"], sb["p"])
+    o2 = _orient(sa["p"], sa["q"], sb["q"])
+    o3 = _orient(sb["p"], sb["q"], sa["p"])
+    o4 = _orient(sb["p"], sb["q"], sa["q"])
+    return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def _shells_cross(a: Column, b: Column) -> Column:
+    """Any proper edge crossing between the two SHELL rings (O(|A|*|B|)
+    per row over the coordinate arrays — rings are small; the pairwise
+    loop stays inside one JVM expression, row-local at any scale)."""
+    segs_a = _segments(F.element_at(a["rings"], 1))
+    segs_b = _segments(F.element_at(b["rings"], 1))
+    return F.exists(
+        segs_a, lambda sa: F.exists(segs_b, lambda sb: _proper_cross(sa, sb))
+    )
+
+
+def st_intersects(a, b) -> Column:
+    """GeoFunctions.java stIntersects for POLYGON/POLYGON (shells):
+    true iff an edge of A properly crosses an edge of B, or either
+    polygon contains a vertex of the other (covers containment without
+    crossings).  Holes are ignored (a geometry living entirely inside
+    the other's hole still reports true) — documented subset."""
+    a, b = _col(a), _col(b)
+    va = F.element_at(F.element_at(a["rings"], 1), 1)
+    vb = F.element_at(F.element_at(b["rings"], 1), 1)
+    return (
+        _shells_cross(a, b)
+        | st_polygon_contains_point(b, va["x"], va["y"])
+        | st_polygon_contains_point(a, vb["x"], vb["y"])
+    )
+
+
+def st_within(a, b) -> Column:
+    """GeoFunctions.java stWithin for POLYGON-in-POLYGON (shells):
+    every vertex of A's shell strictly inside B and no proper edge
+    crossings.  Boundary-touching cases are implementation-defined
+    (same caveat as ST_Contains above)."""
+    a, b = _col(a), _col(b)
+    shell_a = F.element_at(a["rings"], 1)
+    all_in = F.forall(
+        shell_a, lambda p: st_polygon_contains_point(b, p["x"], p["y"])
+    )
+    return all_in & ~_shells_cross(a, b)
+
+
 def st_length(g) -> Column:
     """LINESTRING length (sum of segment lengths)."""
     g = _col(g)
@@ -358,7 +428,92 @@ SQL_GEOMETRY_UDFS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN g.gtype = 'POINT'"
         " THEN element_at(element_at(g.rings, 1), 1).y END",
     ),
+    # polygon-polygon predicates (GeoFunctions.java stIntersects /
+    # stWithin) — same orientation-sign segment test as the Column
+    # helpers above; bodies reference st_contains_point, which registers
+    # earlier in this dict's order
+    "st_intersects": (
+        f"a {GEOM_T}, b {GEOM_T}",
+        "BOOLEAN",
+        "__CROSS__"
+        " OR __B_HAS_AV__ OR __A_HAS_BV__",
+    ),
+    # NOTE: the containment test is INLINED (not a st_contains_point
+    # call): a SQL-UDF call inside a higher-order lambda cannot
+    # reference the lambda variable (Spark wraps UDF args in a Project
+    # that the lambda var cannot cross), so st_within generates the
+    # ray-cast directly into the forall body.
+    "st_within": (
+        f"a {GEOM_T}, b {GEOM_T}",
+        "BOOLEAN",
+        "forall(element_at(a.rings, 1), vp -> __B_HAS_VP__)"
+        " AND NOT (__CROSS__)",
+    ),
 }
+
+
+def _sql_contains_point(g: str, px: str, py: str) -> str:
+    """Even-odd ray-cast containment as inlinable SQL text (the same
+    formula as the st_contains_point macro, parameterized so it can sit
+    inside another expression's lambda)."""
+    return (
+        f"(({g}.gtype = 'POLYGON') AND aggregate(transform({g}.rings,"
+        f" r9 -> aggregate(zip_with(slice(r9, 1, size(r9) - 1), slice(r9, 2, size(r9) - 1),"
+        f"   (p9, q9) -> CASE WHEN ((p9.y > {py}) != (q9.y > {py}))"
+        f"     AND ({px} < (q9.x - p9.x) * ({py} - p9.y) / (q9.y - p9.y) + p9.x)"
+        f"     THEN 1 ELSE 0 END), 0, (a9, v9) -> a9 + v9) % 2),"
+        f" 0, (a8, v8) -> a8 + v8) % 2 = 1)"
+    )
+
+
+def _sql_segs(r: str) -> str:
+    return (
+        f"zip_with(slice({r}, 1, size({r}) - 1), slice({r}, 2, size({r}) - 1),"
+        " (sp, sq) -> named_struct('p', sp, 'q', sq))"
+    )
+
+
+def _sql_orient(p: str, q: str, r: str) -> str:
+    return (
+        f"sign(({q}.x - {p}.x) * ({r}.y - {p}.y)"
+        f" - ({q}.y - {p}.y) * ({r}.x - {p}.x))"
+    )
+
+
+_SQL_PROPER_CROSS = (
+    f"({_sql_orient('sa.p', 'sa.q', 'sb.p')} * {_sql_orient('sa.p', 'sa.q', 'sb.q')} < 0)"
+    f" AND ({_sql_orient('sb.p', 'sb.q', 'sa.p')} * {_sql_orient('sb.p', 'sb.q', 'sa.q')} < 0)"
+)
+
+_SQL_SHELLS_CROSS = (
+    f"exists({_sql_segs('element_at(a.rings, 1)')},"
+    f" sa -> exists({_sql_segs('element_at(b.rings, 1)')},"
+    f" sb -> {_SQL_PROPER_CROSS}))"
+)
+
+for _name in ("st_intersects", "st_within"):
+    _sig, _ret, _body = SQL_GEOMETRY_UDFS[_name]
+    _body = (
+        _body.replace("__CROSS__", _SQL_SHELLS_CROSS)
+        .replace(
+            "__B_HAS_AV__",
+            _sql_contains_point(
+                "b",
+                "element_at(element_at(a.rings, 1), 1).x",
+                "element_at(element_at(a.rings, 1), 1).y",
+            ),
+        )
+        .replace(
+            "__A_HAS_BV__",
+            _sql_contains_point(
+                "a",
+                "element_at(element_at(b.rings, 1), 1).x",
+                "element_at(element_at(b.rings, 1), 1).y",
+            ),
+        )
+        .replace("__B_HAS_VP__", _sql_contains_point("b", "vp.x", "vp.y"))
+    )
+    SQL_GEOMETRY_UDFS[_name] = (_sig, _ret, _body)
 
 
 def register_geometry_sql(spark) -> None:

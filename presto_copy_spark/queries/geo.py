@@ -261,3 +261,86 @@ def geo_wkt_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-step projection: expanding res.* in the SAME select would
     # substitute the full expression into every output column again
     return s.select("s_suppkey", res.alias("res")).select("s_suppkey", "res.*")
+
+
+@query(
+    "geo_polygon_predicates",
+    # Closed-form truth: mode governs the construction, so the oracle
+    # never parses a geometry.  mode 0/1 place the small diamond inside
+    # the big one (offset 0 / r/4 — offset + r/2 < r), mode 2 at
+    # offset r (partial overlap with proper edge crossings), mode 3 at
+    # offset 3r (disjoint).  The big diamond can never sit inside the
+    # small one.
+    oracle="""
+SELECT s_suppkey,
+       (s_suppkey % 4) IN (0, 1, 2) AS intersects,
+       (s_suppkey % 4) IN (0, 1) AS b_within_a,
+       CAST(0 AS BOOLEAN) AS a_within_b,
+       (s_suppkey % 4) IN (0, 1, 2) AS intersects_sql
+FROM supplier
+""",
+)
+def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects / ST_Within polygon-polygon (GeoFunctions.java
+    stIntersects/stWithin) over WKT parsed at query time — the round-4
+    geometry-predicate addition (orientation-sign segment crossing +
+    vertex ray-cast containment, functions/geometry.py).
+
+    Each supplier builds TWO WKT diamonds whose spatial relation is
+    decided by s_suppkey % 4 (see oracle note), then the engine must
+    parse both and agree with the closed-form truth on all ~10k rows.
+    Both surfaces are exercised: the Column helpers AND the registered
+    SQL twins (intersects_sql).  All predicate math is row-local
+    zip_with/exists over the coordinate arrays — no joins, no shuffles;
+    at 100 TB this composes with the grid-cell bucketing of
+    geo_distance_join for the pair-generation stage."""
+    from ..functions import register_all
+    from ..functions.geometry import (
+        st_geometry_from_text,
+        st_intersects,
+        st_within,
+    )
+
+    register_all(spark)  # SQL twins; no-op when already registered
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 10).cast("double").alias("cx"),
+        (F.col("s_suppkey") % 7).cast("double").alias("cy"),
+        (1 + F.col("s_suppkey") % 3).cast("double").alias("r"),
+        (F.col("s_suppkey") % 4).alias("mode"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    d = (
+        F.when(F.col("mode") == 0, F.lit(0.0))
+        .when(F.col("mode") == 1, r / 4)
+        .when(F.col("mode") == 2, r)
+        .otherwise(3 * r)
+    )
+
+    def num(c):
+        return c.cast("string")
+
+    def diamond_wkt(px, py, rr):
+        body = F.concat_ws(
+            ", ",
+            F.concat_ws(" ", num(px + rr), num(py)),
+            F.concat_ws(" ", num(px), num(py + rr)),
+            F.concat_ws(" ", num(px - rr), num(py)),
+            F.concat_ws(" ", num(px), num(py - rr)),
+            F.concat_ws(" ", num(px + rr), num(py)),
+        )
+        return F.concat(F.lit("POLYGON (("), body, F.lit("))"))
+
+    parsed = s.select(
+        "s_suppkey",
+        st_geometry_from_text(diamond_wkt(cx, cy, r)).alias("ga"),
+        st_geometry_from_text(diamond_wkt(cx + d, cy, r / 2)).alias("gb"),
+    )
+    return parsed.select(
+        "s_suppkey",
+        st_intersects("ga", "gb").alias("intersects"),
+        st_within("gb", "ga").alias("b_within_a"),
+        st_within("ga", "gb").alias("a_within_b"),
+        F.expr("st_intersects(ga, gb)").alias("intersects_sql"),
+    )

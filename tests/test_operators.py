@@ -603,3 +603,67 @@ def test_bmp_media_pipeline(spark, sf_dir):
     fake = extract_features(blob_table_from_documents(spark, sf_dir).limit(5))
     frow = fake.collect()[0]
     assert any(v < 0 for v in frow.feature)  # fake embeddings span [-1,1)
+
+
+def test_geometry_polygon_predicates(spark):
+    """ST_Intersects / ST_Within polygon-polygon (round-4 addition):
+    the pure-crossing case (a plus-sign of two rectangles, NO vertex of
+    either inside the other) must be caught by the segment test alone;
+    containment, partial overlap and disjoint shapes complete the truth
+    table.  Both the Column helpers and the SQL twins agree."""
+    from presto_copy_spark.functions.geometry import (
+        st_geometry_from_text,
+        st_intersects,
+        st_within,
+    )
+
+    cases = [
+        # (A, B, intersects, b_within_a, a_within_b)
+        # plus-sign: horizontal bar x vertical bar — edges cross, no
+        # vertex containment either way
+        ("POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))",
+         "POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))", True, False, False),
+        # B strictly inside A
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", True, True, False),
+        # partial overlap
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", True, False, False),
+        # disjoint
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))", False, False, False),
+    ]
+    df = spark.createDataFrame(cases, "wa string, wb string, ei boolean, ebw boolean, eaw boolean")
+    ga = st_geometry_from_text("wa")
+    gb = st_geometry_from_text("wb")
+    rows = df.select(
+        "ei", "ebw", "eaw",
+        st_intersects(ga, gb).alias("i"),
+        st_within(gb, ga).alias("bw"),
+        st_within(ga, gb).alias("aw"),
+    ).collect()
+    for r in rows:
+        assert (r.i, r.bw, r.aw) == (r.ei, r.ebw, r.eaw), r
+    # SQL twins agree on the same shapes
+    df.createOrReplaceTempView("_geo_pred_t")
+    sql_rows = spark.sql(
+        "SELECT ei, ebw, st_intersects(st_geometryfromtext(wa), st_geometryfromtext(wb)) i,"
+        " st_within(st_geometryfromtext(wb), st_geometryfromtext(wa)) bw"
+        " FROM _geo_pred_t"
+    ).collect()
+    for r in sql_rows:
+        assert (r.i, r.bw) == (r.ei, r.ebw), r
+
+
+def test_geo_longtail_raises_typed_unsupported(spark):
+    """Every OGC long-tail name raises PrestoFeatureUnsupportedError
+    with its own name at transpile time — a clear one-line diagnosis
+    instead of Spark's unresolved-routine error (VERDICT r3 item 7)."""
+    import pytest as _pytest
+
+    from presto_copy_spark import dialect
+    from presto_copy_spark.dialect import PrestoFeatureUnsupportedError
+
+    for name in sorted(dialect._GEO_UNSUPPORTED):
+        with _pytest.raises(PrestoFeatureUnsupportedError, match=name):
+            dialect.transpile(f"SELECT {name}(g) FROM t")
