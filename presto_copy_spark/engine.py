@@ -65,6 +65,63 @@ def presto_type_name(dt: T.DataType) -> str:
 # per-session, exactly what spark.conf runtime settings are).  Unmapped
 # names are stored and visible in SHOW SESSION but have no engine
 # effect — the honest subset.
+# Presto's system-catalog LAYOUT (public surface: the system connector,
+# presto-main/.../connector/system/SystemConnector.java and the
+# information_schema metadata) — emulated so catalog-introspection
+# scripts (SHOW SCHEMAS FROM system, SHOW TABLES FROM system.runtime,
+# information_schema SELECTs) route instead of failing to parse.
+# Runtime CONTENTS are engine-specific by nature (a single-process
+# Spark app has no queries/tasks/transactions tables to report).
+_SYSTEM_SCHEMAS = ["information_schema", "jdbc", "metadata", "runtime"]
+_SYSTEM_TABLES = {
+    "metadata": [
+        "analyze_properties",
+        "catalogs",
+        "column_properties",
+        "schema_properties",
+        "table_properties",
+    ],
+    "runtime": ["nodes", "queries", "tasks", "transactions"],
+    "information_schema": [
+        "applicable_roles",
+        "columns",
+        "enabled_roles",
+        "roles",
+        "schemata",
+        "table_privileges",
+        "tables",
+        "views",
+    ],
+    "jdbc": [
+        "attributes",
+        "catalogs",
+        "columns",
+        "procedure_columns",
+        "procedures",
+        "pseudo_columns",
+        "schemas",
+        "super_tables",
+        "super_types",
+        "table_types",
+        "tables",
+        "types",
+        "udts",
+    ],
+}
+_SYSTEM_COLUMNS = {
+    ("runtime", "nodes"): [
+        ("node_id", "varchar"),
+        ("http_uri", "varchar"),
+        ("node_version", "varchar"),
+        ("coordinator", "boolean"),
+        ("state", "varchar"),
+    ],
+    ("metadata", "catalogs"): [
+        ("catalog_name", "varchar"),
+        ("connector_id", "varchar"),
+    ],
+}
+
 _SESSION_PROP_TO_CONF = {
     # hash_partition_count = number of partitions for distributed hash
     # exchanges == spark.sql.shuffle.partitions
@@ -120,10 +177,112 @@ class Engine:
 
     # -- API ---------------------------------------------------------------
     def sql(self, text: str) -> DataFrame:
+        if "information_schema" in text.lower():
+            text = self._rewrite_infoschema(text)
         routed = self._route_statement(text)
         if routed is not None:
             return routed
         return self.spark.sql(self.transpile(text))
+
+    # -- information_schema / system-catalog emulation ---------------------
+    def _rewrite_infoschema(self, text: str) -> str:
+        """Route ``[system.]information_schema.X`` table references to
+        generated temp views (Presto information-schema surface;
+        presto-main/.../connector/informationSchema/
+        InformationSchemaMetadata.java).  The views carry the system
+        catalog's own layout plus the session's real tables."""
+        self._ensure_infoschema_views()
+        toks = dialect.tokenize(text)
+        out, i, n = [], 0, len(toks)
+        while i < n:
+            kind, tok = toks[i]
+            if kind == "word" and tok.lower() in ("system", "information_schema"):
+                # match system . information_schema . X  |  information_schema . X
+                j = i
+                parts = [tok.lower()]
+                while j + 2 < n and toks[j + 1] == ("op", ".") and toks[j + 2][0] == "word":
+                    parts.append(toks[j + 2][1].lower())
+                    j += 2
+                seq = parts
+                if seq[:1] == ["system"] and len(seq) >= 3 and seq[1] == "information_schema":
+                    out.append(f"__presto_infoschema_{seq[2]}")
+                    i = j + 1
+                    continue
+                if seq[:1] == ["information_schema"] and len(seq) >= 2:
+                    out.append(f"__presto_infoschema_{seq[1]}")
+                    i = j + 1
+                    continue
+            out.append(tok)
+            i += 1
+        return "".join(out)
+
+    def _ensure_infoschema_views(self) -> None:
+        if getattr(self, "_infoschema_ready", False):
+            return
+        spark = self.spark
+        schemata = [("system", s) for s in _SYSTEM_SCHEMAS] + [
+            ("spark", d.name) for d in spark.catalog.listDatabases()
+        ]
+        spark.createDataFrame(
+            schemata, "catalog_name string, schema_name string"
+        ).createOrReplaceTempView("__presto_infoschema_schemata")
+        tables = [
+            ("system", sch, t, "BASE TABLE")
+            for sch, ts in _SYSTEM_TABLES.items()
+            for t in ts
+        ] + [
+            (
+                "spark",
+                t.namespace[0] if t.namespace else "default",
+                t.name,
+                "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE",
+            )
+            for t in spark.catalog.listTables()
+            if not t.name.startswith("__presto_infoschema_")
+        ]
+        spark.createDataFrame(
+            tables,
+            "table_catalog string, table_schema string, table_name string,"
+            " table_type string",
+        ).createOrReplaceTempView("__presto_infoschema_tables")
+        columns = [
+            ("system", sch, t, cname, i + 1, None, "YES", ctype, None)
+            for (sch, t), cols in _SYSTEM_COLUMNS.items()
+            for i, (cname, ctype) in enumerate(cols)
+        ]
+        for t in spark.catalog.listTables():
+            if t.name.startswith("__presto_infoschema_"):
+                continue
+            try:
+                fields = spark.table(t.name).schema.fields
+            except Exception:
+                continue
+            columns += [
+                (
+                    "spark",
+                    t.namespace[0] if t.namespace else "default",
+                    t.name,
+                    f.name,
+                    i + 1,
+                    None,
+                    "YES" if f.nullable else "NO",
+                    presto_type_name(f.dataType),
+                    None,
+                )
+                for i, f in enumerate(fields)
+            ]
+        spark.createDataFrame(
+            columns,
+            "table_catalog string, table_schema string, table_name string,"
+            " column_name string, ordinal_position long, column_default string,"
+            " is_nullable string, data_type string, comment string",
+        ).createOrReplaceTempView("__presto_infoschema_columns")
+        spark.createDataFrame(
+            [],
+            "table_catalog string, table_schema string, table_name string,"
+            " view_definition string",
+        ).createOrReplaceTempView("__presto_infoschema_views")
+        self._infoschema_ready = True
 
     # -- statement surface (SqlBase.g4:33-136 `statement` alternatives
     # that are session/metadata tasks, not queries; reference executes
@@ -320,6 +479,19 @@ class Engine:
         ):
             skip = 1 if head == "DESCRIBE" else 3  # SHOW COLUMNS FROM|IN
             name = "".join(v for _, v in toks[skip:])
+            parts = name.lower().split(".")
+            if parts[0] == "system" and len(parts) == 3:
+                cols = _SYSTEM_COLUMNS.get((parts[1], parts[2]))
+                if cols is None:
+                    raise dialect.PrestoFeatureUnsupportedError(
+                        f"system table {name} column layout"
+                    )
+                rows = [(c, t, "", "") for c, t in cols]
+                schema = T.StructType(
+                    [T.StructField(c, T.StringType()) for c in
+                     ("Column", "Type", "Extra", "Comment")]
+                )
+                return self.spark.createDataFrame(rows, schema)
             rows = [
                 (f.name, presto_type_name(f.dataType), "", "")
                 for f in self.spark.table(name).schema.fields
@@ -378,26 +550,69 @@ class Engine:
             ])
             return self.spark.createDataFrame(rows, schema)
         if head == "SHOW" and len(words) > 1:
+            # optional FROM/IN <qualifier> after SHOW TABLES / SCHEMAS
+            qual = []
+            if len(words) > 3 and words[2] in ("FROM", "IN"):
+                qual = [
+                    v.lower() for k, v in toks[3:] if k == "word"
+                ]
             if words[1] == "TABLES":
+                if qual[:1] == ["system"]:
+                    sch = qual[1] if len(qual) > 1 else None
+                    names = (
+                        _SYSTEM_TABLES.get(sch, [])
+                        if sch
+                        else [t for ts in _SYSTEM_TABLES.values() for t in ts]
+                    )
+                    return _df([(t,) for t in names], "Table")
+                if qual[:1] == ["jmx"]:
+                    raise dialect.PrestoFeatureUnsupportedError(
+                        "jmx connector (SHOW TABLES FROM jmx.*)"
+                    )
+                if qual:
+                    return _df(
+                        [
+                            (t.name,)
+                            for t in self.spark.catalog.listTables(qual[-1])
+                        ],
+                        "Table",
+                    )
                 return _df(
                     [(t.name,) for t in self.spark.catalog.listTables()], "Table"
                 )
             if words[1] == "SCHEMAS":
+                if qual[:1] == ["system"]:
+                    return _df([(s,) for s in _SYSTEM_SCHEMAS], "Schema")
+                # every Presto catalog exposes an information_schema
+                # schema alongside its real ones (served here by the
+                # emulated views)
                 return _df(
-                    [(d.name,) for d in self.spark.catalog.listDatabases()],
+                    [(d.name,) for d in self.spark.catalog.listDatabases()]
+                    + [("information_schema",)],
                     "Schema",
                 )
             if words[1] == "CATALOGS":
                 return _df(
-                    [(c.name,) for c in self.spark.catalog.listCatalogs()],
+                    [("system",)]
+                    + [(c.name,) for c in self.spark.catalog.listCatalogs()],
                     "Catalog",
                 )
             if words[1] == "FUNCTIONS":
+                # Presto's 10-column SHOW FUNCTIONS shape
+                # (ShowQueriesRewrite.java); per-name signature metadata
+                # is not cheaply available from Spark's registry, so the
+                # type columns stay blank while the shape matches
                 rows = [
-                    (r[0],)
+                    (r[0], "", "", "scalar", "true", "", "false", "true",
+                     "false", "")
                     for r in self.spark.sql("SHOW FUNCTIONS").collect()
                 ]
-                return _df(rows, "Function")
+                return _df(
+                    rows,
+                    "Function", "Return Type", "Argument Types",
+                    "Function Type", "Deterministic", "Description",
+                    "Variable Arity", "Built In", "Temporary", "Language",
+                )
             if words[1] == "SESSION":
                 return _df(list(self._session_props.items()), "Name", "Value")
         return None

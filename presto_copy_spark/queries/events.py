@@ -353,12 +353,24 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column — JsonFunctions.java
     json_extract_scalar ≈ get_json_object."""
     e = _events(spark, sf_dir)
+    # Parse the JSON ONCE per row in a projection the partial agg
+    # consumes: with the parse inlined into each aggregate input the
+    # plan is only correct-speed if codegen subexpression elimination
+    # fires, and that guarantee doesn't survive plan changes.  Measured
+    # floor at sf0.1 (100k rows): ~0.2 s is the parse itself (~2 us/row
+    # — get_json_object, from_json and variant_get all within noise),
+    # i.e. this query runs at its execution floor; at corpus scale the
+    # parse is the whole cost and stays one-per-row by construction.
     k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 

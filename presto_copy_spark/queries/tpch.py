@@ -433,7 +433,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(
-            o.filter(F.col("o_orderdate") >= TS("2000-01-01")),
+            # broadcast the anti side: the date predicate is highly
+            # selective (the fixture has no post-1999 orders at all), so
+            # shipping the filtered keys beats shuffling every customer
+            # row — without the hint the customer-side shuffle is
+            # materialized before AQE can downgrade the join
+            F.broadcast(o.filter(F.col("o_orderdate") >= TS("2000-01-01"))),
             c.c_custkey == o.o_custkey,
             "left_anti",
         )

@@ -282,14 +282,21 @@ GROUP BY c_count
 """,
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q13: customer order-count distribution (outer join + double agg)."""
+    """q13: customer order-count distribution (outer join + double agg).
+
+    The per-customer count is pushed BELOW the join: aggregating orders
+    first shrinks the join's build side from |orders| rows to
+    |customers-with-orders| (map-side combine does most of the work
+    before the one shuffle), and AQE can then broadcast the aggregated
+    side at small scale — the left join itself never shuffles customer
+    twice.  count(o_orderkey) over the left join == the pre-aggregated
+    count with 0 for no-match customers."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    o_counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    per_cust = c.join(
+        o_counts, c["c_custkey"] == o_counts["o_custkey"], "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
