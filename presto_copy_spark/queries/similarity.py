@@ -802,3 +802,164 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("qid", F.col("vec_id").alias("neighbor"), "edist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# k-means cluster the embedding space, then search for near-duplicates
+# ONLY within each cluster — the learned-cluster analogue of the LSH
+# bucket candidate generation above.  At corpus scale K grows with N so
+# the per-cluster pair count (the quadratic term) stays bounded; the
+# SIZE_CAP guard below drops degenerate clusters the same way BUCKET_CAP
+# protects the LSH join.
+SEM_K = 8  # clusters (fixture-sized; production: K ~ N / target-cluster-size)
+SEM_T = 0.9  # cosine threshold for "semantic duplicate"
+SEM_CAP = 512  # degenerate-cluster guard (see BUCKET_CAP rationale)
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+coords AS (
+  SELECT vec_id, i, CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM corpus, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+cent0 AS (SELECT vec_id AS cluster, i, qv AS cv FROM coords WHERE vec_id < {SEM_K}),
+dist0 AS (
+  SELECT c.vec_id, ct.cluster, CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
+  FROM coords c JOIN cent0 ct ON c.i = ct.i GROUP BY 1, 2
+),
+assign0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM dist0 d) t WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cluster, c.i,
+         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM coords c JOIN assign0 a USING (vec_id) GROUP BY 1, 2
+),
+dist1 AS (
+  SELECT c.vec_id, ct.cluster, CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
+  FROM coords c JOIN cent1 ct ON c.i = ct.i GROUP BY 1, 2
+),
+clusters AS (
+  SELECT vec_id, cluster FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM dist1 d) t WHERE rn = 1
+),
+sized AS (
+  SELECT cluster FROM clusters GROUP BY cluster HAVING count(*) <= {SEM_CAP}
+),
+base AS (
+  SELECT co.vec_id, cl.cluster, co.embedding, {_SQL_NORM} AS nq
+  FROM corpus co JOIN clusters cl USING (vec_id) JOIN sized s USING (cluster)
+),
+pairs AS (
+  SELECT a.vec_id AS keeper, b.vec_id AS dup,
+         {sql_cosine_from_q(sql_qdot('a.embedding', 'b.embedding'), 'a.nq', 'b.nq')} AS cosine
+  FROM base a JOIN base b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT dup AS dropped_vec_id,
+       CAST(min(keeper) AS BIGINT) AS kept_vec_id,
+       max(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {SEM_T}
+GROUP BY dup
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-duplicate removal with LEARNED clusters as the
+    candidate generator (k-means, one deterministic integer-Lloyd
+    iteration) instead of LSH buckets — catches semantically-close
+    pairs whose hyperplane signs differ.
+
+    Plan shape at scale: clustering is one corpus pass against a
+    broadcast centroid table (argmin via min_by hash agg); the
+    candidate join shuffles once on cluster id; within-cluster pairs
+    are the quadratic term, bounded in production by choosing K ~ N /
+    target-cluster-size (the paper's setup) — SEM_CAP additionally
+    drops degenerate clusters the same way BUCKET_CAP guards the LSH
+    join.  The decision rule (keep the smallest vec_id per duplicate)
+    is deterministic, so the whole pipeline is DuckDB-oracle-exact;
+    planted shifted copies (vec_id + 1e6) guarantee the fixture
+    actually contains duplicates to find, like sim_ann_lsh_neardup."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    corpus = e.unionByName(planted)
+    coords = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    )
+
+    def assign_to(cents: DataFrame) -> DataFrame:
+        d = F.col("qv") - F.col("cv")
+        dists = (
+            coords.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(d * d).cast("long").alias("dist"))
+        )
+        return dists.groupBy("vec_id").agg(
+            F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
+        )
+
+    cent0 = coords.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("cluster"), "i", F.col("qv").alias("cv")
+    )
+    assign0 = assign_to(cent0)
+    cent1 = (
+        coords.join(assign0, "vec_id")
+        .groupBy("cluster", "i")
+        .agg(
+            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    clusters = assign_to(cent1)
+    base0 = corpus.join(clusters, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        qdot(F.col("embedding"), F.col("embedding")).alias("nq"),
+    )
+    # window-carried size guard: one exchange on cluster that the
+    # self-join reuses (same pattern/rationale as sim_ann_lsh_neardup)
+    w = Window.partitionBy("cluster")
+    base = (
+        base0.withColumn("cn", F.count(F.lit(1)).over(w))
+        .filter(F.col("cn") <= SEM_CAP)
+        .drop("cn")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("keeper"),
+        F.col("b.vec_id").alias("dup"),
+        cosine_from_q(
+            qdot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nq"),
+            F.col("b.nq"),
+        ).alias("cosine"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEM_T)
+        .groupBy(F.col("dup").alias("dropped_vec_id"))
+        .agg(
+            F.min("keeper").cast("long").alias("kept_vec_id"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )

@@ -153,3 +153,27 @@ SELECT qid, vec_id FROM (
     flat_recall = len(flat & exact) / len(exact)
     assert ivf_recall >= flat_recall, (ivf_recall, flat_recall)
     assert ivf_recall >= 0.4, ivf_recall
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """SemDeDup must catch every planted exact copy: an identical
+    vector lands in the identical cluster deterministically, so each
+    vec_id + 1e6 copy is dropped with its original among the keepers
+    at cosine ~1."""
+    rows = {
+        r.dropped_vec_id: (r.kept_vec_id, r.max_cosine)
+        for r in registry.QUERIES["dedup_semantic"](spark, sf_dir).collect()
+    }
+    assert rows
+    import duckdb as _d
+
+    n = _d.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet' WHERE vec_id % 50 = 0"
+    ).fetchone()[0]
+    planted = {v + 1000000 for v in range(0, 100000) if v % 50 == 0}
+    caught = [d for d in rows if d >= 1000000]
+    assert len(caught) == n, (len(caught), n)
+    for d in caught:
+        kept, cos = rows[d]
+        assert kept == d - 1000000 or kept < 1000000
+        assert cos > 0.999
