@@ -124,3 +124,132 @@ def sql_sign_bucket(vec: str, n_bits: int = SIGN_BITS, dim: int = EMB_DIM) -> st
         )
         cases.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END")
     return "(" + " + ".join(cases) + ")"
+
+
+# --------------------------------------------------------------------------
+# Vector-at-a-time centroid assignment (round 4).  The exploded-
+# coordinate form (posexplode -> join centroids on i -> two hash aggs)
+# inflates every row 64x BEFORE the shuffle and pays K x dim join
+# rows per vector; packing the centroid table into ONE row of
+# array<struct<cluster, cv_arr>> and broadcasting it turns assignment
+# into a map-only HOF argmin — zero shuffle on the corpus side, the
+# plan that survives a 100 TB encode pass.  Arithmetic is identical
+# (same CSCALE longs, same (dist, key) lexicographic tie-break), so
+# DuckDB oracles stay bit-exact.
+# --------------------------------------------------------------------------
+def quantize_arr(vec: Column) -> Column:
+    """array<long> of floor(x * CSCALE) — the integer coordinate array
+    every oracle-exact vector operator shares."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * CSCALE).cast("long")
+    )
+
+
+def pack_centroids(cents_df, key: str = "cluster"):
+    """(key, i, cv) rows -> ONE row {cents: array<struct<key, cv_arr>>},
+    ordered by key (array_sort on the struct).  Broadcast-joined to the
+    corpus this is the KB-sized model-state table."""
+    per = (
+        cents_df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("ps"))
+        .select(key, F.transform("ps", lambda p: p["cv"]).alias("cv_arr"))
+    )
+    return per.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key).alias("k"), F.col("cv_arr")))
+        ).alias("cents")
+    )
+
+
+def hof_argmin(qarr: Column, cents: Column) -> Column:
+    """Nearest centroid of `qarr` among the packed `cents` -> its key.
+    array_min over struct(dist, k) keeps the (dist, key) tie-break."""
+    dists = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(qarr, c["cv_arr"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            c["k"].alias("k"),
+        ),
+    )
+    return F.array_min(dists)["k"]
+
+
+def hof_nearest(qarr: Column, cents: Column) -> Column:
+    """Like hof_argmin but returns the winning struct(dist, k, cv_arr) —
+    callers that need the centroid itself (residual computation) avoid
+    a second lookup."""
+    dists = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(qarr, c["cv_arr"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            c["k"].alias("k"),
+            c["cv_arr"].alias("cv_arr"),
+        ),
+    )
+    return F.array_min(dists)
+
+
+def pack_pq(cent_rows, m_key: str = "m", code_key: str = "code"):
+    """(code, m, cv_arr) codebook rows -> ONE row {pq: array indexed by
+    m of array<struct<k, cv_arr>>} (both levels array_sort'ed, so
+    element_at(pq, m+1) is subquantizer m's codebook)."""
+    per_m = cent_rows.groupBy(m_key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(code_key).alias("k"), F.col("cv_arr")))
+        ).alias("cents")
+    )
+    return per_m.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(m_key).alias("m"), F.col("cents")))
+        ).alias("pq")
+    )
+
+
+def pq_code_structs(arr: Column, pq: Column, n_sub: int, sub_dim: int) -> Column:
+    """array<struct<m, code>>: the nearest code of each subvector of
+    `arr` against packed codebooks `pq` — all row-local."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.struct(
+            m.alias("m"),
+            hof_argmin(
+                F.slice(arr, m * sub_dim + 1, sub_dim),
+                F.element_at(pq, (m + 1).cast("int"))["cents"],
+            ).alias("code"),
+        ),
+    )
+
+
+def pq_lut_structs(arr: Column, pq: Column, sub_dim: int) -> Column:
+    """Flattened array<struct<m, code, ldist>>: the full ADC lookup
+    table of query(-residual) `arr` against packed codebooks — the
+    per-query M x K integer table, built row-locally."""
+    return F.flatten(
+        F.transform(
+            pq,
+            lambda pm: F.transform(
+                pm["cents"],
+                lambda c: F.struct(
+                    pm["m"].alias("m"),
+                    c["k"].alias("code"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(arr, pm["m"].cast("int") * sub_dim + 1, sub_dim),
+                            c["cv_arr"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("ldist"),
+                ),
+            ),
+        )
+    )

@@ -136,35 +136,34 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan order) and the broadcast is k x dim x 8 bytes; this is the
     standard distributed Lloyd's layout (MLlib's KMeans does the same
     per-iteration broadcast-join + tree-aggregate)."""
+    from ..operators.similarity import hof_argmin, pack_centroids, quantize_arr
+
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-    coords = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("v").cast("double") * CSCALE).cast("long").alias("qv"),
+    corpus = e.select("vec_id", quantize_arr(F.col("embedding")).alias("qarr"))
+    # round-4 rewrite: vector-at-a-time assignment against a packed
+    # one-row broadcast centroid table (operators/similarity) — the
+    # corpus never explodes and never shuffles to learn its cluster;
+    # the per-iteration shuffle is ONLY the posexplode hash agg of the
+    # centroid update (map-side combine -> K x dim rows).  This is
+    # literally MLlib's layout: broadcast centroids, map-side
+    # assignment, tree-aggregated sums.
+    packed = corpus.filter(F.col("vec_id") < _K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("k"), F.col("qarr").alias("cv_arr"))
+            )
+        ).alias("cents")
     )
-    cents = coords.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cluster"), "i", F.col("qv").alias("cv")
-    )
-    assign = None
+    assign = cent_rows = None
     for _ in range(_ITERS):
-        diff = F.col("qv") - F.col("cv")
-        dists = (
-            coords.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(diff * diff).cast("long").alias("dist"))
+        assign = corpus.crossJoin(F.broadcast(packed)).select(
+            "vec_id",
+            "qarr",
+            hof_argmin(F.col("qarr"), F.col("cents")).alias("cluster"),
         )
-        # argmin via min_by (hash agg, map-side partials) instead of a
-        # row_number window sort — same (dist, cluster) tie-break through
-        # lexicographic struct order; K partial rows per vec_id collapse
-        # map-side before the exchange (see operators/ml.py)
-        assign = dists.groupBy("vec_id").agg(
-            F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
-        )
-        cents = (
-            coords.join(assign, "vec_id")
+        cent_rows = (
+            assign.select("cluster", F.posexplode("qarr").alias("i", "qv"))
             .groupBy("cluster", "i")
             .agg(
                 F.floor(
@@ -172,6 +171,9 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("cv")
             )
         )
+        packed = pack_centroids(cent_rows)
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    l1 = cents.groupBy("cluster").agg(F.sum(F.abs("cv")).cast("long").alias("centroid_l1"))
+    l1 = cent_rows.groupBy("cluster").agg(
+        F.sum(F.abs("cv")).cast("long").alias("centroid_l1")
+    )
     return sizes.join(l1, "cluster")

@@ -455,13 +455,15 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression of the 64-float vector), then answer top-k by summing
     per-query LUT entries instead of touching raw vectors.
 
-    Plan shape, stage by stage, and why it survives 100 TB:
-    - TRAIN: codebooks see only (m, j, code) aggregates — two hash aggs
-      + two broadcast joins over the exploded coords; at real scale you
-      train on a hash-sampled slice (docs_mix_sample's primitive) since
-      codebook quality saturates in thousands of points per cell.
-    - ENCODE: one corpus pass joined to the KB-sized broadcast codebook,
-      argmin per (vec_id, m) via min_by hash agg — output is 4 bytes
+    Plan shape, stage by stage, and why it survives 100 TB (round-4
+    rewrite: assignment is vector-at-a-time HOF math against the packed
+    one-row broadcast codebook — operators/similarity.pack_pq /
+    pq_code_structs — so the corpus never explodes to learn its codes):
+    - TRAIN: one map-only seed assignment over the hash-sampled slice
+      (codebook quality saturates in thousands of points per cell) +
+      one posexplode hash agg for the per-(code, m, j) means.
+    - ENCODE: one MAP-ONLY corpus pass — all PQ_M codes computed
+      row-locally against the broadcast codebook; output is 4 bytes
       per vector, the artifact you persist.
     - SEARCH (ADC): each query builds an M x K integer LUT from the
       broadcast codebook (PQ_M * PQ_K = 128 rows per query); scoring is
@@ -470,38 +472,59 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
       vs exact L2 at sf0.01: 0.48 (self-hit always recalled); re-rank
       survivors with sim_topk_bruteforce's exact path to close the gap.
     """
-    e = _emb(spark, sf_dir)
-    coords = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
-        (F.col("pos") % PQ_SUB).alias("j"),
-        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    from ..operators.similarity import (
+        pack_pq,
+        pq_code_structs,
+        pq_lut_structs,
+        quantize_arr,
     )
 
-    def _nearest(src: DataFrame, cents: DataFrame) -> DataFrame:
-        """argmin code per (vec_id, m) against a broadcast codebook —
-        min_by over the (dist, code) struct keeps the tie-break while
-        staying a hash agg with map-side partials (no window sort)."""
-        d = F.col("qv") - F.col("cv")
-        dists = (
-            src.join(F.broadcast(cents), ["m", "j"])
-            .groupBy("vec_id", "m", "code")
-            .agg(F.sum(d * d).cast("long").alias("dist"))
-        )
-        return dists.groupBy("vec_id", "m").agg(
-            F.min_by("code", F.struct("dist", "code")).alias("code")
+    corpus = _emb(spark, sf_dir).select(
+        "vec_id", quantize_arr(F.col("embedding")).alias("qarr")
+    )
+    # codebook seed: subvector slices of the first PQ_K vectors, packed
+    # into the one-row broadcast {pq} table (operators/similarity)
+    seed_slices = corpus.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("qarr"), m * PQ_SUB + 1, PQ_SUB).alias("cv_arr"),
+                ),
+            )
+        ).alias("s"),
+    ).select("code", F.col("s")["m"].alias("m"), F.col("s")["cv_arr"].alias("cv_arr"))
+    pq0 = pack_pq(seed_slices)
+
+    def codes_of(src: DataFrame, pq_packed: DataFrame) -> DataFrame:
+        """All PQ_M codes per row, row-locally (map-only encode) ->
+        exploded (vec_id, m, code) rows."""
+        arr = pq_code_structs(F.col("qarr"), F.col("pq"), PQ_M, PQ_SUB)
+        return (
+            src.crossJoin(F.broadcast(pq_packed))
+            .select("vec_id", F.explode(arr).alias("c"))
+            .select(
+                "vec_id", F.col("c")["m"].alias("m"), F.col("c")["code"].alias("code")
+            )
         )
 
-    cent0 = coords.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), "m", "j", F.col("qv").alias("cv")
-    )
     # TRAIN on the hash-sampled slice, ENCODE the full corpus: codebook
     # quality saturates in thousands of points per cell, so the Lloyd
     # pass touches PQ_TRAIN_MOD-th of the data (same split in the oracle)
-    train = coords.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    assign0 = _nearest(train, cent0)
+    train = corpus.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    assign0 = codes_of(train, pq0)
+    train_coords = train.select(
+        "vec_id", F.posexplode("qarr").alias("pos", "qv")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
+        (F.col("pos") % PQ_SUB).alias("j"),
+        "qv",
+    )
     cent1 = (
-        train.join(assign0, ["vec_id", "m"])
+        train_coords.join(assign0, ["vec_id", "m"])
         .groupBy("code", "m", "j")
         .agg(
             F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
@@ -509,15 +532,30 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cv")
         )
     )
-    codes = _nearest(coords, cent1)
-    qc = coords.filter(F.col("vec_id") % PQ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), "m", "j", "qv"
+    cent1_rows = (
+        cent1.groupBy("code", "m")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("ps"))
+        .select("code", "m", F.transform("ps", lambda p: p["cv"]).alias("cv_arr"))
     )
-    dl = F.col("qv") - F.col("cv")
+    pq1 = pack_pq(cent1_rows)
+    codes = codes_of(corpus, pq1)
+    # per-query LUT: the M x K integer table built row-locally from the
+    # packed codebooks (one tiny crossJoin; the corpus never sees it
+    # until the broadcast ADC join)
     lut = (
-        qc.join(F.broadcast(cent1), ["m", "j"])
-        .groupBy("qid", "m", "code")
-        .agg(F.sum(dl * dl).cast("long").alias("ldist"))
+        corpus.filter(F.col("vec_id") % PQ_QMOD == 0)
+        .select(F.col("vec_id").alias("qid"), "qarr")
+        .crossJoin(F.broadcast(pq1))
+        .select(
+            "qid",
+            F.explode(pq_lut_structs(F.col("qarr"), F.col("pq"), PQ_SUB)).alias("e"),
+        )
+        .select(
+            "qid",
+            F.col("e")["m"].alias("m"),
+            F.col("e")["code"].alias("code"),
+            F.col("e")["ldist"].alias("ldist"),
+        )
     )
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -660,56 +698,59 @@ WHERE rn <= {PQ_TOPK}
 def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ-ADC + exact re-rank — the composed corpus-scale ANN.
 
-    Stage shapes and why each survives 100 TB:
-    - COARSE TRAIN: one deterministic integer Lloyd iteration over the
-      hash-sampled train slice (broadcast seed centroids, two hash
-      aggs) -> IVF_NCELLS cell centroids, a KB-sized broadcast table.
-    - ASSIGN + RESIDUAL: one corpus pass against the broadcast
-      centroids; argmin cell via min_by hash agg (map-side partials, no
-      window sort); residual = coordinate minus own-cell centroid.
-    - PQ TRAIN/ENCODE: identical machinery to sim_pq_adc but over
-      residuals (Jégou et al.'s IVFADC variant); output is cell + 4
-      bytes of codes per vector — the artifact you persist, partitioned
-      BY CELL so probes become partition-pruned reads.
-    - SEARCH: per (query, probed cell) residual LUTs (broadcast;
-      IVF_NPROBE * PQ_M * PQ_K rows per query), ADC join restricted to
-      probed cells — O(corpus/NCELLS * NPROBE) instead of sim_pq_adc's
-      flat O(corpus) scan — then exact integer-L2 re-rank of the
-      IVF_RERANK survivors (a 100-row join, noise at any scale).
+    Round-4 rewrite: cluster/code ASSIGNMENT is vector-at-a-time HOF
+    math against packed one-row broadcast centroid tables
+    (operators/similarity.pack_centroids / hof_nearest) instead of the
+    exploded-coordinate join — the corpus side never explodes and never
+    shuffles to learn its cell or its codes.  Stage shapes at 100 TB:
 
-    Every intermediate is integer (CSCALE-floored), every tie broken on
-    (dist, id): the DuckDB oracle — the same pipeline as CTEs — matches
-    bit-for-bit, and recall is measured in tests/test_pipeline.py.
+    - COARSE TRAIN: map-only seed assignment on the hash-sampled train
+      slice + ONE posexplode hash agg for the per-dim means (map-side
+      combine collapses to NCELLS x dim rows before the exchange).
+    - ASSIGN + RESIDUAL + ENCODE: one map-only corpus pass — nearest
+      cell, residual array (zip_with against the winning centroid), and
+      all PQ_M codes computed per row against the broadcast codebooks;
+      the only materialized output is (vec_id, cell, m, code), the
+      4-bytes-per-vector artifact you persist partitioned BY CELL.
+    - SEARCH: per (query, probed cell) residual LUTs built row-locally
+      from the same packed tables (probed cells = slice of the sorted
+      per-cell distance array — no window), ADC join restricted to
+      probed cells, then exact integer-L2 re-rank of the IVF_RERANK
+      survivors (row-local zip_with on the quantized arrays).
+
+    Arithmetic is unchanged from the exploded form (same CSCALE longs,
+    same (dist, key) tie-breaks), so the DuckDB oracle — the original
+    pipeline as CTEs — still matches bit-for-bit; recall invariants in
+    tests/test_pipeline.py.
     """
-    e = _emb(spark, sf_dir)
-    coords = e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
-        (F.col("pos") % PQ_SUB).alias("j"),
-        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    from ..operators.similarity import (
+        hof_argmin,
+        hof_nearest,
+        pack_centroids,
+        pack_pq,
+        pq_code_structs,
+        pq_lut_structs,
+        quantize_arr,
     )
 
-    def argmin_cell(src: DataFrame, cents: DataFrame, key: str) -> DataFrame:
-        """Nearest coarse centroid per vec_id (broadcast centroids,
-        min_by hash agg — same pattern as sim_pq_adc's _nearest)."""
-        d = F.col("qv") - F.col("cv")
-        dists = (
-            src.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", key)
-            .agg(F.sum(d * d).cast("long").alias("dist"))
-        )
-        return dists.groupBy("vec_id").agg(
-            F.min_by(key, F.struct("dist", key)).alias(key)
-        )
-
-    coarse0 = coords.filter(F.col("vec_id") < IVF_NCELLS).select(
-        F.col("vec_id").alias("cell"), "i", F.col("qv").alias("cv")
+    corpus = _emb(spark, sf_dir).select(
+        "vec_id", quantize_arr(F.col("embedding")).alias("qarr")
     )
-    train = coords.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    cassign0 = argmin_cell(train, coarse0, "cell")
+
+    # ---- coarse quantizer: seed -> one Lloyd iteration -----------------
+    c0 = corpus.filter(F.col("vec_id") < IVF_NCELLS).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("k"), F.col("qarr").alias("cv_arr"))
+            )
+        ).alias("cents")
+    )
+    train = corpus.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    cassign0 = train.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "qarr", hof_argmin(F.col("qarr"), F.col("cents")).alias("cell")
+    )
     coarse1 = (
-        train.join(cassign0, "vec_id")
+        cassign0.select("cell", F.posexplode("qarr").alias("i", "qv"))
         .groupBy("cell", "i")
         .agg(
             F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
@@ -717,31 +758,73 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cv")
         )
     )
-    cells = argmin_cell(coords, coarse1, "cell")
-    resid = (
-        coords.join(cells, "vec_id")
-        .join(F.broadcast(coarse1), ["cell", "i"])
-        .select("vec_id", "cell", "i", "m", "j", (F.col("qv") - F.col("cv")).alias("rv"))
+    c1 = pack_centroids(coarse1, key="cell")
+
+    # ---- map-only assign + residual ------------------------------------
+    assigned = (
+        corpus.crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            "qarr",
+            hof_nearest(F.col("qarr"), F.col("cents")).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "qarr",
+            F.col("best")["k"].alias("cell"),
+            F.zip_with(
+                F.col("qarr"), F.col("best")["cv_arr"], lambda a, b: a - b
+            ).alias("rarr"),
+        )
     )
 
-    def nearest_code(src: DataFrame, cents: DataFrame) -> DataFrame:
-        d = F.col("rv") - F.col("cv")
-        dists = (
-            src.join(F.broadcast(cents), ["m", "j"])
-            .groupBy("vec_id", "m", "code")
-            .agg(F.sum(d * d).cast("long").alias("dist"))
-        )
-        return dists.groupBy("vec_id", "m").agg(
-            F.min_by("code", F.struct("dist", "code")).alias("code")
+    # ---- PQ codebooks on residual slices -------------------------------
+    def sub(arr, m):
+        return F.slice(arr, m * PQ_SUB + 1, PQ_SUB)
+
+    seeds = assigned.filter(F.col("vec_id") < PQ_K)
+    seed_slices = seeds.select(
+        F.col("vec_id").alias("code"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"), F.slice(F.col("rarr"), m * PQ_SUB + 1, PQ_SUB).alias("cv_arr")
+                ),
+            )
+        ).alias("s"),
+    ).select("code", F.col("s")["m"].alias("m"), F.col("s")["cv_arr"].alias("cv_arr"))
+
+    pq0 = pack_pq(seed_slices)
+
+    def pq_codes(src: DataFrame, pq_packed: DataFrame) -> DataFrame:
+        """All PQ_M codes per row, computed row-locally -> exploded
+        (vec_id, cell, m, code) rows (the persistable artifact)."""
+        codes_arr = pq_code_structs(F.col("rarr"), F.col("pq"), PQ_M, PQ_SUB)
+        return (
+            src.crossJoin(F.broadcast(pq_packed))
+            .select("vec_id", "cell", F.explode(codes_arr).alias("c"))
+            .select(
+                "vec_id",
+                "cell",
+                F.col("c")["m"].alias("m"),
+                F.col("c")["code"].alias("code"),
+            )
         )
 
-    cent0 = resid.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), "m", "j", F.col("rv").alias("cv")
+    rtrain = assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
+    assign0 = pq_codes(rtrain, pq0)
+    # per-(code, m, j) means: the one explode-agg of the PQ train step
+    rtrain_coords = rtrain.select(
+        "vec_id", F.posexplode("rarr").alias("pos", "rv")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
+        (F.col("pos") % PQ_SUB).alias("j"),
+        "rv",
     )
-    rtrain = resid.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    assign0 = nearest_code(rtrain, cent0)
     cent1 = (
-        rtrain.join(assign0, ["vec_id", "m"])
+        rtrain_coords.join(assign0.select("vec_id", "m", "code"), ["vec_id", "m"])
         .groupBy("code", "m", "j")
         .agg(
             F.floor(F.sum("rv").cast("double") / F.count(F.lit(1)))
@@ -749,32 +832,77 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cv")
         )
     )
-    codes = nearest_code(resid, cent1).join(cells, "vec_id")
+    cent1_rows = (
+        cent1.groupBy("code", "m")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("ps"))
+        .select(
+            "code", "m", F.transform("ps", lambda p: p["cv"]).alias("cv_arr")
+        )
+    )
+    pq1 = pack_pq(cent1_rows)
+    codes = pq_codes(assigned, pq1)
 
-    qc = coords.filter(F.col("vec_id") % PQ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), "i", "m", "j", "qv"
+    # ---- query side ----------------------------------------------------
+    qs = assigned.filter(F.col("vec_id") % PQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), "qarr"
     )
-    qcell = (
-        qc.join(F.broadcast(coarse1), "i")
-        .groupBy("qid", "cell")
-        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).cast("long").alias("dist"))
-    )
-    wp = Window.partitionBy("qid").orderBy("dist", "cell")
+    # probed cells: slice of the per-cell distance array sorted by
+    # (dist, cell) — no window, no shuffle (the query set is tiny)
     probed = (
-        qcell.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select("qid", "cell")
+        qs.crossJoin(F.broadcast(c1))
+        .select(
+            "qid",
+            "qarr",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cents"),
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("qarr"),
+                                    c["cv_arr"],
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda acc, v: acc + v,
+                            ).alias("dist"),
+                            c["k"].alias("cell"),
+                            c["cv_arr"].alias("cv_arr"),
+                        ),
+                    )
+                ),
+                1,
+                IVF_NPROBE,
+            ).alias("probes"),
+        )
+        .select("qid", "qarr", F.explode("probes").alias("p"))
+        .select(
+            "qid",
+            "qarr",
+            F.col("p")["cell"].alias("cell"),
+            F.zip_with(
+                F.col("qarr"), F.col("p")["cv_arr"], lambda a, b: a - b
+            ).alias("rqarr"),
+        )
     )
-    qresid = (
-        qc.join(F.broadcast(probed), "qid")
-        .join(F.broadcast(coarse1), ["cell", "i"])
-        .select("qid", "cell", "m", "j", (F.col("qv") - F.col("cv")).alias("rv"))
-    )
-    dl = F.col("rv") - F.col("cv")
+    # per-(qid, probed cell) LUT rows from the packed codebooks
     lut = (
-        qresid.join(F.broadcast(cent1), ["m", "j"])
-        .groupBy("qid", "cell", "m", "code")
-        .agg(F.sum(dl * dl).cast("long").alias("ldist"))
+        probed.crossJoin(F.broadcast(pq1))
+        .select(
+            "qid",
+            "cell",
+            F.explode(
+                pq_lut_structs(F.col("rqarr"), F.col("pq"), PQ_SUB)
+            ).alias("e"),
+        )
+        .select(
+            "qid",
+            "cell",
+            F.col("e")["m"].alias("m"),
+            F.col("e")["code"].alias("code"),
+            F.col("e")["ldist"].alias("ldist"),
+        )
     )
     adc = (
         codes.join(F.broadcast(lut), ["cell", "m", "code"])
@@ -787,14 +915,23 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_RERANK)
         .select("qid", "vec_id")
     )
+    # exact integer-L2 re-rank: row-local zip_with on the quantized arrays
     exact = (
-        cand.join(coords, "vec_id")
+        cand.join(corpus, "vec_id")
         .join(
-            F.broadcast(qc.select("qid", "i", F.col("qv").alias("qqv"))),
-            ["qid", "i"],
+            F.broadcast(qs.select("qid", F.col("qarr").alias("q_qarr"))), "qid"
         )
-        .groupBy("qid", "vec_id")
-        .agg(F.sum((F.col("qqv") - F.col("qv")) * (F.col("qqv") - F.col("qv"))).cast("long").alias("edist"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_qarr"), F.col("qarr"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("edist"),
+        )
     )
     we = Window.partitionBy("qid").orderBy("edist", "vec_id")
     return (
@@ -812,7 +949,8 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-cluster pair count (the quadratic term) stays bounded; the
 # SIZE_CAP guard below drops degenerate clusters the same way BUCKET_CAP
 # protects the LSH join.
-SEM_K = 8  # clusters (fixture-sized; production: K ~ N / target-cluster-size)
+SEM_K = 16  # clusters: K ~ N / target-cluster-size (the paper's knob
+# bounding the quadratic within-cluster term; ~128/cluster at sf0.1)
 SEM_T = 0.9  # cosine threshold for "semantic duplicate"
 SEM_CAP = 512  # degenerate-cluster guard (see BUCKET_CAP rationale)
 
@@ -878,8 +1016,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration) instead of LSH buckets — catches semantically-close
     pairs whose hyperplane signs differ.
 
-    Plan shape at scale: clustering is one corpus pass against a
-    broadcast centroid table (argmin via min_by hash agg); the
+    Plan shape at scale: clustering is one MAP-ONLY corpus pass
+    against the packed broadcast centroid row (HOF argmin); the
     candidate join shuffles once on cluster id; within-cluster pairs
     are the quadratic term, bounded in production by choosing K ~ N /
     target-cluster-size (the paper's setup) — SEM_CAP additionally
@@ -888,48 +1026,47 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic, so the whole pipeline is DuckDB-oracle-exact;
     planted shifted copies (vec_id + 1e6) guarantee the fixture
     actually contains duplicates to find, like sim_ann_lsh_neardup."""
+    from ..operators.similarity import hof_argmin, pack_centroids, quantize_arr
+
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     planted = (
         e.filter(F.col("vec_id") % 50 == 0)
         .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    corpus = e.unionByName(planted)
-    coords = corpus.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    corpus = e.unionByName(planted).withColumn("qarr", quantize_arr(F.col("embedding")))
+    # seed centroids = the first SEM_K vectors' integer arrays, packed
+    # into ONE broadcast row (operators/similarity.pack_centroids)
+    c0 = corpus.filter(F.col("vec_id") < SEM_K).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("k"), F.col("qarr").alias("cv_arr"))
+            )
+        ).alias("cents")
     )
-
-    def assign_to(cents: DataFrame) -> DataFrame:
-        d = F.col("qv") - F.col("cv")
-        dists = (
-            coords.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(d * d).cast("long").alias("dist"))
-        )
-        return dists.groupBy("vec_id").agg(
-            F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
-        )
-
-    cent0 = coords.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").alias("cluster"), "i", F.col("qv").alias("cv")
+    # one Lloyd iteration: map-only HOF assignment against the broadcast
+    # seed row, then ONE explode-agg shuffle for the per-dim means (the
+    # only place per-coordinate rows exist; map-side combine collapses
+    # them to K x dim before the exchange)
+    assign0 = corpus.crossJoin(F.broadcast(c0)).select(
+        "vec_id", "qarr", hof_argmin(F.col("qarr"), F.col("cents")).alias("cluster")
     )
-    assign0 = assign_to(cent0)
     cent1 = (
-        coords.join(assign0, "vec_id")
-        .groupBy("cluster", "i")
+        assign0.select("cluster", F.posexplode("qarr").alias("pos", "qv"))
+        .groupBy("cluster", F.col("pos").alias("i"))
         .agg(
             F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
             .cast("long")
             .alias("cv")
         )
     )
-    clusters = assign_to(cent1)
-    base0 = corpus.join(clusters, "vec_id").select(
+    c1 = pack_centroids(cent1)
+    # final assignment: again map-only — the corpus never shuffles for
+    # cluster membership (the r4 rewrite of the exploded-join form:
+    # measured 6.2 -> see BASELINE; at 100 TB this is the difference
+    # between a map-only encode pass and a 64x-inflated shuffle)
+    base0 = corpus.crossJoin(F.broadcast(c1)).select(
         "vec_id",
-        "cluster",
+        hof_argmin(F.col("qarr"), F.col("cents")).alias("cluster"),
         "embedding",
         qdot(F.col("embedding"), F.col("embedding")).alias("nq"),
     )
