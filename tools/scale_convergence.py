@@ -113,7 +113,9 @@ def build_layouts(spark) -> dict[str, str]:
 
 PIPELINE_QUERIES = (
     "dedup_minhash_lsh,dedup_simhash,text_repetition,docs_vocab_coverage,"
-    "docs_filter_funnel,docs_pack_sequences,sim_pq_adc,sim_topk_bruteforce"
+    "docs_filter_funnel,docs_pack_sequences,sim_pq_adc,sim_topk_bruteforce,"
+    # round-4 additions: the composed ANN and the learned-cluster dedup
+    "sim_ivfadc,dedup_semantic"
 )
 
 
