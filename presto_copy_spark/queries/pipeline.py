@@ -501,3 +501,83 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality scoring (the perplexity-style gate of
+# CCNet/Gopher pipelines — Wenzek et al. 2019 train a 5-gram LM and
+# drop high-perplexity documents; the deterministic stand-in here
+# self-trains a bigram model on the corpus and scores each document by
+# its mean scaled bigram probability, all integer so both engines
+# agree bit-for-bit).
+LM_PSCALE = 1_000_000
+
+
+@query(
+    "docs_lm_quality",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+uni AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+         CAST(floor({LM_PSCALE}.0 * bi.n2 / uni.n1) AS BIGINT) AS p
+  FROM bg b JOIN bi USING (w1, w2) JOIN uni USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+)
+def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality score: self-train corpus bigram statistics, then
+    score every document by its mean scaled bigram probability
+    floor(1e6 * n(w1 w2) / n(w1 ·)) — boilerplate and templated text
+    scores high, character soup scores near zero; the deterministic
+    integer twin of the CCNet perplexity gate.
+
+    Scale shape: the model tables (unigram/bigram counts) come from two
+    map-side-combined hash aggs over the one bigram explode; scoring
+    re-joins the occurrence stream to the counts on (w1, w2) then (w1)
+    — both model tables are vocabulary-sized (<< corpus), and the
+    stopword-headed key skew on w1 is exactly what AQE skew-join
+    handles (session.py enables it).  Final per-doc agg collapses
+    map-side by doc_id."""
+    d = _docs(spark, sf_dir)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    pairs = F.zip_with(
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b")["w1"].alias("w1"), F.col("b")["w2"].alias("w2")
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.lit(float(LM_PSCALE)) * F.col("n2") / F.col("n1"))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.floor(F.sum("p").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("lm_score"),
+    )
