@@ -301,3 +301,136 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("media_id", F.explode(frames).alias("f"))
         .select("media_id", "f.offset_ms", "f.frame_stub")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio: REAL RIFF/WAVE PCM16 codec (public spec — RIFF container, fmt
+# chunk, little-endian int16 data), pure struct/numpy like the BMP path.
+# Compressed audio (mp3/ogg/flac) stays honestly stubbed: no codec libs
+# in this container.
+# --------------------------------------------------------------------------
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """int16 mono PCM samples -> RIFF/WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    data = struct.pack("<4sI", b"data", len(s)) + s
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        + fmt
+        + data
+    )
+
+
+def decode_wav(content: bytes):
+    """RIFF/WAVE bytes -> (sample_rate, np.int16 array).
+
+    REAL for PCM16 mono (chunk walk per the public spec); anything else
+    raises NotImplementedError with the documented message."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed/non-RIFF audio decode requires codec libs"
+            " (not available in this container)"
+        )
+    off, rate = 12, None
+    while off + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, off)
+        off += 8
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", content, off
+            )
+            if audio_fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV variant fmt={audio_fmt} ch={ch} bits={bits}"
+                )
+        elif cid == b"data":
+            return rate, np.frombuffer(
+                content, dtype="<i2", count=size // 2, offset=off
+            ).copy()
+        off += size + (size % 2)
+    raise NotImplementedError("WAV payload without a data chunk")
+
+
+def wav_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media rows whose audio entries carry REAL WAV bytes: every
+    doc_id % 3 == 1 document becomes a deterministic int16 waveform
+    s_i = ((doc_id*31 + i*17) % 2048) - 1024 of 200 + doc_id % 97
+    samples, encoded executor-side with :func:`encode_wav` — the bytes
+    never touch the driver, and the closed-form sample formula lets a
+    SQL oracle recompute every statistic without parsing a byte."""
+    from ..catalog import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + doc_id % 97
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 31 + i * 17) % 2048) - 1024
+                rate = 8000 + (doc_id % 3) * 4000
+                rows.append((doc_id, encode_wav(s.astype("<i2"), rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.mapInPandas(gen, schema="media_id long, content binary")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction: parse the RIFF container,
+    compute integer signal statistics (all int64 — products of int16
+    samples are widened BEFORE multiplying, numpy would silently wrap
+    int16 * int16)."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, s = decode_wav(bytes(content))
+                s = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(media_id),
+                        int(rate),
+                        int(s.size),
+                        int(np.abs(s).sum()),
+                        int((s * s).sum()),
+                        int(np.sum(s[1:] * s[:-1] < 0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_abs",
+                    "energy",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(
+        feats,
+        schema="media_id long, sample_rate long, n_samples long,"
+        " sum_abs long, energy long, zero_crossings long",
+    )

@@ -93,3 +93,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").alias("dim"),
         F.element_at("feature", 1).alias("f0"),
     )
+
+
+@query(
+    "multimodal_audio_features",
+    # the oracle recomputes every statistic from the closed-form sample
+    # formula — it never parses a byte, so agreement proves the WHOLE
+    # binary path (synthesize -> encode_wav -> shuffle as binary ->
+    # decode_wav -> numpy stats) end-to-end
+    oracle="""
+WITH audio AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2048) - 1024 AS v,
+         lag(((doc_id * 31 + i * 17) % 2048) - 1024)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM audio, unnest(generate_series(0, 200 + doc_id % 97 - 1)) AS g(i)
+)
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(coalesce(sum(CASE WHEN v * pv < 0 THEN 1 END), 0) AS BIGINT)
+         AS zero_crossings
+FROM s GROUP BY doc_id
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path (round 4): deterministic int16 waveforms are
+    encoded to RIFF/WAVE executor-side, travel as an opaque binary
+    column, and a second Arrow stage parses the container and computes
+    integer signal statistics (RMS energy, zero-crossing rate inputs) —
+    operators/multimodal.py encode_wav/decode_wav/audio_features.  Both
+    Arrow stages are the deliberate Python path (a codec/model stage);
+    everything around them is ordinary columnar plumbing."""
+    from ..operators.multimodal import audio_features, wav_media_from_documents
+
+    media = wav_media_from_documents(spark, sf_dir)
+    return audio_features(media)

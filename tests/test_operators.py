@@ -667,3 +667,28 @@ def test_geo_longtail_raises_typed_unsupported(spark):
     for name in sorted(dialect._GEO_UNSUPPORTED):
         with _pytest.raises(PrestoFeatureUnsupportedError, match=name):
             dialect.transpile(f"SELECT {name}(g) FROM t")
+
+
+def test_wav_codec_roundtrip():
+    """RIFF/WAVE PCM16 codec (operators/multimodal.py): byte-exact
+    round-trip, correct header fields, honest NotImplementedError for
+    payloads the container has no codec for."""
+    import numpy as np
+    import pytest as _pytest
+
+    from presto_copy_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 1, -1, 32767, -32768, 123, -456], dtype=np.int16)
+    blob = encode_wav(s, rate=12345)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, out = decode_wav(blob)
+    assert rate == 12345
+    assert np.array_equal(out, s)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04not a wav")
+    with _pytest.raises(NotImplementedError):
+        # stereo fmt chunk -> unsupported variant, not silent garbage
+        import struct
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+        data = struct.pack("<4sI", b"data", 0)
+        decode_wav(struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data)
