@@ -581,3 +581,105 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source reweighting (the multilingual alpha-sampling
+# of mBERT / XLM-R §3.1: sample sources proportional to p^alpha so
+# low-resource sources are up-weighted).  alpha = 0.5 here because
+# sqrt is the one power IEEE 754 rounds correctly — floor(sqrt(n)) is
+# bit-identical on both engines, and everything after it is integer, so
+# the oracle matches exactly (a general pow(x, 0.3) could drift in the
+# last ulp between runtimes).
+MIX_TARGET_DIV = 2  # target corpus = N / 2 documents
+
+
+@query(
+    "docs_temperature_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS big_n, CAST(sum(isq) AS BIGINT) AS ssum
+  FROM counts
+),
+rates AS (
+  SELECT source, n,
+         least(1000, (1000 * (big_n // {MIX_TARGET_DIV}) * isq)
+                       // (ssum * n)) AS keep_pm
+  FROM counts, tot
+),
+kept AS (
+  SELECT d.source, r.keep_pm, d.doc_id,
+         CASE WHEN {sql_hash60('CAST(doc_id AS VARCHAR)')} % 1000 < r.keep_pm
+              THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(max(keep_pm) AS BIGINT) AS keep_pm,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN k = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM kept GROUP BY source
+""",
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across sources: keep-rate per source is
+    min(1, T * q_s / n_s) with q_s proportional to sqrt(n_s)
+    (alpha = 0.5) and T = N / MIX_TARGET_DIV — low-volume sources keep
+    a larger fraction, exactly the smoothing multilingual pipelines use
+    so dominant sources don't swamp the mixture.
+
+    Scale shape: per-source counts are one map-side-combined hash agg
+    over a column the scan already carries; the rate table (a handful
+    of rows) broadcasts back, and the keep decision is the row-local
+    hash threshold of docs_mix_sample — the 100 TB side never shuffles.
+    Integer note: the per-mille rate arithmetic stays in BIGINTs
+    (floor-sqrt, integer divides); at extreme corpus sizes the
+    1000 * T * isq product needs the same widening care as any
+    fixed-point pipeline (documented rather than hidden in a double)."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source", "n", F.floor(F.sqrt(F.col("n"))).cast("long").alias("isq")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("isq").cast("long").alias("ssum"),
+    )
+    # floor-division spelled as floor(a / b): exact for these
+    # magnitudes (numerator <= 1000 * N * sqrt(N), far under 2^53) and
+    # identical to DuckDB's // on non-negative operands
+    num = (
+        F.lit(1000).cast("long")
+        * F.floor(F.col("big_n") / MIX_TARGET_DIV).cast("long")
+        * F.col("isq")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(num / (F.col("ssum") * F.col("n"))).cast("long"),
+        ).alias("keep_pm"),
+    )
+    kept = d.join(F.broadcast(rates), "source").select(
+        "source",
+        "keep_pm",
+        "doc_id",
+        F.when(
+            hash60(F.col("doc_id").cast("string")) % 1000 < F.col("keep_pm"), 1
+        )
+        .otherwise(0)
+        .alias("k"),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.max("keep_pm").cast("long").alias("keep_pm"),
+        F.sum("k").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("k") == 1, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )

@@ -103,8 +103,11 @@ DRIVER_PRIORITY: list[str] = [
     "func_qdigest_quantile",  # value_at_quantile SQL names (r3 item 6)
     "geo_polygon_predicates",  # ST_Intersects/ST_Within poly-poly (r3 item 7)
     # ---- the 50-entry cut lands here ----
-    # dedup_semantic (SemDeDup, new r4) sits just below the cut —
-    # pytest-oracled now, first driver-window candidate for r5.
+    # Round-5 rotation plan: promote the r4-proven, never-driver-checked
+    # queries — dedup_semantic (SemDeDup), docs_lm_quality (bigram LM
+    # gate), multimodal_audio_features (WAV codec path),
+    # docs_temperature_mix — plus regression canaries for whatever r5
+    # touches; retire r2∪r3∪r4-green slots (keep one per family).
     # Rotated out this round (all r2 ∪ r3 driver-green, still pytest-
     # oracled): tpch_q20, win_groups_frame, agg_classification,
     # agg_noisy_zero_scale, agg_min_max_by, agg_corr_covar,

@@ -177,3 +177,19 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
         kept, cos = rows[d]
         assert kept == d - 1000000 or kept < 1000000
         assert cos > 0.999
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_dir):
+    """alpha = 0.5 temperature sampling must give SMALLER sources a
+    keep-rate at least as high as larger ones (the whole point of the
+    smoothing), and the realized keep fraction must track keep_pm."""
+    rows = registry.QUERIES["docs_temperature_mix"](spark, sf_dir).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r.n_total)
+    for small, large in zip(by_n, by_n[1:]):
+        if small.n_total < large.n_total:
+            assert small.keep_pm >= large.keep_pm, (small, large)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total
+        if r.n_total >= 50:  # hash threshold tracks the rate statistically
+            assert abs(r.n_kept / r.n_total - r.keep_pm / 1000) < 0.25
