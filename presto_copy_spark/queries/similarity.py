@@ -1026,6 +1026,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic, so the whole pipeline is DuckDB-oracle-exact;
     planted shifted copies (vec_id + 1e6) guarantee the fixture
     actually contains duplicates to find, like sim_ann_lsh_neardup."""
+    return semantic_dedup(spark, sf_dir, k=SEM_K, cap=SEM_CAP)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, k: int, cap: int
+) -> DataFrame:
+    """Parameterized SemDeDup (see dedup_semantic): `k` is the
+    production knob — scale it with corpus size so clusters stay
+    target-sized and the quadratic within-cluster term stays bounded
+    (tests/test_pipeline.py::test_semantic_dedup_k_scales proves a
+    scaled k keeps every cluster under the cap with recall intact)."""
     from ..operators.similarity import hof_argmin, pack_centroids, quantize_arr
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -1036,7 +1047,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(planted).withColumn("qarr", quantize_arr(F.col("embedding")))
     # seed centroids = the first SEM_K vectors' integer arrays, packed
     # into ONE broadcast row (operators/similarity.pack_centroids)
-    c0 = corpus.filter(F.col("vec_id") < SEM_K).agg(
+    c0 = corpus.filter(F.col("vec_id") < k).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("vec_id").alias("k"), F.col("qarr").alias("cv_arr"))
@@ -1075,7 +1086,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster")
     base = (
         base0.withColumn("cn", F.count(F.lit(1)).over(w))
-        .filter(F.col("cn") <= SEM_CAP)
+        .filter(F.col("cn") <= cap)
         .drop("cn")
     )
     a, b = base.alias("a"), base.alias("b")

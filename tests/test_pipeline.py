@@ -193,3 +193,29 @@ def test_temperature_mix_upweights_small_sources(spark, sf_dir):
         assert 0 <= r.n_kept <= r.n_total
         if r.n_total >= 50:  # hash threshold tracks the rate statistically
             assert abs(r.n_kept / r.n_total - r.keep_pm / 1000) < 0.25
+
+
+def test_semantic_dedup_k_scales(spark, sf_dir):
+    """The production answer to cluster growth is scaling K with N
+    (SemDeDup's own setup), NOT the degenerate-cluster cap: with
+    k = n_vectors / 16 every cluster stays far under the cap, nothing
+    is dropped by the guard, and every planted duplicate is still
+    caught at cosine ~1."""
+    import duckdb as _d
+
+    from presto_copy_spark.queries.similarity import semantic_dedup
+
+    n = _d.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    k = max(8, n // 16)
+    rows = {
+        r.dropped_vec_id: r.max_cosine
+        for r in semantic_dedup(spark, sf_dir, k=k, cap=10**9).collect()
+    }
+    planted_n = _d.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet' WHERE vec_id % 50 = 0"
+    ).fetchone()[0]
+    caught = [d for d in rows if d >= 1000000]
+    assert len(caught) == planted_n
+    assert all(rows[d] > 0.999 for d in caught)
