@@ -123,6 +123,16 @@ def _register_binary_py(spark: SparkSession) -> None:
     spark.udf.register(
         "murmur3_x64_128", _pdudf("binary", _murmur3_x64_128)
     )
+    # SpookyHash V2 (VarbinaryFunctions.java spookyHashV2_32/64) —
+    # pure-Python public-domain algorithm, reference-vector-tested
+    from .spooky import spooky_hash_v2_32, spooky_hash_v2_64
+
+    spark.udf.register(
+        "spooky_hash_v2_32", _pdudf("binary", lambda b: spooky_hash_v2_32(bytes(b)))
+    )
+    spark.udf.register(
+        "spooky_hash_v2_64", _pdudf("binary", lambda b: spooky_hash_v2_64(bytes(b)))
+    )
     # NOTE: ip_prefix / ip_subnet_range / ip_subnet_min / ip_subnet_max /
     # is_subnet_of are NOT registered here anymore: they are generated
     # pure-Catalyst SQL macros in compat.py (IPv4 + IPv6, RFC 5952

@@ -346,3 +346,25 @@ def test_ip_functions_property_vs_stdlib(spark):
         probe = ipaddress.ip_address(r.probe)
         expected = probe.version == net.version and probe in net
         assert r.probed is expected, (r.ip, r.p, r.probe)
+
+
+def test_spooky_hash_v2_reference_vectors(spark):
+    """SpookyHash V2 against the reference's own published vectors
+    (presto-main/.../TestVarbinaryFunctions.java:383-386), through the
+    registered SQL names."""
+    row = spark.sql(
+        "SELECT hex(spooky_hash_v2_32(CAST('' AS BINARY))) a,"
+        " hex(spooky_hash_v2_32(CAST('hello' AS BINARY))) b,"
+        " hex(spooky_hash_v2_64(CAST('' AS BINARY))) c,"
+        " hex(spooky_hash_v2_64(CAST('hello' AS BINARY))) d"
+    ).collect()[0]
+    assert row.a == "6BF50919"
+    assert row.b == "D382E6CA"
+    assert row.c == "232706FC6BF50919"
+    assert row.d == "3768826AD382E6CA"
+    # long-path (>= 192 bytes) determinism + distinctness sanity
+    from presto_copy_spark.functions.spooky import spooky_hash128
+
+    blob = bytes((i * 7 + 3) % 256 for i in range(500))
+    assert spooky_hash128(blob) == spooky_hash128(blob)
+    assert spooky_hash128(blob) != spooky_hash128(blob[:-1])
