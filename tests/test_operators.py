@@ -692,3 +692,72 @@ def test_wav_codec_roundtrip():
         fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
         data = struct.pack("<4sI", b"data", 0)
         decode_wav(struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data)
+
+
+def test_remote_project_against_loopback_function_server(spark):
+    """RemoteProjectOperator analogue (operators/remote_udf.py): an
+    Arrow-batched stage POSTs executor-side batches to a function
+    endpoint.  Demoed against a stdlib http.server on loopback — the
+    'remote' function doubles a value and upper-cases a string — and
+    the failure mode (unreachable endpoint) surfaces a typed error."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.operators.remote_udf import (
+        RemoteFunctionError,
+        remote_project,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            assert body["function"] == "double_and_upper"
+            rows = [[v * 2, s.upper()] for v, s in body["rows"]]
+            out = json.dumps({"rows": rows}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(100)], "v long, s string"
+        ).repartition(4)
+        out = remote_project(
+            df,
+            f"http://127.0.0.1:{port}/",
+            "double_and_upper",
+            ["v", "s"],
+            "v2 long, s_up string",
+        )
+        rows = {r.v2: r.s_up for r in out.collect()}
+        assert rows == {i * 2: f"S{i}" for i in range(100)}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # unreachable endpoint -> typed error, not a bare worker trace
+    bad = remote_project(
+        spark.createDataFrame([(1,)], "v long"),
+        "http://127.0.0.1:9/",  # discard port, nothing listens
+        "f",
+        ["v"],
+        "x long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        bad.collect()
+    assert "RemoteFunctionError" in str(ei.value) or isinstance(
+        ei.value, RemoteFunctionError
+    )
