@@ -186,3 +186,45 @@ def delete_where(spark: SparkSession, path: str, condition: str, fmt: str = "par
 def values_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """ValuesOperator.java:27 — inline literal table."""
     return spark.createDataFrame(rows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Partition-parallel external-service read (round 4) — the connector
+# SHAPE of presto-base-jdbc / presto-elasticsearch: split the source
+# into ranges, each task fetches ITS range from the external service,
+# nothing flows through the driver.  The transport here is HTTP+JSON
+# against whatever endpoint the deployment exposes (tests run a stdlib
+# loopback server — the only network this container allows; real JDBC/
+# Kafka/ES remain env-blocked and documented).
+# ---------------------------------------------------------------------------
+def rest_table(
+    spark,
+    endpoint: str,
+    out_schema: str,
+    n_rows: int,
+    n_partitions: int = 8,
+):
+    """Read `n_rows` rows from a range-servable REST endpoint with
+    `n_partitions` parallel range fetches (?lo=..&hi=.. per task)."""
+    import json as _json
+    from collections.abc import Iterator
+
+    bounds = spark.range(0, n_rows, 1, n_partitions).selectExpr(
+        "min(id) OVER (PARTITION BY spark_partition_id()) AS lo",
+        "max(id) OVER (PARTITION BY spark_partition_id()) AS hi",
+    ).distinct()
+
+    def fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import urllib.request
+
+        import pandas as pd
+
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                url = f"{endpoint}?lo={int(lo)}&hi={int(hi) + 1}"
+                with urllib.request.urlopen(url, timeout=30) as resp:
+                    rows = _json.loads(resp.read())["rows"]
+                cols = [p.strip().split()[0] for p in out_schema.split(",")]
+                yield pd.DataFrame(rows, columns=cols)
+
+    return bounds.mapInPandas(fetch, schema=out_schema)

@@ -251,3 +251,52 @@ def test_avro_rejects_nested_schema(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "flat relational" in str(e)
+
+
+def test_rest_table_partition_parallel_reads(spark):
+    """External-service connector shape: every task fetches its own row
+    range from a loopback REST server — the driver never proxies data,
+    and the union of the range fetches is exactly the table."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from presto_copy_spark.sources.connectors import rest_table
+
+    seen_ranges = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            lo, hi = int(q["lo"][0]), int(q["hi"][0])
+            seen_ranges.append((lo, hi))
+            rows = [[i, f"row{i}"] for i in range(lo, hi)]
+            out = json.dumps({"rows": rows}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = rest_table(
+            spark,
+            f"http://127.0.0.1:{port}/",
+            "id long, name string",
+            n_rows=100,
+            n_partitions=5,
+        )
+        rows = {r.id: r.name for r in df.collect()}
+        assert rows == {i: f"row{i}" for i in range(100)}
+        assert len(seen_ranges) == 5  # one fetch per partition
+        covered = sorted((lo, hi) for lo, hi in seen_ranges)
+        assert covered[0][0] == 0 and covered[-1][1] == 100
+    finally:
+        srv.shutdown()
+        srv.server_close()
