@@ -189,6 +189,10 @@ def test_golden_empty_table(spark, rel):
 # both population there); documented in COVERAGE.md §2.4.
 AGGREGATE_CASES = [
     "aggregate/skewness",
+    # kurtosis: Presto's UNBIASED estimator via the round-4 dialect
+    # expansion (CentralMomentsAggregation.java:84) — the r2 documented
+    # delta is closed
+    "aggregate/kurtosis",
     "aggregate/aggregateOverFunction",
     "aggregate/average",
     "aggregate/averageDistinct",
