@@ -473,6 +473,23 @@ class Engine:
                 T.StructField("Type", T.StringType()),
             ])
             return self.spark.createDataFrame(rows, schema)
+        # --- SHOW CREATE TABLE t (ShowQueriesRewrite.java) ------------
+        if (
+            head == "SHOW"
+            and len(words) > 2
+            and words[1] == "CREATE"
+            and words[2] == "TABLE"
+        ):
+            name = "".join(v for _, v in toks[3:])
+            cols = ",\n".join(
+                f'   "{f.name}" {presto_type_name(f.dataType)}'
+                for f in self.spark.table(name).schema.fields
+            )
+            ddl = f'CREATE TABLE {name} (\n{cols}\n)'
+            return self.spark.createDataFrame(
+                [(ddl,)],
+                T.StructType([T.StructField("Create Table", T.StringType())]),
+            )
         # --- DESCRIBE t / SHOW COLUMNS FROM t (ShowQueriesRewrite) ----
         if head == "DESCRIBE" or (
             head == "SHOW" and len(words) > 1 and words[1] == "COLUMNS"

@@ -246,3 +246,14 @@ def test_explain_variants(engine):
         "EXPLAIN ANALYZE SELECT count(*) FROM region"
     ).collect()[0]["Query Plan"]
     assert "Aggregate" in analyzed
+
+
+def test_show_create_table(spark):
+    """SHOW CREATE TABLE emits a Presto-typed CREATE statement
+    (ShowQueriesRewrite.java showCreateTable)."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    ddl = eng.sql("SHOW CREATE TABLE nation").collect()[0]["Create Table"]
+    assert ddl.startswith("CREATE TABLE nation (")
+    assert '"n_nationkey" ' in ddl and '"n_name" varchar' in ddl
