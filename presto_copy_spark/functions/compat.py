@@ -728,6 +728,16 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "BOOLEAN",
         _is_subnet_of_sql("cidr", "ip"),
     ),
+    # ---- sketches (HyperLogLogFunctions.java empty_approx_set():
+    # Datasketches-typed here like the whole HLL family; a scalar
+    # subquery over zero rows yields the canonical empty sketch, which
+    # hll_union/hll_sketch_estimate treat correctly — estimate 0,
+    # union identity) ----
+    "empty_approx_set": (
+        "",
+        "BINARY",
+        "(SELECT hll_sketch_agg(x) FROM (SELECT 1 AS x) WHERE false)",
+    ),
     # ---- specialty: durations / data sizes (DateTimeFunctions.java
     # parse_duration -> seconds as DOUBLE here, not INTERVAL — Spark SQL
     # macros cannot return intervals; DataSizeFunctions.java

@@ -368,3 +368,14 @@ def test_spooky_hash_v2_reference_vectors(spark):
     blob = bytes((i * 7 + 3) % 256 for i in range(500))
     assert spooky_hash128(blob) == spooky_hash128(blob)
     assert spooky_hash128(blob) != spooky_hash128(blob[:-1])
+
+
+def test_empty_approx_set(spark):
+    """HyperLogLogFunctions.java empty_approx_set(): estimate 0 and a
+    correct union identity with a real sketch."""
+    row = spark.sql(
+        "SELECT hll_sketch_estimate(empty_approx_set()) e,"
+        " hll_sketch_estimate(hll_union(empty_approx_set(),"
+        "   (SELECT hll_sketch_agg(x) FROM (SELECT 7 AS x)))) m"
+    ).collect()[0]
+    assert row.e == 0 and row.m == 1
