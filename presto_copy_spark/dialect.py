@@ -448,26 +448,19 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         # CentralMomentsAggregation.java:84: Presto kurtosis is the
         # UNBIASED sample excess ((n-1)n(n+1))/((n-2)(n-3)) * m4/m2^2
         # - 3(n-1)^2/((n-2)(n-3)), NULL for n < 4; Spark's builtin is
-        # the population g2, so the transpiler expands the exact
-        # formula over raw power sums (central moments via binomial
-        # expansion — fine at golden-data magnitudes; a streaming
-        # central-moment implementation would need a native UDAF).
+        # the population g2 = n*m4/m2^2 - 3, computed with a streaming
+        # central-moment state (numerically stable — no catastrophic
+        # cancellation for large-mean/small-spread data, unlike a raw
+        # power-sum expansion).  The two are related by the exact
+        # identity G2 = (n-1)/((n-2)(n-3)) * ((n+1)*g2 + 6), so the
+        # transpiler emits that conversion over the stable builtin.
         e = _render_tokens(_strip(args[0]))
         x = f"CAST({e} AS DOUBLE)"
         n = f"CAST(count({x}) AS DOUBLE)"
-        s1, s2 = f"sum({x})", f"sum({x} * {x})"
-        s3, s4 = f"sum({x} * {x} * {x})", f"sum({x} * {x} * {x} * {x})"
-        m2 = f"({s2} - {s1} * {s1} / {n})"
-        m4 = (
-            f"({s4} - 4 * ({s1} / {n}) * {s3}"
-            f" + 6 * ({s1} / {n}) * ({s1} / {n}) * {s2}"
-            f" - 3 * {s1} * {s1} * {s1} * {s1} / ({n} * {n} * {n}))"
-        )
         return (
             f"CASE WHEN count({x}) < 4 THEN NULL ELSE"
-            f" (({n} - 1) * {n} * ({n} + 1)) / (({n} - 2) * ({n} - 3))"
-            f" * {m4} / ({m2} * {m2})"
-            f" - 3 * ({n} - 1) * ({n} - 1) / (({n} - 2) * ({n} - 3)) END"
+            f" (({n} - 1) / (({n} - 2) * ({n} - 3)))"
+            f" * (({n} + 1) * kurtosis({x}) + 6) END"
         )
     if low == "values_at_quantiles" and len(args) == 2:
         # QuantileDigestFunctions.java valuesAtQuantiles: expand a

@@ -197,19 +197,35 @@ class Engine:
         while i < n:
             kind, tok = toks[i]
             if kind == "word" and tok.lower() in ("system", "information_schema"):
-                # match system . information_schema . X  |  information_schema . X
+                # match [catalog .] information_schema . X  (in the
+                # reference EVERY catalog exposes information_schema —
+                # InformationSchemaMetadata.java — so a qualifier like
+                # hive.information_schema.tables routes to the same
+                # shared views; the table_catalog column disambiguates)
                 j = i
                 parts = [tok.lower()]
                 while j + 2 < n and toks[j + 1] == ("op", ".") and toks[j + 2][0] == "word":
                     parts.append(toks[j + 2][1].lower())
                     j += 2
                 seq = parts
+                matched = None
                 if seq[:1] == ["system"] and len(seq) >= 3 and seq[1] == "information_schema":
-                    out.append(f"__presto_infoschema_{seq[2]}")
-                    i = j + 1
-                    continue
-                if seq[:1] == ["information_schema"] and len(seq) >= 2:
-                    out.append(f"__presto_infoschema_{seq[1]}")
+                    matched = seq[2]
+                elif seq[:1] == ["information_schema"] and len(seq) >= 2:
+                    matched = seq[1]
+                    # consume a preceding '<catalog> .' qualifier
+                    # already emitted into out (skip ws/comment)
+                    k = len(out) - 1
+                    while k >= 0 and out[k].strip() == "":
+                        k -= 1
+                    if k >= 1 and out[k] == ".":
+                        k2 = k - 1
+                        while k2 >= 0 and out[k2].strip() == "":
+                            k2 -= 1
+                        if k2 >= 0 and out[k2][:1].isalpha():
+                            del out[k2:]
+                if matched is not None:
+                    out.append(f"__presto_infoschema_{matched}")
                     i = j + 1
                     continue
             out.append(tok)
@@ -217,8 +233,11 @@ class Engine:
         return "".join(out)
 
     def _ensure_infoschema_views(self) -> None:
-        if getattr(self, "_infoschema_ready", False):
-            return
+        # Rebuilt on EVERY information_schema query (not cached): tables
+        # and views created or dropped after a first query must be
+        # visible, matching the reference's live information_schema.
+        # The listDatabases/listTables calls are driver-side metadata —
+        # cheap relative to any query that follows.
         spark = self.spark
         schemata = [("system", s) for s in _SYSTEM_SCHEMAS] + [
             ("spark", d.name) for d in spark.catalog.listDatabases()
@@ -282,7 +301,6 @@ class Engine:
             "table_catalog string, table_schema string, table_name string,"
             " view_definition string",
         ).createOrReplaceTempView("__presto_infoschema_views")
-        self._infoschema_ready = True
 
     # -- statement surface (SqlBase.g4:33-136 `statement` alternatives
     # that are session/metadata tasks, not queries; reference executes

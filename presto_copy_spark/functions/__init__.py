@@ -29,13 +29,13 @@ def register_all(spark: SparkSession) -> None:
     (r3 func_specialty regression 0.11 -> 0.35 s), so repeat calls on
     the same live session are no-ops.
     """
-    registered = getattr(register_all, "_sessions", None)
-    if registered is None:
-        registered = register_all._sessions = set()
-    # applicationId is stable per live SparkContext and never reused
-    # within a process (unlike id() of a py4j proxy).
-    key = spark.sparkContext.applicationId
-    if key in registered:
+    # Dedupe on a SESSION-scoped conf marker, not applicationId alone:
+    # sibling sessions from spark.newSession() share one applicationId
+    # but have separate function registries and isolated SQLConf, so a
+    # runtime conf set here is visible exactly to the sessions that
+    # already ran registration.
+    marker = "spark.presto_copy.compat_registered"
+    if spark.conf.get(marker, None) == "true":
         return
     register_sql_udfs(spark)
     register_ml_sql(spark)
@@ -43,7 +43,7 @@ def register_all(spark: SparkSession) -> None:
     register_stats_sql(spark)
     _register_normalize(spark)
     _register_binary_py(spark)
-    registered.add(key)
+    spark.conf.set(marker, "true")
 
 
 def _register_binary_py(spark: SparkSession) -> None:

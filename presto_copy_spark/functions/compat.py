@@ -435,10 +435,15 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         # wrap-in-array trick makes from_json (null on malformed input)
         # validate that the value actually parses — 'not json' is false,
         # not true (Presto raises for invalid JSON; false is the closest
-        # non-error behavior, noted in COVERAGE)
+        # non-error behavior, noted in COVERAGE).  The size(...) = 1
+        # check rejects non-JSON with top-level commas ('1,2' wraps to a
+        # 2-element array); coalesce maps the malformed-input NULL from
+        # from_json back to false.
         "CASE WHEN j IS NULL THEN NULL"
         " WHEN ltrim(j) LIKE '[%' OR ltrim(j) LIKE '{%' THEN false"
-        " ELSE from_json(concat('[', j, ']'), 'array<string>') IS NOT NULL END",
+        " ELSE coalesce("
+        "size(from_json(concat('[', j, ']'), 'array<string>')) = 1,"
+        " false) END",
     ),
     # ---- ml (MLFunctions.java cosine_similarity on sparse maps) ----
     "cosine_similarity": (

@@ -171,3 +171,117 @@ def test_is_json_scalar_validates_parse(spark):
     assert _one(spark, "is_json_scalar('[1,2]')") is False
     assert _one(spark, "is_json_scalar('{\"a\":1}')") is False
     assert _one(spark, "is_json_scalar(CAST(NULL AS STRING))") is None
+
+
+# ---- round-4 ADVICE items ------------------------------------------------
+
+
+def test_is_json_scalar_rejects_toplevel_comma(spark):
+    """'1,2' wraps to '[1,2]' which parses as a 2-element array; the
+    single-element check must reject it (ADVICE r4 item 3)."""
+    assert _one(spark, "is_json_scalar('1,2')") is False
+    assert _one(spark, "is_json_scalar('true,false')") is False
+    # a scalar STRING containing a comma stays true (comma is quoted)
+    assert _one(spark, "is_json_scalar('\"a,b\"')") is True
+    assert _one(spark, "is_json_scalar('1')") is True
+
+
+def test_kurtosis_large_mean_is_stable(spark):
+    """kurtosis over values ~1e8 with sd ~1: the raw power-sum expansion
+    catastrophically cancels; the builtin-central-moment conversion must
+    stay accurate (ADVICE r4 item 2)."""
+    import math
+
+    vals = [1e8 + v for v in (0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    df.createOrReplaceTempView("_advice_kurt_t")
+    from presto_copy_spark.dialect import transpile
+
+    got = spark.sql(
+        transpile("SELECT kurtosis(x) AS k FROM _advice_kurt_t")
+    ).collect()[0].k
+    # exact unbiased sample excess kurtosis, computed on centered data
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals)
+    m4 = sum((v - mean) ** 4 for v in vals)
+    expect = ((n - 1) * n * (n + 1)) / ((n - 2) * (n - 3)) * m4 / (m2 * m2) - 3 * (
+        n - 1
+    ) ** 2 / ((n - 2) * (n - 3))
+    assert math.isfinite(got)
+    assert abs(got - expect) < 1e-6
+    # n < 4 still yields NULL (Presto CentralMomentsAggregation guard)
+    small = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    small.createOrReplaceTempView("_advice_kurt_small")
+    assert (
+        spark.sql(
+            transpile("SELECT kurtosis(x) AS k FROM _advice_kurt_small")
+        ).collect()[0].k
+        is None
+    )
+
+
+def test_register_all_covers_sibling_sessions(spark):
+    """spark.newSession() shares an applicationId but has an isolated
+    function registry; register_all must register into the sibling, not
+    silently no-op (ADVICE r4 item 4)."""
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)  # parent already registered (conftest does too)
+    sibling = spark.newSession()
+    try:
+        register_all(sibling)
+        # a compat-layer name must resolve in the sibling's registry
+        assert sibling.sql("SELECT json_array_get('[1,2]', 1) AS v").collect()[
+            0
+        ].v in ("2", 2)
+    finally:
+        sibling.stop if False else None  # sibling shares the context; no stop
+
+
+def test_infoschema_sees_post_first_query_ddl(spark):
+    """information_schema views must reflect tables created AFTER the
+    first information_schema query (ADVICE r4 item 1)."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark)
+    names = {
+        r.table_name
+        for r in eng.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert "_advice_late_table" not in names
+    spark.createDataFrame([(1,)], "a bigint").createOrReplaceTempView(
+        "_advice_late_table"
+    )
+    try:
+        names2 = {
+            r.table_name
+            for r in eng.sql(
+                "SELECT table_name FROM information_schema.tables"
+            ).collect()
+        }
+        assert "_advice_late_table" in names2
+    finally:
+        spark.catalog.dropTempView("_advice_late_table")
+
+
+def test_infoschema_catalog_qualified(spark):
+    """hive.information_schema.tables (catalog-qualified — valid in the
+    reference where every catalog exposes information_schema) must route
+    to the shared views, not mangle to hive.__presto_infoschema_tables
+    (ADVICE r4 item 5)."""
+    from presto_copy_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT table_name FROM hive.information_schema.tables"
+        " WHERE table_schema = 'information_schema' ORDER BY table_name"
+    ).collect()
+    assert any(r.table_name == "tables" for r in rows)
+    # system-qualified form keeps working
+    rows2 = eng.sql(
+        "SELECT count(*) AS c FROM system.information_schema.schemata"
+    ).collect()
+    assert rows2[0].c >= 1
