@@ -433,12 +433,13 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(
-            # broadcast the anti side: the date predicate is highly
-            # selective (the fixture has no post-1999 orders at all), so
-            # shipping the filtered keys beats shuffling every customer
-            # row — without the hint the customer-side shuffle is
-            # materialized before AQE can downgrade the join
-            F.broadcast(o.filter(F.col("o_orderdate") >= TS("2000-01-01"))),
+            # no broadcast hint: the date predicate's selectivity is a
+            # DATA property, not a plan invariant — on a dataset whose
+            # horizon covers it the anti side is unbounded and a forced
+            # broadcast would build it on the driver.  AQE sees the
+            # filtered size at runtime and downgrades the shuffle join
+            # to broadcast when (and only when) the side is small.
+            o.filter(F.col("o_orderdate") >= TS("2000-01-01")),
             c.c_custkey == o.o_custkey,
             "left_anti",
         )
