@@ -213,6 +213,65 @@ def pack_pq(cent_rows, m_key: str = "m", code_key: str = "code"):
     )
 
 
+def mean_update(assigned_df, key: str, arr_col: str, dim: int):
+    """One-pass per-dimension integer mean update: groupBy(key) with
+    `dim` sum buffers (map-side combined — the shuffle carries exactly
+    one row of dim+1 longs per (key, partition)) -> (key, n, cv_arr).
+
+    Replaces the posexplode -> (key, i, qv) -> groupBy(key, i) ->
+    re-pack chain: no 64x row inflation into the exchange, one shuffle
+    instead of two, and the member count rides along for free.  The
+    per-coordinate arithmetic (BIGINT sum, floor(sum/count)) is
+    identical, so DuckDB oracles over the exploded form stay bit-exact.
+    """
+    sums = assigned_df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(arr_col, i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    return sums.select(
+        key,
+        "n",
+        F.array(
+            *[
+                F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("cv_arr"),
+    )
+
+
+def pack_cent_arr(cent_arr, key: str):
+    """(key, cv_arr) rows -> ONE row {cents: array<struct<k, cv_arr>>}
+    (the mean_update successor of pack_centroids' exploded input)."""
+    return cent_arr.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key).alias("k"), F.col("cv_arr")))
+        ).alias("cents")
+    )
+
+
+def pq_code_sub_structs(arr: Column, pq: Column, n_sub: int, sub_dim: int) -> Column:
+    """array<struct<m, code, sub>>: like pq_code_structs but carrying
+    the subvector slice alongside its code, so a train step can fold
+    the per-(code, m, j) mean into ONE groupBy(m, code) agg over the
+    exploded structs (n_sub rows per vector, not dim) with no
+    coords-to-codes join."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.struct(
+            m.alias("m"),
+            hof_argmin(
+                F.slice(arr, m * sub_dim + 1, sub_dim),
+                F.element_at(pq, (m + 1).cast("int"))["cents"],
+            ).alias("code"),
+            F.slice(arr, m * sub_dim + 1, sub_dim).alias("sub"),
+        ),
+    )
+
+
 def pq_code_structs(arr: Column, pq: Column, n_sub: int, sub_dim: int) -> Column:
     """array<struct<m, code>>: the nearest code of each subvector of
     `arr` against packed codebooks `pq` — all row-local."""

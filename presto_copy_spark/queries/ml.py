@@ -136,18 +136,25 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan order) and the broadcast is k x dim x 8 bytes; this is the
     standard distributed Lloyd's layout (MLlib's KMeans does the same
     per-iteration broadcast-join + tree-aggregate)."""
-    from ..operators.similarity import hof_argmin, pack_centroids, quantize_arr
+    from ..operators.similarity import EMB_DIM, hof_argmin, quantize_arr
 
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     corpus = e.select("vec_id", quantize_arr(F.col("embedding")).alias("qarr"))
     # round-4 rewrite: vector-at-a-time assignment against a packed
     # one-row broadcast centroid table (operators/similarity) — the
-    # corpus never explodes and never shuffles to learn its cluster;
-    # the per-iteration shuffle is ONLY the posexplode hash agg of the
-    # centroid update (map-side combine -> K x dim rows).  This is
-    # literally MLlib's layout: broadcast centroids, map-side
-    # assignment, tree-aggregated sums.
+    # corpus never explodes and never shuffles to learn its cluster.
+    # Round-5 rewrite of the UPDATE step: instead of posexplode to
+    # (cluster, i, qv) rows (64x row inflation into the shuffle) + a
+    # re-pack groupBy, the mean update is ONE hash agg with `dim` sum
+    # buffers — groupBy(cluster).agg(count, sum(qarr[1]), ...,
+    # sum(qarr[dim])) — map-side combined, shuffling exactly K rows of
+    # dim+1 longs per partition.  The per-coordinate arithmetic
+    # (BIGINT sum, floor(sum/count)) is unchanged, so the unrolled
+    # DuckDB CTE oracle stays bit-exact.  This is literally MLlib's
+    # layout: broadcast centroids, map-side assignment, tree-aggregated
+    # per-dimension sums.
+    dim = EMB_DIM
     packed = corpus.filter(F.col("vec_id") < _K).agg(
         F.array_sort(
             F.collect_list(
@@ -155,25 +162,49 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cents")
     )
-    assign = cent_rows = None
+    assign = cent_arr = None
     for _ in range(_ITERS):
         assign = corpus.crossJoin(F.broadcast(packed)).select(
             "vec_id",
             "qarr",
             hof_argmin(F.col("qarr"), F.col("cents")).alias("cluster"),
         )
-        cent_rows = (
-            assign.select("cluster", F.posexplode("qarr").alias("i", "qv"))
-            .groupBy("cluster", "i")
-            .agg(
-                F.floor(
-                    F.sum("qv").cast("double") / F.count(F.lit(1))
-                ).cast("long").alias("cv")
-            )
+        sums = assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("qarr", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
         )
-        packed = pack_centroids(cent_rows)
-    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    l1 = cent_rows.groupBy("cluster").agg(
-        F.sum(F.abs("cv")).cast("long").alias("centroid_l1")
+        cent_arr = sums.select(
+            "cluster",
+            "n",
+            F.array(
+                *[
+                    F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast(
+                        "long"
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("cv_arr"),
+        )
+        packed = cent_arr.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cluster").alias("k"), F.col("cv_arr"))
+                )
+            ).alias("cents")
+        )
+    # The final update agg already carries the member count (`n`) and
+    # the centroid array: sizes + L1 fall out of the SAME shuffle — no
+    # second groupBy over the assignment, so the argmin corpus pass is
+    # evaluated exactly once per iteration.
+    return cent_arr.select(
+        "cluster",
+        F.col("n").alias("n_members"),
+        F.aggregate(
+            F.col("cv_arr"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.abs(v),
+        ).alias("centroid_l1"),
     )
-    return sizes.join(l1, "cluster")

@@ -229,32 +229,60 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scaled 1e6, floor-divided) so both engines agree bit-for-bit.
     At scale: centroids are a tiny broadcast table; the cell scan is a
     partition-pruned read when the corpus is partitioned by cell.
+
+    Round-5 fold (reusing the packed-centroid machinery the IVFADC
+    path introduced): centroid training is ONE groupBy(label) agg with
+    dim sum buffers (operators/similarity.mean_update — no posexplode
+    of the corpus), and probe selection is a row-local array_sort slice
+    against the packed one-row broadcast centroid table — the
+    query-side coords⨝centroids join, its groupBy, and its window are
+    all gone (11 -> 4 exchanges measured).
     """
+    from ..operators.similarity import (
+        EMB_DIM,
+        mean_update,
+        pack_cent_arr,
+        quantize_arr,
+    )
+
     e = _emb(spark, sf_dir)
-    coords = e.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "val"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("pos") + 1).alias("i"),
-        F.floor(F.col("val").cast("double") * CSCALE).cast("long").alias("qv"),
+    corpus_q = e.select(
+        "vec_id", "label", quantize_arr(F.col("embedding")).alias("qarr")
     )
-    centroids = coords.groupBy("label", "i").agg(
-        F.floor(F.sum("qv").cast("double") / F.count(F.lit(1))).cast("long").alias("cv")
+    cpacked = pack_cent_arr(
+        mean_update(corpus_q, "label", "qarr", EMB_DIM), key="label"
     )
-    qc = coords.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "i", "qv"
+    qs0 = corpus_q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "qarr"
     )
-    cell_dist = (
-        qc.join(F.broadcast(centroids), "i")
-        .groupBy("qid", "label")
-        .agg(F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))).alias("dist"))
-    )
-    wp = Window.partitionBy("qid").orderBy("dist", "label")
     probed = (
-        cell_dist.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 2).select("qid", "label")
+        qs0.crossJoin(F.broadcast(cpacked))
+        .select(
+            "qid",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cents"),
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("qarr"),
+                                    c["cv_arr"],
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda acc, v: acc + v,
+                            ).alias("dist"),
+                            c["k"].alias("label"),
+                        ),
+                    )
+                ),
+                1,
+                2,
+            ).alias("probes"),
+        )
+        .select("qid", F.explode("probes").alias("p"))
+        .select("qid", F.col("p")["label"].alias("label"))
     )
     base = e.select(
         "vec_id", "label", "embedding", qdot(F.col("embedding"), F.col("embedding")).alias("nq")
@@ -475,6 +503,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         pack_pq,
         pq_code_structs,
+        pq_code_sub_structs,
         pq_lut_structs,
         quantize_arr,
     )
@@ -512,32 +541,46 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # TRAIN on the hash-sampled slice, ENCODE the full corpus: codebook
     # quality saturates in thousands of points per cell, so the Lloyd
-    # pass touches PQ_TRAIN_MOD-th of the data (same split in the oracle)
+    # pass touches PQ_TRAIN_MOD-th of the data (same split in the
+    # oracle).  Round-5 fold: the per-(code, m, j) mean is ONE
+    # groupBy(m, code) agg over (m, code, subvector) structs — PQ_M
+    # rows per vector instead of a dim-wide posexplode joined back to
+    # the codes (the old coords⨝codes shuffle join is gone entirely);
+    # same BIGINT sums and floor(sum/count), so the oracle CTEs still
+    # match bit-for-bit.
     train = corpus.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    assign0 = codes_of(train, pq0)
-    train_coords = train.select(
-        "vec_id", F.posexplode("qarr").alias("pos", "qv")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
-        (F.col("pos") % PQ_SUB).alias("j"),
-        "qv",
-    )
-    cent1 = (
-        train_coords.join(assign0, ["vec_id", "m"])
-        .groupBy("code", "m", "j")
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cv")
+    enc0 = (
+        train.crossJoin(F.broadcast(pq0))
+        .select(
+            F.explode(
+                pq_code_sub_structs(F.col("qarr"), F.col("pq"), PQ_M, PQ_SUB)
+            ).alias("c")
+        )
+        .select(
+            F.col("c")["m"].alias("m"),
+            F.col("c")["code"].alias("code"),
+            F.col("c")["sub"].alias("sub"),
         )
     )
-    cent1_rows = (
-        cent1.groupBy("code", "m")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("ps"))
-        .select("code", "m", F.transform("ps", lambda p: p["cv"]).alias("cv_arr"))
+    sums = enc0.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("sub", j + 1)).alias(f"s{j}") for j in range(PQ_SUB)],
     )
-    pq1 = pack_pq(cent1_rows)
+    cent1_rows = sums.select(
+        "code",
+        "m",
+        F.array(
+            *[
+                F.floor(F.col(f"s{j}").cast("double") / F.col("n")).cast("long")
+                for j in range(PQ_SUB)
+            ]
+        ).alias("cv_arr"),
+    )
+    # the trained codebook is a KB-sized one-row model table consumed by
+    # both the encode pass and the per-query LUT build; checkpointing it
+    # stops the whole train chain re-executing per consumer (Catalyst
+    # can't exchange-reuse across collect_list subtrees)
+    pq1 = pack_pq(cent1_rows).localCheckpoint(eager=False)
     codes = codes_of(corpus, pq1)
     # per-query LUT: the M x K integer table built row-locally from the
     # packed codebooks (one tiny crossJoin; the corpus never sees it
@@ -724,11 +767,14 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline.py.
     """
     from ..operators.similarity import (
+        EMB_DIM,
         hof_argmin,
         hof_nearest,
-        pack_centroids,
+        mean_update,
+        pack_cent_arr,
         pack_pq,
         pq_code_structs,
+        pq_code_sub_structs,
         pq_lut_structs,
         quantize_arr,
     )
@@ -749,16 +795,19 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cassign0 = train.crossJoin(F.broadcast(c0)).select(
         "vec_id", "qarr", hof_argmin(F.col("qarr"), F.col("cents")).alias("cell")
     )
-    coarse1 = (
-        cassign0.select("cell", F.posexplode("qarr").alias("i", "qv"))
-        .groupBy("cell", "i")
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cv")
-        )
-    )
-    c1 = pack_centroids(coarse1, key="cell")
+    # round-5 fold: ONE groupBy(cell) agg with dim sum buffers instead
+    # of posexplode -> groupBy(cell, i) -> re-pack (operators/similarity
+    # mean_update — same integer arithmetic, one shuffle, no inflation).
+    # The packed model tables (one KB-sized row each) are
+    # localCheckpoint'd: they are consumed by several downstream stages
+    # (assign, encode, LUT build) whose subtrees Catalyst does NOT
+    # exchange-reuse (collect_list breaks canonical equality), so
+    # without the checkpoint the whole train chain re-executes once per
+    # consumer (measured: 34 shuffle stages -> 13).  In production these
+    # are exactly the persisted model artifacts of the train job.
+    c1 = pack_cent_arr(
+        mean_update(cassign0, "cell", "qarr", EMB_DIM), key="cell"
+    ).localCheckpoint(eager=False)
 
     # ---- map-only assign + residual ------------------------------------
     assigned = (
@@ -813,33 +862,40 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rtrain = assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
-    assign0 = pq_codes(rtrain, pq0)
-    # per-(code, m, j) means: the one explode-agg of the PQ train step
-    rtrain_coords = rtrain.select(
-        "vec_id", F.posexplode("rarr").alias("pos", "rv")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / PQ_SUB).cast("long").alias("m"),
-        (F.col("pos") % PQ_SUB).alias("j"),
-        "rv",
-    )
-    cent1 = (
-        rtrain_coords.join(assign0.select("vec_id", "m", "code"), ["vec_id", "m"])
-        .groupBy("code", "m", "j")
-        .agg(
-            F.floor(F.sum("rv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cv")
-        )
-    )
-    cent1_rows = (
-        cent1.groupBy("code", "m")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("ps"))
+    # per-(code, m, j) means, round-5 fold: ONE groupBy(m, code) agg
+    # over (m, code, residual-subvector) structs — PQ_M rows per vector
+    # instead of a dim-wide posexplode shuffle-joined back to the codes;
+    # same BIGINT sums / floor(sum/count), oracle CTEs stay bit-exact
+    enc0 = (
+        rtrain.crossJoin(F.broadcast(pq0))
         .select(
-            "code", "m", F.transform("ps", lambda p: p["cv"]).alias("cv_arr")
+            F.explode(
+                pq_code_sub_structs(F.col("rarr"), F.col("pq"), PQ_M, PQ_SUB)
+            ).alias("c")
+        )
+        .select(
+            F.col("c")["m"].alias("m"),
+            F.col("c")["code"].alias("code"),
+            F.col("c")["sub"].alias("sub"),
         )
     )
-    pq1 = pack_pq(cent1_rows)
+    rsums = enc0.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("sub", j + 1)).alias(f"s{j}") for j in range(PQ_SUB)],
+    )
+    cent1_rows = rsums.select(
+        "code",
+        "m",
+        F.array(
+            *[
+                F.floor(F.col(f"s{j}").cast("double") / F.col("n")).cast("long")
+                for j in range(PQ_SUB)
+            ]
+        ).alias("cv_arr"),
+    )
+    # KB-sized model row, multi-consumer (encode + LUT): checkpoint for
+    # the same reason as c1 above
+    pq1 = pack_pq(cent1_rows).localCheckpoint(eager=False)
     codes = pq_codes(assigned, pq1)
 
     # ---- query side ----------------------------------------------------
@@ -1037,7 +1093,13 @@ def semantic_dedup(
     target-sized and the quadratic within-cluster term stays bounded
     (tests/test_pipeline.py::test_semantic_dedup_k_scales proves a
     scaled k keeps every cluster under the cap with recall intact)."""
-    from ..operators.similarity import hof_argmin, pack_centroids, quantize_arr
+    from ..operators.similarity import (
+        EMB_DIM,
+        hof_argmin,
+        mean_update,
+        pack_cent_arr,
+        quantize_arr,
+    )
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     planted = (
@@ -1055,22 +1117,15 @@ def semantic_dedup(
         ).alias("cents")
     )
     # one Lloyd iteration: map-only HOF assignment against the broadcast
-    # seed row, then ONE explode-agg shuffle for the per-dim means (the
-    # only place per-coordinate rows exist; map-side combine collapses
-    # them to K x dim before the exchange)
+    # seed row, then ONE groupBy(cluster) agg with dim sum buffers for
+    # the per-dim means (round-5 fold of the posexplode form — no
+    # per-coordinate rows anywhere; same integer arithmetic)
     assign0 = corpus.crossJoin(F.broadcast(c0)).select(
         "vec_id", "qarr", hof_argmin(F.col("qarr"), F.col("cents")).alias("cluster")
     )
-    cent1 = (
-        assign0.select("cluster", F.posexplode("qarr").alias("pos", "qv"))
-        .groupBy("cluster", F.col("pos").alias("i"))
-        .agg(
-            F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cv")
-        )
-    )
-    c1 = pack_centroids(cent1)
+    c1 = pack_cent_arr(
+        mean_update(assign0, "cluster", "qarr", EMB_DIM), key="cluster"
+    ).localCheckpoint(eager=False)
     # final assignment: again map-only — the corpus never shuffles for
     # cluster membership (the r4 rewrite of the exploded-join form:
     # measured 6.2 -> see BASELINE; at 100 TB this is the difference
