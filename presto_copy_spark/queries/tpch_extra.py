@@ -71,24 +71,39 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    offers = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
-    )
-    eligible = (
-        offers.join(F.broadcast(s), offers["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    # Dims first (map-side): the EUROPE supplier filter commutes with
+    # the per-(part, supplier) min, so joining the broadcast dim chain
+    # BEFORE the shuffle drops ~4/5 of the rows that would ship.
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .select("l_partkey", "l_suppkey", "cost", "s_name", "n_name")
+        .select("s_suppkey", "s_name", "n_name")
     )
-    # min-per-part as a window over ONE shuffle on l_partkey instead of
-    # the groupBy+join-back decorrelation (which re-reads eligible and
-    # adds an agg exchange); ties keep all rows, same as the correlated
-    # scalar subquery.
+    eligible_raw = l.join(
+        F.broadcast(eu), l["l_suppkey"] == eu["s_suppkey"]
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        "s_name",
+        "n_name",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    # ONE shuffle for agg + window: hash(l_partkey) satisfies BOTH the
+    # groupBy's ClusteredDistribution(l_partkey, l_suppkey, ...) (subset
+    # partitioning co-locates every group) and the window's
+    # partitionBy(l_partkey) — the explicit repartition replaces the two
+    # exchanges the default plan inserts.  The (pk, sk) combine factor
+    # in lineitem is ~1.2, so shuffling pre-agg rows costs almost the
+    # same bytes as the partial-agg shuffle it replaces.  Ties keep all
+    # rows, same as the correlated scalar subquery.
     w = Window.partitionBy("l_partkey")
     return (
-        eligible.withColumn("min_cost", F.min("cost").over(w))
+        eligible_raw.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min("unit_cost").alias("cost"))
+        .withColumn("min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("min_cost"))
-        .join(F.broadcast(p), eligible["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
         .select("p_partkey", "p_type", "s_name", "n_name", "cost")
     )
 
@@ -261,6 +276,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("l_partkey")
         .agg(exact_sum(_revenue(), "value"))
+        # CTE materialization: v feeds BOTH the output and the HAVING
+        # threshold, and Spark's exchange/stage reuse does not dedupe
+        # the diamond (verified on a minimal case) — without this the
+        # lineitem join + agg executes twice.  DuckDB/Presto materialize
+        # the CTE for the same reason; v is |parts|-sized (the small
+        # post-agg side), distributed across executors.
+        .localCheckpoint(eager=False)
     )
     total = v.agg((F.sum("value") * 0.001).alias("threshold"))
     return v.join(F.broadcast(total)).filter(F.col("value") > F.col("threshold")).select(
@@ -323,8 +345,13 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = _t(spark, sf_dir, "supplier")
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        exact_sum(_revenue(), "total_revenue")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(exact_sum(_revenue(), "total_revenue"))
+        # same diamond as q11: the view feeds both the join and the
+        # scalar-max subquery and Spark does not reuse the exchange —
+        # materialize the |suppliers|-sized CTE once
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
