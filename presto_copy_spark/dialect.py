@@ -314,27 +314,96 @@ def _rewrite_try(arg: list) -> str:
 # resolution failure.  COVERAGE.md carries the full inventory.
 _GEO_UNSUPPORTED = frozenset(
     {
-        "geometry_union",
-        "geometry_union_agg",
-        "convex_hull_agg",
-        "st_union",
+        # round 5 closed: geometry_union / geometry_union_agg /
+        # convex_hull_agg / st_union / st_convexhull /
+        # line_interpolate_point / line_locate_point /
+        # to_geojson_geometry / from_geojson_geometry /
+        # geometry_nearest_points — pure-Catalyst HOF implementations
+        # in functions/geometry.py (documented convex/star-shaped
+        # union subset; see its module docstring)
         "st_difference",
         "st_symdifference",
         "st_intersection",
         "st_buffer",
-        "st_convexhull",
-        "nearest_points",
-        "line_interpolate_point",
         "line_interpolate_points",
-        "line_locate_point",
         "simplify_geometry",
         "geometry_invalid_reason",
         "flatten_geometry_collections",
         "expand_envelope",
-        "to_geojson_geometry",
-        "from_geojson_geometry",
     }
 )
+
+
+# PrecisionRecallAggregation.java family: the state is a pair of
+# fixed-width weight histograms over pred in [0, 1) (B buckets,
+# bucket = floor(min(pred, 0.99999999999) * B)); each output entry i
+# (0-based, emitted while the suffix true-weight is still positive)
+# derives from the prefix/suffix sums:
+#   TP_i = totalTrue - prefixTrue(i)    FN_i = prefixTrue(i)
+#   FP_i = totalFalse - prefixFalse(i)  TN_i = prefixFalse(i)
+# With a LITERAL bucket count the whole thing is 2B CASE-filtered sum()
+# aggregates plus row-local array math on the one output row — exactly
+# the reference's histogram state, expressed declaratively.
+_CLASSIFICATION_AGGS = {
+    # name -> per-bucket output expression over (tp, fp, pt, pf, tt, tf)
+    # tp/fp = suffix weights, pt/pf = prefix weights, tt/tf = totals
+    "classification_precision": "{tp} / ({tp} + {fp})",
+    "classification_recall": "{tp} / {tt}",
+    "classification_fall_out": "{fp} / {tf}",
+    "classification_miss_rate": "{pt} / {tt}",
+    "classification_thresholds": "CAST(i9 - 1 AS DOUBLE) / {b}",
+}
+
+_CLASSIFICATION_MAX_BUCKETS = 256
+
+
+def _rewrite_classification(low: str, args: list[list]) -> str | None:
+    b = _lit_num(args[0])
+    if b is None or not (1 <= int(b) <= _CLASSIFICATION_MAX_BUCKETS):
+        raise PrestoFeatureUnsupportedError(
+            f"{low} requires a literal bucket count <= "
+            f"{_CLASSIFICATION_MAX_BUCKETS} (transpile-time histogram expansion)"
+        )
+    b = int(b)
+    outcome = _render_tokens(_strip(args[1]))
+    pred = _render_tokens(_strip(args[2]))
+    weight = (
+        _render_tokens(_strip(args[3])) if len(args) == 4 else "1.0"
+    )
+    bucket = f"floor(least(CAST({pred} AS DOUBLE), 0.99999999999) * {b})"
+    th = ", ".join(
+        f"sum(CASE WHEN ({outcome}) AND {bucket} = {i}"
+        f" THEN CAST({weight} AS DOUBLE) ELSE 0D END)"
+        for i in range(b)
+    )
+    fh = ", ".join(
+        f"sum(CASE WHEN NOT ({outcome}) AND {bucket} = {i}"
+        f" THEN CAST({weight} AS DOUBLE) ELSE 0D END)"
+        for i in range(b)
+    )
+    entry = _CLASSIFICATION_AGGS[low].format(
+        tp="(aggregate(s9.th, 0D, (a9, v9) -> a9 + v9)"
+        " - aggregate(slice(s9.th, 1, i9 - 1), 0D, (a9, v9) -> a9 + v9))",
+        fp="(aggregate(s9.fh, 0D, (a9, v9) -> a9 + v9)"
+        " - aggregate(slice(s9.fh, 1, i9 - 1), 0D, (a9, v9) -> a9 + v9))",
+        pt="aggregate(slice(s9.th, 1, i9 - 1), 0D, (a9, v9) -> a9 + v9)",
+        pf="aggregate(slice(s9.fh, 1, i9 - 1), 0D, (a9, v9) -> a9 + v9)",
+        tt="aggregate(s9.th, 0D, (a9, v9) -> a9 + v9)",
+        tf="aggregate(s9.fh, 0D, (a9, v9) -> a9 + v9)",
+        b=f"{b}.0",
+    )
+    # output length: emit bucket i while suffix true-weight > 0, i.e.
+    # up to (last non-empty true bucket) + 1
+    length = (
+        "aggregate(sequence(1, size(s9.th)), 0,"
+        " (l9, i9) -> CASE WHEN element_at(s9.th, i9) > 0D THEN i9 ELSE l9 END)"
+    )
+    return (
+        f"element_at(transform(array(named_struct('th', array({th}),"
+        f" 'fh', array({fh}))), s9 ->"
+        f" CASE WHEN {length} < 1 THEN CAST(array() AS ARRAY<DOUBLE>)"
+        f" ELSE transform(sequence(1, {length}), i9 -> {entry}) END), 1)"
+    )
 
 
 def _rewrite_call(name: str, args: list[list]) -> str | None:
@@ -345,6 +414,23 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             f"geospatial function {low} (OGC long-tail; the WKT planar "
             "core is implemented — see COVERAGE.md geometry inventory)"
         )
+    if low == "convex_hull_agg" and len(args) == 1:
+        # AggregationFunction convex_hull_agg (GeometryUnionAgg.java
+        # sibling): hull of every input geometry's points — collect the
+        # flattened point arrays with the builtin agg, hull once in the
+        # finish expression (st_hull_of_points, functions/geometry.py)
+        e = _render_tokens(_strip(args[0]))
+        return f"st_hull_of_points(flatten(flatten(collect_list(({e}).rings))))"
+    if low == "geometry_union_agg" and len(args) == 1:
+        # union of all input geometries via the same star-shaped union
+        # core as geometry_union (documented convex subset)
+        e = _render_tokens(_strip(args[0]))
+        return f"st_union_all(collect_list({e}))"
+    if low == "nearest_points" and len(args) == 2:
+        # alias: the reference's SQL name is geometry_nearest_points
+        a0 = _render_tokens(_strip(args[0]))
+        a1 = _render_tokens(_strip(args[1]))
+        return f"geometry_nearest_points({a0}, {a1})"
     if low == "try" and len(args) == 1:
         return _rewrite_try(args[0])
     if low in ("date_add", "date_diff") and len(args) == 3:
@@ -488,6 +574,37 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
                 f"kll_sketch_get_quantile_double({sk}, {q})" for q in nums
             )
             return f"array({calls})"
+    if low == "quantiles_at_values" and len(args) == 2:
+        # QuantileDigestFunctions.java quantilesAtValues — the inverse
+        # vector accessor; same literal-array expansion over the KLL
+        # rank accessor (quantile_at_value's target)
+        a1 = _strip(args[1])
+        nums, ok = [], True
+        for k, v in a1:
+            if k == "num":
+                nums.append(v)
+            elif k in ("ws", "comment"):
+                continue
+            elif k == "word" and v.lower() == "array":
+                continue
+            elif k == "op" and v in ("[", "]", "(", ")", ","):
+                continue
+            else:
+                ok = False
+                break
+        if ok and nums:
+            sk = _render_tokens(_strip(args[0]))
+            calls = ", ".join(
+                f"kll_sketch_get_rank_double({sk}, {q})" for q in nums
+            )
+            return f"array({calls})"
+    if low == "geometric_mean" and len(args) == 1:
+        # GeometricMeanAggregations.java: state is (sum of ln, count),
+        # result exp(logSum / count) — exactly exp(avg(ln(x)))
+        e = _render_tokens(_strip(args[0]))
+        return f"exp(avg(ln(CAST({e} AS DOUBLE))))"
+    if low in _CLASSIFICATION_AGGS and len(args) in (3, 4):
+        return _rewrite_classification(low, args)
         return None
     if low == "entropy" and len(args) == 1:
         # EntropyAggregation.java: Shannon entropy (bits) of the count

@@ -516,6 +516,696 @@ for _name in ("st_intersects", "st_within"):
     SQL_GEOMETRY_UDFS[_name] = (_sig, _ret, _body)
 
 
+# ---------------------------------------------------------------------------
+# Round-5 OGC closures (GeoFunctions.java long-tail): convex hull,
+# union, nearest points, line interpolate/locate, GeoJSON — all pure
+# Catalyst HOF expressions over the same geometry struct.  Notes:
+#
+# - ST_ConvexHull / convex_hull_agg: Andrew's monotone chain.  The
+#   stack "pop while cross <= 0" loop is expressible as a single
+#   aggregate() because the post-pop stack height equals the LARGEST
+#   j >= 2 with cross(h[j-1], h[j], p) > 0 (pops are contiguous from
+#   the top and each test only reads elements below the popped ones),
+#   so one inner scan computes the cut point and concat(slice(h,1,k),
+#   array(p)) performs all pops at once.
+# - geometry_union / ST_Union / geometry_union_agg: boundary points =
+#   (vertices not strictly inside another input) + (pairwise proper
+#   edge intersections), ordered by angle around a witness point
+#   (mean of the intersection points, which lies inside the overlap
+#   for two convex inputs — the union of convex sets sharing a point
+#   is star-shaped about it, so the angular order IS the boundary
+#   order).  Pairwise-disjoint inputs return MULTIPOLYGON of the
+#   shells (exact).  Documented subset: convex shells, holes ignored,
+#   N-way chains without a common overlap point are approximate
+#   (COVERAGE.md geometry inventory); the reference delegates to Esri
+#   exact union.
+# - geometry_nearest_points: the closest pair between two polyline
+#   boundaries is always vertex-to-(clamped segment projection), so
+#   the exact answer is an argmin over both directions' candidates.
+# ---------------------------------------------------------------------------
+
+_PT_T = "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+
+
+def _sql_chain(seq: str) -> str:
+    """Monotone-chain half-hull of point sequence `seq` (SQL text)."""
+    cross_keep = (
+        "((element_at(h9, j9).x - element_at(h9, j9 - 1).x)"
+        " * (p9.y - element_at(h9, j9 - 1).y)"
+        " - (element_at(h9, j9).y - element_at(h9, j9 - 1).y)"
+        " * (p9.x - element_at(h9, j9 - 1).x)) > 0D"
+    )
+    cut = (
+        "CASE WHEN size(h9) < 2 THEN size(h9) ELSE"
+        " aggregate(sequence(2, size(h9)), 1,"
+        f" (k9, j9) -> CASE WHEN {cross_keep} THEN j9 ELSE k9 END) END"
+    )
+    return (
+        f"aggregate({seq}, CAST(array() AS {_PT_T}),"
+        f" (h9, p9) -> concat(slice(h9, 1, {cut}), array(p9)))"
+    )
+
+
+_SQL_HULL_BODY = (
+    # let-bind the sorted distinct points, then the open ring
+    "element_at(transform(array(array_sort(array_distinct(pts))), sp9 ->"
+    " element_at(transform(array(concat("
+    f"   slice({_sql_chain('sp9')}, 1, greatest(size({_sql_chain('sp9')}) - 1, 0)),"
+    f"   slice({_sql_chain('reverse(sp9)')}, 1,"
+    f"     greatest(size({_sql_chain('reverse(sp9)')}) - 1, 0)))), ring9 ->"
+    " CASE"
+    " WHEN size(sp9) = 0 THEN named_struct('gtype', CAST(NULL AS STRING),"
+    f"   'rings', CAST(array() AS ARRAY<{_PT_T}>))"
+    " WHEN size(sp9) = 1 THEN named_struct('gtype', 'POINT',"
+    "   'rings', array(sp9))"
+    " WHEN size(ring9) <= 2 THEN named_struct('gtype', 'LINESTRING',"
+    "   'rings', array(array(element_at(sp9, 1), element_at(sp9, size(sp9)))))"
+    " ELSE named_struct('gtype', 'POLYGON',"
+    "   'rings', array(concat(ring9, array(element_at(ring9, 1)))))"
+    " END), 1)), 1)"
+)
+
+
+def _sql_ring_raycast(ring: str, px: str, py: str) -> str:
+    """Even-odd ray cast of (px, py) vs one closed ring (SQL text)."""
+    return (
+        f"(aggregate(zip_with(slice({ring}, 1, size({ring}) - 1),"
+        f" slice({ring}, 2, size({ring}) - 1),"
+        f" (rp9, rq9) -> CASE WHEN ((rp9.y > {py}) != (rq9.y > {py}))"
+        f" AND ({px} < (rq9.x - rp9.x) * ({py} - rp9.y) / (rq9.y - rp9.y) + rp9.x)"
+        " THEN 1 ELSE 0 END), 0, (ra9, rv9) -> ra9 + rv9) % 2 = 1)"
+    )
+
+
+def _sql_segs_of(r: str) -> str:
+    return (
+        f"zip_with(slice({r}, 1, size({r}) - 1), slice({r}, 2, size({r}) - 1),"
+        " (zp9, zq9) -> named_struct('p', zp9, 'q', zq9))"
+    )
+
+
+def _build_union_all_body() -> str:
+    """st_union_all(gs ARRAY<GEOM_T>) — see module note for semantics."""
+    # pairwise proper intersections between shells i < j
+    proper = (
+        "(sign((sa9.q.x - sa9.p.x) * (sb9.p.y - sa9.p.y)"
+        " - (sa9.q.y - sa9.p.y) * (sb9.p.x - sa9.p.x))"
+        " * sign((sa9.q.x - sa9.p.x) * (sb9.q.y - sa9.p.y)"
+        " - (sa9.q.y - sa9.p.y) * (sb9.q.x - sa9.p.x)) < 0)"
+        " AND (sign((sb9.q.x - sb9.p.x) * (sa9.p.y - sb9.p.y)"
+        " - (sb9.q.y - sb9.p.y) * (sa9.p.x - sb9.p.x))"
+        " * sign((sb9.q.x - sb9.p.x) * (sa9.q.y - sb9.p.y)"
+        " - (sb9.q.y - sb9.p.y) * (sa9.q.x - sb9.p.x)) < 0)"
+    )
+    ipoint = (
+        "named_struct("
+        " 'x', sa9.p.x + (((sb9.p.x - sa9.p.x) * (sb9.q.y - sb9.p.y)"
+        "   - (sb9.p.y - sa9.p.y) * (sb9.q.x - sb9.p.x))"
+        "  / ((sa9.q.x - sa9.p.x) * (sb9.q.y - sb9.p.y)"
+        "   - (sa9.q.y - sa9.p.y) * (sb9.q.x - sb9.p.x)))"
+        "  * (sa9.q.x - sa9.p.x),"
+        " 'y', sa9.p.y + (((sb9.p.x - sa9.p.x) * (sb9.q.y - sb9.p.y)"
+        "   - (sb9.p.y - sa9.p.y) * (sb9.q.x - sb9.p.x))"
+        "  / ((sa9.q.x - sa9.p.x) * (sb9.q.y - sb9.p.y)"
+        "   - (sa9.q.y - sa9.p.y) * (sb9.q.x - sb9.p.x)))"
+        "  * (sa9.q.y - sa9.p.y))"
+    )
+    inters = (
+        "flatten(flatten(transform(sequence(1, size(sh9)), i9 ->"
+        " transform(sequence(1, size(sh9)), j9 ->"
+        " CASE WHEN j9 <= i9 THEN CAST(array() AS " + _PT_T + ") ELSE"
+        f" flatten(transform({_sql_segs_of('element_at(sh9, i9)')}, sa9 ->"
+        f" transform(filter({_sql_segs_of('element_at(sh9, j9)')},"
+        f" sb9 -> {proper}), sb9 -> {ipoint}))) END))))"
+    )
+    vert_in_other = _sql_ring_raycast("element_at(sh9, j9)", "v9.x", "v9.y")
+    verts_keep = (
+        "flatten(transform(sequence(1, size(sh9)), i9 ->"
+        " filter(slice(element_at(sh9, i9), 1, size(element_at(sh9, i9)) - 1),"
+        " v9 -> NOT exists(sequence(1, size(sh9)),"
+        f" j9 -> j9 != i9 AND {vert_in_other}))))"
+    )
+    total_verts = (
+        "aggregate(sh9, 0, (ta9, tr9) -> ta9 + size(tr9) - 1)"
+    )
+    polygon_of = (
+        # sort candidates by angle around witness w9, close the ring
+        "element_at(transform(array(transform(array_sort("
+        " transform(cd9, c9 -> named_struct("
+        "  'ang', atan2(c9.y - w9.y, c9.x - w9.x),"
+        "  'r2', (c9.x - w9.x) * (c9.x - w9.x) + (c9.y - w9.y) * (c9.y - w9.y),"
+        "  'x', c9.x, 'y', c9.y))),"
+        " s9 -> named_struct('x', s9.x, 'y', s9.y))), ring9 ->"
+        " named_struct('gtype', 'POLYGON',"
+        " 'rings', array(concat(ring9, array(element_at(ring9, 1)))))), 1)"
+    )
+    witness = (
+        "named_struct("
+        " 'x', aggregate(ws9, 0D, (wa9, wp9) -> wa9 + wp9.x) / size(ws9),"
+        " 'y', aggregate(ws9, 0D, (wa9, wp9) -> wa9 + wp9.y) / size(ws9))"
+    )
+    return (
+        "element_at(transform(array(transform(gs, g9 -> element_at(g9.rings, 1))), sh9 ->"
+        f" element_at(transform(array({inters}), in9 ->"
+        f" element_at(transform(array({verts_keep}), vk9 ->"
+        f" CASE WHEN size(in9) = 0 AND size(vk9) = {total_verts}"
+        " THEN named_struct('gtype', 'MULTIPOLYGON', 'rings', sh9)"
+        " ELSE element_at(transform(array("
+        "   element_at(transform(array(CASE WHEN size(in9) > 0 THEN in9"
+        f"     ELSE vk9 END), ws9 -> {witness}), 1)), w9 ->"
+        " element_at(transform(array(array_distinct(concat(vk9, in9))), cd9 ->"
+        f" {polygon_of}), 1)), 1)"
+        " END), 1)), 1)), 1)"
+    )
+
+
+_SQL_SEG_NEAREST = (
+    # closest point on segment s9 to vertex v9 (clamped projection)
+    "element_at(transform(array(CASE WHEN"
+    " (s9.q.x - s9.p.x) * (s9.q.x - s9.p.x)"
+    " + (s9.q.y - s9.p.y) * (s9.q.y - s9.p.y) = 0D THEN 0D"
+    " ELSE greatest(0D, least(1D,"
+    "  ((v9.x - s9.p.x) * (s9.q.x - s9.p.x)"
+    "  + (v9.y - s9.p.y) * (s9.q.y - s9.p.y))"
+    "  / ((s9.q.x - s9.p.x) * (s9.q.x - s9.p.x)"
+    "  + (s9.q.y - s9.p.y) * (s9.q.y - s9.p.y)))) END), t9 ->"
+    " named_struct('x', s9.p.x + t9 * (s9.q.x - s9.p.x),"
+    " 'y', s9.p.y + t9 * (s9.q.y - s9.p.y))), 1)"
+)
+
+
+def _build_nearest_points_body() -> str:
+    cand = (
+        "named_struct('d2', (v9.x - n9.x) * (v9.x - n9.x)"
+        " + (v9.y - n9.y) * (v9.y - n9.y),"
+        " 'ax', {ax}, 'ay', {ay}, 'bx', {bx}, 'by', {by})"
+    )
+    a_to_b = (
+        "flatten(transform(flatten(a.rings), v9 ->"
+        f" transform({_sql_segs_of('fb9')}, s9 ->"
+        f" element_at(transform(array({_SQL_SEG_NEAREST}), n9 -> "
+        + cand.format(ax="v9.x", ay="v9.y", bx="n9.x", by="n9.y")
+        + "), 1))))"
+    )
+    b_to_a = (
+        "flatten(transform(flatten(b.rings), v9 ->"
+        f" transform({_sql_segs_of('fa9')}, s9 ->"
+        f" element_at(transform(array({_SQL_SEG_NEAREST}), n9 -> "
+        + cand.format(ax="n9.x", ay="n9.y", bx="v9.x", by="v9.y")
+        + "), 1))))"
+    )
+    vv = (
+        "flatten(transform(flatten(a.rings), v9 ->"
+        " transform(flatten(b.rings), n9 -> "
+        + cand.format(ax="v9.x", ay="v9.y", bx="n9.x", by="n9.y")
+        + ")))"
+    )
+    return (
+        "CASE WHEN a.gtype IS NULL OR b.gtype IS NULL THEN NULL ELSE"
+        " element_at(transform(array(array_min(concat("
+        f" {vv},"
+        f" element_at(transform(array(flatten(a.rings)), fa9 -> {b_to_a}), 1),"
+        f" element_at(transform(array(flatten(b.rings)), fb9 -> {a_to_b}), 1)"
+        "))), m9 -> array("
+        " named_struct('gtype', 'POINT',"
+        "  'rings', array(array(named_struct('x', m9.ax, 'y', m9.ay)))),"
+        " named_struct('gtype', 'POINT',"
+        "  'rings', array(array(named_struct('x', m9.bx, 'y', m9.by)))))), 1)"
+        " END"
+    )
+
+
+_SQL_SEG_LEN = (
+    "sqrt((sq9.x - sp9.x) * (sq9.x - sp9.x) + (sq9.y - sp9.y) * (sq9.y - sp9.y))"
+)
+
+_SQL_LINE_INTERP_BODY = (
+    "CASE WHEN f < 0D OR f > 1D THEN"
+    " raise_error(concat('line_interpolate_point: Fraction must be between"
+    " 0 and 1, but is ', CAST(f AS STRING)))"
+    " WHEN g.gtype != 'LINESTRING' THEN NULL ELSE"
+    " element_at(transform(array(element_at(g.rings, 1)), lr9 ->"
+    " element_at(transform(array(zip_with("
+    "   slice(lr9, 1, size(lr9) - 1), slice(lr9, 2, size(lr9) - 1),"
+    f"  (sp9, sq9) -> named_struct('p', sp9, 'q', sq9, 'len', {_SQL_SEG_LEN}))), seg9 ->"
+    " element_at(transform(array("
+    "   f * aggregate(seg9, 0D, (la9, ls9) -> la9 + ls9.len)), tgt9 ->"
+    " named_struct('gtype', 'POINT', 'rings', array(array(coalesce("
+    "  aggregate(seg9,"
+    "   named_struct('rem', tgt9,"
+    "    'pt', CAST(NULL AS STRUCT<x: DOUBLE, y: DOUBLE>)),"
+    "   (ac9, ls9) -> CASE"
+    "    WHEN ac9.pt IS NOT NULL THEN ac9"
+    "    WHEN ls9.len = 0D THEN ac9"
+    "    WHEN ac9.rem <= ls9.len THEN named_struct('rem', 0D,"
+    "     'pt', named_struct("
+    "      'x', ls9.p.x + (ac9.rem / ls9.len) * (ls9.q.x - ls9.p.x),"
+    "      'y', ls9.p.y + (ac9.rem / ls9.len) * (ls9.q.y - ls9.p.y)))"
+    "    ELSE named_struct('rem', ac9.rem - ls9.len, 'pt', ac9.pt) END).pt,"
+    "  element_at(lr9, size(lr9))))))), 1)), 1)), 1) END"
+)
+
+_SQL_LINE_LOCATE_BODY = (
+    "CASE WHEN g.gtype != 'LINESTRING' OR p.gtype != 'POINT' THEN NULL ELSE"
+    " element_at(transform(array(element_at(element_at(p.rings, 1), 1)), v9 ->"
+    " element_at(transform(array(element_at(g.rings, 1)), lr9 ->"
+    " element_at(transform(array(zip_with("
+    "   slice(lr9, 1, size(lr9) - 1), slice(lr9, 2, size(lr9) - 1),"
+    f"  (sp9, sq9) -> named_struct('p', sp9, 'q', sq9, 'len', {_SQL_SEG_LEN}))), seg9 ->"
+    # per segment i: clamped projection fraction + prefix length
+    " element_at(transform(array(array_min(transform(sequence(1, size(seg9)), i9 ->"
+    " element_at(transform(array(element_at(seg9, i9)), s9 ->"
+    " element_at(transform(array(CASE WHEN s9.len = 0D THEN 0D"
+    "  ELSE greatest(0D, least(1D,"
+    "   ((v9.x - s9.p.x) * (s9.q.x - s9.p.x) + (v9.y - s9.p.y) * (s9.q.y - s9.p.y))"
+    "   / (s9.len * s9.len))) END), t9 ->"
+    " named_struct("
+    "  'd2', (v9.x - (s9.p.x + t9 * (s9.q.x - s9.p.x)))"
+    "      * (v9.x - (s9.p.x + t9 * (s9.q.x - s9.p.x)))"
+    "      + (v9.y - (s9.p.y + t9 * (s9.q.y - s9.p.y)))"
+    "      * (v9.y - (s9.p.y + t9 * (s9.q.y - s9.p.y))),"
+    "  'loc', aggregate(slice(seg9, 1, i9 - 1), 0D, (pa9, ps9) -> pa9 + ps9.len)"
+    "       + t9 * s9.len)), 1)), 1)))), m9 ->"
+    " m9.loc / nullif(aggregate(seg9, 0D, (la9, ls9) -> la9 + ls9.len), 0D)"
+    "), 1)), 1)), 1)), 1) END"
+)
+
+_GEOJSON_COORD = "concat('[', CAST(c9.x AS STRING), ',', CAST(c9.y AS STRING), ']')"
+
+_SQL_TO_GEOJSON_BODY = (
+    "CASE"
+    " WHEN g.gtype = 'POINT' THEN concat('{\"type\":\"Point\",\"coordinates\":',"
+    "  element_at(transform(element_at(g.rings, 1), c9 -> " + _GEOJSON_COORD + "), 1), '}')"
+    " WHEN g.gtype IN ('LINESTRING', 'MULTIPOINT') THEN concat("
+    "  '{\"type\":\"', CASE WHEN g.gtype = 'LINESTRING' THEN 'LineString'"
+    "   ELSE 'MultiPoint' END, '\",\"coordinates\":[',"
+    "  array_join(transform(element_at(g.rings, 1), c9 -> " + _GEOJSON_COORD + "), ','),"
+    "  ']}')"
+    " WHEN g.gtype = 'POLYGON' THEN concat('{\"type\":\"Polygon\",\"coordinates\":[',"
+    "  array_join(transform(g.rings, r9 -> concat('[',"
+    "   array_join(transform(r9, c9 -> " + _GEOJSON_COORD + "), ','), ']')), ','),"
+    "  ']}')"
+    " END"
+)
+
+_SQL_FROM_GEOJSON_BODY = (
+    "element_at(transform(array(get_json_object(j, '$.type')), t9 -> CASE"
+    " WHEN t9 = 'Point' THEN named_struct('gtype', 'POINT', 'rings',"
+    "  array(array(element_at(transform(array(from_json("
+    "   get_json_object(j, '$.coordinates'), 'array<double>')), c9 ->"
+    "   named_struct('x', element_at(c9, 1), 'y', element_at(c9, 2))), 1))))"
+    " WHEN t9 IN ('LineString', 'MultiPoint') THEN named_struct("
+    "  'gtype', upper(t9), 'rings', array(transform(from_json("
+    "   get_json_object(j, '$.coordinates'), 'array<array<double>>'),"
+    "   c9 -> named_struct('x', element_at(c9, 1), 'y', element_at(c9, 2)))))"
+    " WHEN t9 = 'Polygon' THEN named_struct('gtype', 'POLYGON',"
+    "  'rings', transform(from_json(get_json_object(j, '$.coordinates'),"
+    "   'array<array<array<double>>>'), r9 -> transform(r9,"
+    "   c9 -> named_struct('x', element_at(c9, 1), 'y', element_at(c9, 2)))))"
+    " ELSE named_struct('gtype', CAST(NULL AS STRING),"
+    f"  'rings', CAST(array() AS ARRAY<{_PT_T}>))"
+    " END), 1)"
+)
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        "st_hull_of_points": (f"pts {_PT_T}", GEOM_T, _SQL_HULL_BODY),
+        "st_convexhull": (
+            f"g {GEOM_T}",
+            GEOM_T,
+            "st_hull_of_points(flatten(g.rings))",
+        ),
+        "st_union_all": (
+            f"gs ARRAY<{GEOM_T}>",
+            GEOM_T,
+            _build_union_all_body(),
+        ),
+        "st_union": (f"a {GEOM_T}, b {GEOM_T}", GEOM_T, "st_union_all(array(a, b))"),
+        "geometry_union": (f"gs ARRAY<{GEOM_T}>", GEOM_T, "st_union_all(gs)"),
+        "geometry_nearest_points": (
+            f"a {GEOM_T}, b {GEOM_T}",
+            f"ARRAY<{GEOM_T}>",
+            _build_nearest_points_body(),
+        ),
+        "line_interpolate_point": (
+            f"g {GEOM_T}, f DOUBLE",
+            GEOM_T,
+            _SQL_LINE_INTERP_BODY,
+        ),
+        "line_locate_point": (
+            f"g {GEOM_T}, p {GEOM_T}",
+            "DOUBLE",
+            _SQL_LINE_LOCATE_BODY,
+        ),
+        "to_geojson_geometry": (f"g {GEOM_T}", "STRING", _SQL_TO_GEOJSON_BODY),
+        "from_geojson_geometry": ("j STRING", GEOM_T, _SQL_FROM_GEOJSON_BODY),
+        # the reference also exposes the GeoJSON pair under these names
+        "geometry_as_geojson": (f"g {GEOM_T}", "STRING", "to_geojson_geometry(g)"),
+        "geometry_from_geojson": ("j STRING", GEOM_T, "from_geojson_geometry(j)"),
+    }
+)
+
+
+def _sql_point_of(x: str, y: str) -> str:
+    return (
+        "named_struct('gtype', 'POINT', 'rings',"
+        f" array(array(named_struct('x', {x}, 'y', {y}))))"
+    )
+
+
+# Mechanical accessor / constructor / predicate names over the same
+# struct (GeoFunctions.java one-liners; each body is a direct
+# restatement of its reference contract).
+SQL_GEOMETRY_UDFS.update(
+    {
+        "st_xmin": (
+            f"g {GEOM_T}", "DOUBLE",
+            "array_min(flatten(transform(g.rings, r0 -> transform(r0, p0 -> p0.x))))",
+        ),
+        "st_xmax": (
+            f"g {GEOM_T}", "DOUBLE",
+            "array_max(flatten(transform(g.rings, r0 -> transform(r0, p0 -> p0.x))))",
+        ),
+        "st_ymin": (
+            f"g {GEOM_T}", "DOUBLE",
+            "array_min(flatten(transform(g.rings, r0 -> transform(r0, p0 -> p0.y))))",
+        ),
+        "st_ymax": (
+            f"g {GEOM_T}", "DOUBLE",
+            "array_max(flatten(transform(g.rings, r0 -> transform(r0, p0 -> p0.y))))",
+        ),
+        "st_isempty": (
+            f"g {GEOM_T}", "BOOLEAN",
+            "g.gtype IS NULL OR size(flatten(g.rings)) = 0",
+        ),
+        "st_isclosed": (
+            f"g {GEOM_T}", "BOOLEAN",
+            "CASE WHEN g.gtype IN ('LINESTRING', 'POLYGON') THEN"
+            " element_at(element_at(g.rings, 1), 1)"
+            " = element_at(element_at(g.rings, 1),"
+            "   size(element_at(g.rings, 1))) END",
+        ),
+        "st_dimension": (
+            f"g {GEOM_T}", "TINYINT",
+            "CAST(CASE WHEN g.gtype IN ('POINT', 'MULTIPOINT') THEN 0"
+            " WHEN g.gtype = 'LINESTRING' THEN 1"
+            " WHEN g.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN 2 END AS TINYINT)",
+        ),
+        "st_coorddim": (f"g {GEOM_T}", "TINYINT", "CAST(2 AS TINYINT)"),
+        "st_startpoint": (
+            f"g {GEOM_T}", GEOM_T,
+            "CASE WHEN g.gtype = 'LINESTRING' THEN "
+            + _sql_point_of(
+                "element_at(element_at(g.rings, 1), 1).x",
+                "element_at(element_at(g.rings, 1), 1).y",
+            )
+            + " END",
+        ),
+        "st_endpoint": (
+            f"g {GEOM_T}", GEOM_T,
+            "CASE WHEN g.gtype = 'LINESTRING' THEN "
+            + _sql_point_of(
+                "element_at(element_at(g.rings, 1), size(element_at(g.rings, 1))).x",
+                "element_at(element_at(g.rings, 1), size(element_at(g.rings, 1))).y",
+            )
+            + " END",
+        ),
+        "st_pointn": (
+            f"g {GEOM_T}, n INT", GEOM_T,
+            "CASE WHEN g.gtype = 'LINESTRING' AND n >= 1"
+            " AND n <= size(element_at(g.rings, 1)) THEN "
+            + _sql_point_of(
+                "element_at(element_at(g.rings, 1), n).x",
+                "element_at(element_at(g.rings, 1), n).y",
+            )
+            + " END",
+        ),
+        "st_points": (
+            f"g {GEOM_T}", f"ARRAY<{GEOM_T}>",
+            "CASE WHEN g.gtype IN ('LINESTRING', 'MULTIPOINT') THEN"
+            " transform(element_at(g.rings, 1), p0 -> "
+            + _sql_point_of("p0.x", "p0.y")
+            + ") END",
+        ),
+        "st_exteriorring": (
+            f"g {GEOM_T}", GEOM_T,
+            "CASE WHEN g.gtype = 'POLYGON' THEN named_struct("
+            " 'gtype', 'LINESTRING', 'rings', array(element_at(g.rings, 1))) END",
+        ),
+        "st_numinteriorring": (
+            f"g {GEOM_T}", "BIGINT",
+            "CASE WHEN g.gtype = 'POLYGON'"
+            " THEN CAST(size(g.rings) - 1 AS BIGINT) END",
+        ),
+        "st_interiorrings": (
+            f"g {GEOM_T}", f"ARRAY<{GEOM_T}>",
+            "CASE WHEN g.gtype = 'POLYGON' THEN transform("
+            " slice(g.rings, 2, greatest(size(g.rings) - 1, 0)),"
+            " r0 -> named_struct('gtype', 'LINESTRING', 'rings', array(r0))) END",
+        ),
+        "st_interiorringn": (
+            f"g {GEOM_T}, n INT", GEOM_T,
+            "CASE WHEN g.gtype = 'POLYGON' AND n >= 1"
+            " AND n <= size(g.rings) - 1 THEN named_struct("
+            " 'gtype', 'LINESTRING', 'rings',"
+            " array(element_at(g.rings, n + 1))) END",
+        ),
+        "st_numgeometries": (
+            f"g {GEOM_T}", "INT",
+            "CASE WHEN g.gtype IS NULL OR size(flatten(g.rings)) = 0 THEN 0"
+            " WHEN g.gtype = 'MULTIPOLYGON' THEN size(g.rings)"
+            " WHEN g.gtype = 'MULTIPOINT' THEN size(element_at(g.rings, 1))"
+            " ELSE 1 END",
+        ),
+        "st_geometryn": (
+            f"g {GEOM_T}, n INT", GEOM_T,
+            "CASE WHEN n < 1 THEN NULL"
+            " WHEN g.gtype = 'MULTIPOLYGON' AND n <= size(g.rings) THEN"
+            "  named_struct('gtype', 'POLYGON', 'rings',"
+            "   array(element_at(g.rings, n)))"
+            " WHEN g.gtype = 'MULTIPOINT'"
+            "  AND n <= size(element_at(g.rings, 1)) THEN "
+            + _sql_point_of(
+                "element_at(element_at(g.rings, 1), n).x",
+                "element_at(element_at(g.rings, 1), n).y",
+            )
+            + " WHEN g.gtype IN ('POINT', 'LINESTRING', 'POLYGON')"
+            "  AND n = 1 THEN g END",
+        ),
+        "st_geometries": (
+            f"g {GEOM_T}", f"ARRAY<{GEOM_T}>",
+            "CASE WHEN g.gtype IS NULL THEN NULL"
+            " WHEN g.gtype = 'MULTIPOLYGON' THEN transform(g.rings,"
+            "  r0 -> named_struct('gtype', 'POLYGON', 'rings', array(r0)))"
+            " WHEN g.gtype = 'MULTIPOINT' THEN"
+            "  transform(element_at(g.rings, 1), p0 -> "
+            + _sql_point_of("p0.x", "p0.y")
+            + ") ELSE array(g) END",
+        ),
+        "st_envelope": (
+            f"g {GEOM_T}", GEOM_T,
+            "element_at(transform(array(flatten(g.rings)), fp0 ->"
+            " named_struct('gtype', 'POLYGON', 'rings', array(array("
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)),"
+            "  'y', array_min(transform(fp0, p0 -> p0.y))),"
+            " named_struct('x', array_max(transform(fp0, p0 -> p0.x)),"
+            "  'y', array_min(transform(fp0, p0 -> p0.y))),"
+            " named_struct('x', array_max(transform(fp0, p0 -> p0.x)),"
+            "  'y', array_max(transform(fp0, p0 -> p0.y))),"
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)),"
+            "  'y', array_max(transform(fp0, p0 -> p0.y))),"
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)),"
+            "  'y', array_min(transform(fp0, p0 -> p0.y))))))), 1)",
+        ),
+        "expand_envelope": (
+            f"g {GEOM_T}, d DOUBLE", GEOM_T,
+            "CASE WHEN d < 0D THEN"
+            " raise_error(concat('expand_envelope: distance is negative: ',"
+            "  CAST(d AS STRING)))"
+            " ELSE element_at(transform(array(flatten(g.rings)), fp0 ->"
+            " named_struct('gtype', 'POLYGON', 'rings', array(array("
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)) - d,"
+            "  'y', array_min(transform(fp0, p0 -> p0.y)) - d),"
+            " named_struct('x', array_max(transform(fp0, p0 -> p0.x)) + d,"
+            "  'y', array_min(transform(fp0, p0 -> p0.y)) - d),"
+            " named_struct('x', array_max(transform(fp0, p0 -> p0.x)) + d,"
+            "  'y', array_max(transform(fp0, p0 -> p0.y)) + d),"
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)) - d,"
+            "  'y', array_max(transform(fp0, p0 -> p0.y)) + d),"
+            " named_struct('x', array_min(transform(fp0, p0 -> p0.x)) - d,"
+            "  'y', array_min(transform(fp0, p0 -> p0.y)) - d))))), 1) END",
+        ),
+        "st_envelopeaspts": (
+            f"g {GEOM_T}", f"ARRAY<{GEOM_T}>",
+            "element_at(transform(array(flatten(g.rings)), fp0 -> array("
+            + _sql_point_of(
+                "array_min(transform(fp0, p0 -> p0.x))",
+                "array_min(transform(fp0, p0 -> p0.y))",
+            )
+            + ", "
+            + _sql_point_of(
+                "array_max(transform(fp0, p0 -> p0.x))",
+                "array_max(transform(fp0, p0 -> p0.y))",
+            )
+            + ")), 1)",
+        ),
+        "st_boundary": (
+            f"g {GEOM_T}", GEOM_T,
+            "CASE WHEN g.gtype = 'POLYGON' THEN named_struct("
+            "  'gtype', 'LINESTRING', 'rings', array(element_at(g.rings, 1)))"
+            " WHEN g.gtype = 'LINESTRING' THEN named_struct("
+            "  'gtype', 'MULTIPOINT', 'rings', array(array("
+            "  element_at(element_at(g.rings, 1), 1),"
+            "  element_at(element_at(g.rings, 1),"
+            "   size(element_at(g.rings, 1)))))) END",
+        ),
+        "st_disjoint": (
+            f"a {GEOM_T}, b {GEOM_T}", "BOOLEAN", "NOT st_intersects(a, b)"
+        ),
+        "st_linefromtext": (
+            "w STRING", GEOM_T,
+            "CASE WHEN upper(trim(w)) LIKE 'LINESTRING%'"
+            " THEN st_geometryfromtext(w) END",
+        ),
+        "st_polygon": (
+            "w STRING", GEOM_T,
+            "CASE WHEN upper(trim(w)) LIKE 'POLYGON%'"
+            " THEN st_geometryfromtext(w) END",
+        ),
+        "st_linestring": (
+            f"ps ARRAY<{GEOM_T}>", GEOM_T,
+            "named_struct('gtype', 'LINESTRING', 'rings', array("
+            " transform(ps, p0 -> element_at(element_at(p0.rings, 1), 1))))",
+        ),
+        "st_multipoint": (
+            f"ps ARRAY<{GEOM_T}>", GEOM_T,
+            "named_struct('gtype', 'MULTIPOINT', 'rings', array("
+            " transform(ps, p0 -> element_at(element_at(p0.rings, 1), 1))))",
+        ),
+        "st_astext": (
+            f"g {GEOM_T}", "STRING",
+            # WKT nesting per type: POINT/LINESTRING/MULTIPOINT use one
+            # paren level, POLYGON rings two, MULTIPOLYGON shells three
+            "CASE WHEN g.gtype IS NULL THEN NULL"
+            " WHEN g.gtype IN ('POINT', 'LINESTRING', 'MULTIPOINT') THEN"
+            "  concat(g.gtype, ' (', array_join(transform("
+            "   element_at(g.rings, 1), p0 -> concat(CAST(p0.x AS STRING),"
+            "   ' ', CAST(p0.y AS STRING))), ', '), ')')"
+            " WHEN g.gtype = 'POLYGON' THEN concat('POLYGON (',"
+            "  array_join(transform(g.rings, r0 -> concat('(',"
+            "   array_join(transform(r0, p0 -> concat(CAST(p0.x AS STRING),"
+            "   ' ', CAST(p0.y AS STRING))), ', '), ')')), ', '), ')')"
+            " ELSE concat('MULTIPOLYGON (', array_join(transform(g.rings,"
+            "  r0 -> concat('((', array_join(transform(r0,"
+            "   p0 -> concat(CAST(p0.x AS STRING), ' ',"
+            "   CAST(p0.y AS STRING))), ', '), '))')), ', '), ')') END",
+        ),
+        "st_centroid": (
+            f"g {GEOM_T}", GEOM_T,
+            # GeoFunctions.java stCentroid: POINT -> itself, POLYGON ->
+            # area-weighted shell centroid, LINESTRING/MULTIPOINT ->
+            # length-weighted segment-midpoint average (same formulas as
+            # the Column helper st_centroid above, emitted as a POINT)
+            "CASE WHEN g.gtype = 'POINT' THEN g ELSE"
+            " element_at(transform(array(zip_with("
+            "  slice(element_at(g.rings, 1), 1, size(element_at(g.rings, 1)) - 1),"
+            "  slice(element_at(g.rings, 1), 2, size(element_at(g.rings, 1)) - 1),"
+            "  (cp0, cq0) -> named_struct('p', cp0, 'q', cq0))), sg0 ->"
+            " CASE WHEN g.gtype = 'POLYGON' THEN"
+            "  element_at(transform(array(aggregate(sg0, 0D, (ca0, cs0) ->"
+            "   ca0 + cs0.p.x * cs0.q.y - cs0.q.x * cs0.p.y)), tw0 -> "
+            + _sql_point_of(
+                "aggregate(sg0, 0D, (cb0, ct0) -> cb0 + (ct0.p.x + ct0.q.x)"
+                " * (ct0.p.x * ct0.q.y - ct0.q.x * ct0.p.y)) / (3 * nullif(tw0, 0D))",
+                "aggregate(sg0, 0D, (cb0, ct0) -> cb0 + (ct0.p.y + ct0.q.y)"
+                " * (ct0.p.x * ct0.q.y - ct0.q.x * ct0.p.y)) / (3 * nullif(tw0, 0D))",
+            )
+            + "), 1)"
+            " ELSE element_at(transform(array(aggregate(sg0, 0D, (ca0, cs0) ->"
+            "  ca0 + sqrt((cs0.q.x - cs0.p.x) * (cs0.q.x - cs0.p.x)"
+            "  + (cs0.q.y - cs0.p.y) * (cs0.q.y - cs0.p.y)))), tl0 -> "
+            + _sql_point_of(
+                "aggregate(sg0, 0D, (cb0, ct0) -> cb0 + ((ct0.p.x + ct0.q.x) / 2)"
+                " * sqrt((ct0.q.x - ct0.p.x) * (ct0.q.x - ct0.p.x)"
+                " + (ct0.q.y - ct0.p.y) * (ct0.q.y - ct0.p.y))) / nullif(tl0, 0D)",
+                "aggregate(sg0, 0D, (cb0, ct0) -> cb0 + ((ct0.p.y + ct0.q.y) / 2)"
+                " * sqrt((ct0.q.x - ct0.p.x) * (ct0.q.x - ct0.p.x)"
+                " + (ct0.q.y - ct0.p.y) * (ct0.q.y - ct0.p.y))) / nullif(tl0, 0D)",
+            )
+            + "), 1) END), 1) END",
+        ),
+        "st_distance": (
+            f"a {GEOM_T}, b {GEOM_T}", "DOUBLE",
+            # boundary-to-boundary distance via the nearest-points pair
+            # (exact for disjoint geometries; for intersecting AREAS the
+            # reference returns 0 — documented boundary semantics)
+            "element_at(transform(array(geometry_nearest_points(a, b)), q9 ->"
+            " CASE WHEN q9 IS NULL THEN NULL ELSE sqrt("
+            " (element_at(q9, 2).rings[0][0].x - element_at(q9, 1).rings[0][0].x)"
+            " * (element_at(q9, 2).rings[0][0].x - element_at(q9, 1).rings[0][0].x)"
+            " + (element_at(q9, 2).rings[0][0].y - element_at(q9, 1).rings[0][0].y)"
+            " * (element_at(q9, 2).rings[0][0].y - element_at(q9, 1).rings[0][0].y))"
+            " END), 1)",
+        ),
+        "st_issimple": (
+            f"g {GEOM_T}", "BOOLEAN",
+            # no proper self-crossing between non-adjacent segments and
+            # no repeated interior vertex (JTS isSimple for the
+            # POINT/MULTIPOINT/LINESTRING/POLYGON-shell subset)
+            "CASE WHEN g.gtype = 'POINT' THEN true"
+            " WHEN g.gtype = 'MULTIPOINT' THEN"
+            "  size(array_distinct(element_at(g.rings, 1)))"
+            "  = size(element_at(g.rings, 1))"
+            " WHEN g.gtype IN ('LINESTRING', 'POLYGON') THEN"
+            " element_at(transform(array(element_at(g.rings, 1)), r9 ->"
+            " element_at(transform(array("
+            + _sql_segs_of("r9")
+            + "), sg9 ->"
+            " NOT exists(sequence(1, size(sg9)), i9 ->"
+            "  CASE WHEN i9 + 2 > size(sg9) THEN false ELSE"
+            "  exists(sequence(i9 + 2, size(sg9)), j9 ->"
+            "   NOT (i9 = 1 AND j9 = size(sg9)"
+            "    AND element_at(r9, 1) = element_at(r9, size(r9)))"
+            "   AND element_at(transform(array(element_at(sg9, i9)), sa9 ->"
+            "   element_at(transform(array(element_at(sg9, j9)), sb9 ->"
+            "   (sign((sa9.q.x - sa9.p.x) * (sb9.p.y - sa9.p.y)"
+            "    - (sa9.q.y - sa9.p.y) * (sb9.p.x - sa9.p.x))"
+            "    * sign((sa9.q.x - sa9.p.x) * (sb9.q.y - sa9.p.y)"
+            "    - (sa9.q.y - sa9.p.y) * (sb9.q.x - sa9.p.x)) < 0)"
+            "   AND (sign((sb9.q.x - sb9.p.x) * (sa9.p.y - sb9.p.y)"
+            "    - (sb9.q.y - sb9.p.y) * (sa9.p.x - sb9.p.x))"
+            "    * sign((sb9.q.x - sb9.p.x) * (sa9.q.y - sb9.p.y)"
+            "    - (sb9.q.y - sb9.p.y) * (sa9.q.x - sb9.p.x)) < 0)"
+            "   ), 1)), 1)) END)"
+            " AND size(array_distinct(CASE WHEN element_at(r9, 1)"
+            "   = element_at(r9, size(r9))"
+            "   THEN slice(r9, 1, size(r9) - 1) ELSE r9 END))"
+            "  = size(CASE WHEN element_at(r9, 1) = element_at(r9, size(r9))"
+            "   THEN slice(r9, 1, size(r9) - 1) ELSE r9 END)"
+            "), 1)), 1) END",
+        ),
+        "st_isvalid": (
+            f"g {GEOM_T}", "BOOLEAN",
+            # POLYGON: closed shell with >= 4 points and no proper
+            # self-crossing; other types valid when non-empty
+            "CASE WHEN g.gtype IS NULL THEN NULL"
+            " WHEN g.gtype = 'POLYGON' THEN"
+            "  size(element_at(g.rings, 1)) >= 4"
+            "  AND element_at(element_at(g.rings, 1), 1)"
+            "   = element_at(element_at(g.rings, 1),"
+            "     size(element_at(g.rings, 1)))"
+            "  AND st_issimple(g)"
+            " ELSE size(flatten(g.rings)) > 0 END",
+        ),
+        "st_isring": (
+            f"g {GEOM_T}", "BOOLEAN",
+            "CASE WHEN g.gtype = 'LINESTRING'"
+            " THEN st_isclosed(g) AND st_issimple(g) END",
+        ),
+    }
+)
+
+
 def register_geometry_sql(spark) -> None:
     """Register the SQL-invocable ST_* twins (idempotent per session)."""
     marker = "spark.sql.prestoCompat.geometryRegistered"

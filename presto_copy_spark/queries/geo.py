@@ -385,3 +385,144 @@ def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_all_in_b") & ~crossed).alias("a_within_b"),
         F.expr("st_intersects(ga, gb)").alias("intersects_sql"),
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "geo_hull_union",
+    # Closed-form truth (mode = s % 3, r = 1 + s % 4, cx = s % 10,
+    # cy = s % 7; squares A = [cx-r, cx+r]^2-ish, B per mode):
+    #   mode 0 (diagonal overlap, B at (cx+r, cy+r)):   hull 8r^2,
+    #     union POLYGON 7r^2, boundary-nearest r
+    #   mode 1 (disjoint, B at (cx+4r, cy)):            hull vertices
+    #     span a 6r x 2r rectangle = 12r^2, union MULTIPOLYGON (-1
+    #     sentinel area), boundary gap 2r
+    #   mode 2 (contained, B centered, half-size r/2):  hull = A = 4r^2,
+    #     union POLYGON 4r^2, boundary-nearest r/2
+    # line_interpolate_point(0.25) of LINESTRING (cx-r cy, cx+r cy) is
+    # x = cx - r/2; line_locate_point of POINT (cx + r/2, cy + 1) is
+    # 0.75; the GeoJSON round-trip reproduces A's area.  All values are
+    # exact doubles (r in 1..4, halves representable).
+    oracle="""
+SELECT s_suppkey,
+       CASE s_suppkey % 3
+         WHEN 0 THEN 8.0 * r * r
+         WHEN 1 THEN 12.0 * r * r
+         ELSE 4.0 * r * r END AS hull_area,
+       CASE s_suppkey % 3 WHEN 1 THEN 'MULTIPOLYGON' ELSE 'POLYGON' END
+         AS union_gtype,
+       CASE s_suppkey % 3
+         WHEN 0 THEN 7.0 * r * r
+         WHEN 1 THEN -1.0
+         ELSE 4.0 * r * r END AS union_area_poly,
+       CASE s_suppkey % 3
+         WHEN 0 THEN r
+         WHEN 1 THEN 2.0 * r
+         ELSE r / 2.0 END AS near_dist,
+       CAST(s_suppkey % 10 AS DOUBLE) - r / 2.0 AS interp_x,
+       0.75 AS locate_f,
+       4.0 * r * r AS gj_area
+FROM (SELECT s_suppkey, CAST(1 + s_suppkey % 4 AS DOUBLE) AS r
+      FROM supplier) t
+""",
+)
+def geo_hull_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 OGC closures end-to-end (GeoFunctions.java stConvexHull /
+    geometryUnion / geometryNearestPoints / lineInterpolatePoint /
+    lineLocatePoint / GeoJSON): per supplier build two axis-aligned
+    squares whose spatial relation is decided by s_suppkey % 3, then
+    the registered pure-Catalyst macros must agree with the closed-form
+    truth on every row.  All math is row-local HOFs over the coordinate
+    arrays — no joins, no shuffles; composes with grid-cell bucketing
+    for pair generation at scale (geo_distance_join)."""
+    from ..functions import register_all
+
+    register_all(spark)
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 10).cast("double").alias("cx"),
+        (F.col("s_suppkey") % 7).cast("double").alias("cy"),
+        (1 + F.col("s_suppkey") % 4).cast("double").alias("r"),
+        (F.col("s_suppkey") % 3).alias("mode"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    # B's center per mode: 0 -> diagonal overlap, 1 -> disjoint,
+    # 2 -> concentric (half-size)
+    bx = (
+        F.when(F.col("mode") == 0, cx + r)
+        .when(F.col("mode") == 1, cx + 4 * r)
+        .otherwise(cx)
+    )
+    by = F.when(F.col("mode") == 0, cy + r).otherwise(cy)
+    br = F.when(F.col("mode") == 2, r / 2).otherwise(r)
+
+    def num(c):
+        return c.cast("string")
+
+    def square_wkt(px, py, rr):
+        body = F.concat_ws(
+            ", ",
+            F.concat_ws(" ", num(px - rr), num(py - rr)),
+            F.concat_ws(" ", num(px + rr), num(py - rr)),
+            F.concat_ws(" ", num(px + rr), num(py + rr)),
+            F.concat_ws(" ", num(px - rr), num(py + rr)),
+            F.concat_ws(" ", num(px - rr), num(py - rr)),
+        )
+        return F.concat(F.lit("POLYGON (("), body, F.lit("))"))
+
+    line_wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.concat_ws(" ", num(cx - r), num(cy)),
+        F.lit(", "),
+        F.concat_ws(" ", num(cx + r), num(cy)),
+        F.lit(")"),
+    )
+    probe_wkt = F.concat(
+        F.lit("POINT ("), F.concat_ws(" ", num(cx + r / 2), num(cy + 1)), F.lit(")")
+    )
+    parsed = s.select(
+        "s_suppkey",
+        square_wkt(cx, cy, r).alias("wa"),
+        square_wkt(bx, by, br).alias("wb"),
+        line_wkt.alias("wl"),
+        probe_wkt.alias("wp"),
+    ).select(
+        "s_suppkey",
+        F.expr("st_geometryfromtext(wa)").alias("ga"),
+        F.expr("st_geometryfromtext(wb)").alias("gb"),
+        F.expr("st_geometryfromtext(wl)").alias("gl"),
+        F.expr("st_geometryfromtext(wp)").alias("gp"),
+    )
+    # stage the union once (multi-referenced for gtype + area)
+    staged = parsed.select(
+        "s_suppkey",
+        "ga",
+        "gl",
+        "gp",
+        F.expr("st_union(ga, gb)").alias("u"),
+        F.expr(
+            "st_convexhull(named_struct('gtype', 'MULTIPOINT',"
+            " 'rings', concat(ga.rings, gb.rings)))"
+        ).alias("hull"),
+        F.expr("geometry_nearest_points(ga, gb)").alias("np"),
+    )
+    return staged.select(
+        "s_suppkey",
+        F.expr("st_area(hull)").alias("hull_area"),
+        F.col("u")["gtype"].alias("union_gtype"),
+        F.expr(
+            "CASE WHEN u.gtype = 'POLYGON' THEN st_area(u) ELSE -1.0D END"
+        ).alias("union_area_poly"),
+        F.expr(
+            "sqrt(power(np[1].rings[0][0].x - np[0].rings[0][0].x, 2)"
+            " + power(np[1].rings[0][0].y - np[0].rings[0][0].y, 2))"
+        ).alias("near_dist"),
+        F.expr("line_interpolate_point(gl, 0.25D).rings[0][0].x").alias(
+            "interp_x"
+        ),
+        F.expr("line_locate_point(gl, gp)").alias("locate_f"),
+        F.expr(
+            "st_area(from_geojson_geometry(to_geojson_geometry(ga)))"
+        ).alias("gj_area"),
+    )

@@ -40,84 +40,74 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-4 rotation (VERDICT r3 item 2): spend the 50-slot
-    # driver budget on (a) a per-family regression canary sample of
-    # r2 ∪ r3-green rows — including every query touched by this
-    # round's perf pass, which MUST re-prove green — and (b) the 26
-    # registry entries that have never had a driver row (the r3
-    # training-data-pipeline suite plus this round's new queries).
+    # ---- Round-5 rotation (VERDICT r4 item 1): (a) the 9 registry
+    # entries that had NEVER held a driver row — completing driver
+    # coverage of every oracle-able entry — plus the round-5 query
+    # geo_hull_union; (b) a re-proof slot for EVERY query this round's
+    # perf/structure pass touched; (c) one canary per family.
     # Everything rotated out stays DuckDB-oracle-verified on every
     # pytest run (tests/test_queries_vs_oracle.py).
     #
-    # Canaries + perf-pass re-proofs (24):
+    # First-time driver rows (10):
+    "dedup_semantic",  # SemDeDup — r4 pytest-oracled, never driver-run
+    "docs_lm_quality",  # bigram-LM CCNet-twin quality gate
+    "docs_temperature_mix",  # alpha source reweighting
+    "multimodal_audio_features",  # RIFF/WAVE PCM16 + signal features
+    "agg_kll_quantile_rollup",  # rows-only (sketch binary output)
+    "agg_theta_sketch_setops",  # rows-only
+    "sample_bernoulli",  # rows-only
+    "values_inline",
+    "unnest_explode",
+    "geo_hull_union",  # NEW r5: OGC hull/union/nearest/interp/GeoJSON
+    # Touched by round 5 — must re-prove green (11):
+    "tpch_q02",  # one-shuffle agg+window fold
+    "tpch_q11",  # CTE materialization (diamond dedup)
+    "tpch_q15",  # CTE materialization
+    "tpch_q22",  # broadcast hint removed, AQE decides
+    "geo_polygon_predicates",  # staged shared primitives
+    "geo_wkt_polygon_ops",  # staged parse + centroid
+    "ml_kmeans",  # one-pass mean_update fold
+    "sim_pq_adc",  # pq_code_sub_structs train fold + model checkpoint
+    "sim_ivfadc",  # coarse+PQ train folds + model checkpoints
+    "sim_ivf_probe",  # packed-centroid probe selection
+    "func_specialty",  # register_all session-marker change
+    # Family canaries (29):
     "tpch_q01",
-    "tpch_q03",
     "tpch_q09",
-    "tpch_q13",  # perf item r4 (shared-shuffle pass) — must stay green
-    "tpch_q18",
     "tpch_q21",
-    "tpch_q22",  # perf item r4 (fold scalar subqueries) — re-prove
     "win_topn_row_number",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "text_quality",
     "sim_topk_bruteforce",
-    "sql_presto_aggregates",  # r2's one red row — keep regression-guarded
-    "agg_histogram_map",  # r1's red row, regression-guard the fix class
+    "sql_presto_aggregates",
+    "agg_histogram_map",
     "agg_percentiles",
-    "geo_wkt_polygon_ops",
+    "agg_skew_kurt",  # kurtosis rewrite landed r5 — regression-guard
     "geo_distance_join",
     "events_asof_join",
-    "events_json_props",  # perf item r4
-    "func_specialty",  # register_all hoisted out of body r4 — re-prove
-    "func_i18n_color",  # perf item r4
+    "events_streaming_dedup",
+    "func_i18n_color",
+    "func_qdigest_quantile",
     "join_full_outer",
     "subquery_exists_correlated",
-    "multimodal_frame_sample",
-    # Never driver-checked until now (23) — the r3 pipeline suite first:
+    "subquery_in",
     "docs_mix_sample",
     "docs_pack_sequences",
-    "docs_decontaminate",
-    "docs_vocab_coverage",
     "docs_filter_funnel",
     "pii_scrub",
-    "text_repetition",
-    "sim_pq_adc",
-    "sim_quantized_cosine",
-    "events_streaming_dedup",
-    "ml_kmeans",
-    "dedup_connected_components",
+    "multimodal_frame_sample",
     "sql_recursive_cte",
-    "case_when_buckets",
-    "distinct_limit",
-    "setop_except",
-    "setop_intersect_all",
-    "subquery_in",
-    "subquery_scalar",
-    "text_bpe_tokens",
-    "text_lang_id",
-    "text_token_stats",
     "try_cast_absorbs",
-    # New this round (3):
-    "sim_ivfadc",  # IVF coarse quantizer composed with PQ-ADC (r3 item 3)
-    "func_qdigest_quantile",  # value_at_quantile SQL names (r3 item 6)
-    "geo_polygon_predicates",  # ST_Intersects/ST_Within poly-poly (r3 item 7)
+    "distinct_limit",
     # ---- the 50-entry cut lands here ----
-    # Round-5 rotation plan: promote the r4-proven, never-driver-checked
-    # queries — dedup_semantic (SemDeDup), docs_lm_quality (bigram LM
-    # gate), multimodal_audio_features (WAV codec path),
-    # docs_temperature_mix — plus regression canaries for whatever r5
-    # touches; retire r2∪r3∪r4-green slots (keep one per family).
-    # Rotated out this round (all r2 ∪ r3 driver-green, still pytest-
-    # oracled): tpch_q20, win_groups_frame, agg_classification,
-    # agg_noisy_zero_scale, agg_min_max_by, agg_corr_covar,
-    # agg_grouping_sets, agg_top_k_frequent, agg_numeric_histogram,
-    # agg_setdigest_jaccard, agg_khll_uniqueness, geo_point_functions,
-    # geo_bing_tiles, events_session, events_tumbling,
-    # events_streaming_session, func_string, func_array, func_map_json,
-    # func_tier2_arrays_maps, ml_learn_classify, join_cross_theta,
-    # setop_except_all, unnest_with_ordinality, lateral_view,
-    # sort_limit_offset, sample_systematic.
+    # Rotated out this round (all r2 ∪ r3 ∪ r4 driver-green, still
+    # pytest-oracled): tpch_q03, tpch_q13, tpch_q18, text_repetition,
+    # text_bpe_tokens, text_lang_id, text_token_stats,
+    # sim_quantized_cosine, events_json_props, docs_decontaminate,
+    # docs_vocab_coverage, case_when_buckets, setop_except,
+    # setop_intersect_all, subquery_scalar, plus the r4 rotation list.
 ]
 
 

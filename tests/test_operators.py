@@ -761,3 +761,135 @@ def test_remote_project_against_loopback_function_server(spark):
     assert "RemoteFunctionError" in str(ei.value) or isinstance(
         ei.value, RemoteFunctionError
     )
+
+
+def test_ogc_closures_round5(spark):
+    """Round-5 OGC closures (GeoFunctions.java stConvexHull /
+    geometryUnion / geometryNearestPoints / lineInterpolatePoint /
+    lineLocatePoint / GeoJSON) — closed-form checks of the registered
+    pure-Catalyst macros."""
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def one(sql):
+        return spark.sql(f"SELECT ({sql}) AS v").collect()[0].v
+
+    # convex hull: interior point dropped, square recovered
+    assert one(
+        "st_area(st_convexhull(st_geometryfromtext("
+        "'MULTIPOINT (0 0, 1 0, 1 1, 0 1, 0.5 0.5)')))"
+    ) == 1.0
+    # degenerate hulls
+    assert one(
+        "st_convexhull(st_geometryfromtext('MULTIPOINT (0 0, 1 1, 2 2)')).gtype"
+    ) == "LINESTRING"
+    assert one(
+        "st_convexhull(st_geometryfromtext('POINT (3 4)')).gtype"
+    ) == "POINT"
+    # union: overlap (inclusion-exclusion), disjoint, containment
+    assert one(
+        "st_area(st_union("
+        "st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))')))"
+    ) == 1.75
+    assert one(
+        "st_union("
+        "st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')).gtype"
+    ) == "MULTIPOLYGON"
+    assert one(
+        "st_area(st_union("
+        "st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))')))"
+    ) == 16.0
+    # nearest points between disjoint squares: (1,0)-(4,0)
+    np_ = one(
+        "transform(geometry_nearest_points("
+        "st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((4 0, 5 0, 5 1, 4 1, 4 0))')),"
+        "g -> array(g.rings[0][0].x, g.rings[0][0].y))"
+    )
+    assert [list(p) for p in np_] == [[1.0, 0.0], [4.0, 0.0]]
+    # line interpolate / locate
+    p = one(
+        "line_interpolate_point("
+        "st_geometryfromtext('LINESTRING (0 0, 10 0)'), 0.25).rings[0][0]"
+    )
+    assert (p.x, p.y) == (2.5, 0.0)
+    assert one(
+        "line_locate_point(st_geometryfromtext('LINESTRING (0 0, 10 0)'),"
+        " st_geometryfromtext('POINT (2.5 3)'))"
+    ) == 0.25
+    # clamped beyond the end
+    assert one(
+        "line_locate_point(st_geometryfromtext('LINESTRING (0 0, 10 0)'),"
+        " st_geometryfromtext('POINT (99 0)'))"
+    ) == 1.0
+    # GeoJSON round-trip preserves area; text form is strict GeoJSON
+    assert one(
+        "st_area(from_geojson_geometry(to_geojson_geometry("
+        "st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))))"
+    ) == 4.0
+    assert one(
+        "get_json_object(to_geojson_geometry("
+        "st_geometryfromtext('POINT (1.5 2.5)')), '$.type')"
+    ) == "Point"
+    # aggregates via the Engine/dialect path
+    from presto_copy_spark.dialect import transpile
+
+    spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",),
+            ("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",),
+        ],
+        "w string",
+    ).createOrReplaceTempView("_ogc_geoms")
+    r = spark.sql(
+        transpile(
+            "SELECT ST_Area(geometry_union_agg(ST_GeometryFromText(w))) AS a,"
+            " ST_Area(convex_hull_agg(ST_GeometryFromText(w))) AS h"
+            " FROM _ogc_geoms"
+        )
+    ).collect()[0]
+    assert r.a == 7.0  # 4 + 4 - 1 overlap
+    assert r.h == 8.0  # hull (0,0),(2,0),(3,1),(3,3),(1,3),(0,2)
+
+
+def test_classification_aggregates_round5(spark):
+    """classification_* family as literal-bucket histogram expansions —
+    hand-verified against PrecisionRecallAggregation.java semantics
+    (bucket = floor(min(pred, 0.99999999999) * B); entry i uses
+    prefix/suffix weights; output truncated after the last non-empty
+    true bucket)."""
+    from presto_copy_spark.dialect import transpile
+
+    rows = [(0.1, True), (0.3, False), (0.55, True), (0.7, True), (0.9, False)]
+    spark.createDataFrame(rows, "pred double, outcome boolean").createOrReplaceTempView(
+        "_cls_r5"
+    )
+
+    def run(fn):
+        return spark.sql(
+            transpile(f"SELECT {fn}(5, outcome, pred) AS v FROM _cls_r5")
+        ).collect()[0].v
+
+    assert run("classification_precision") == [0.6, 0.5, 2 / 3, 0.5]
+    assert run("classification_recall") == [1.0, 2 / 3, 2 / 3, 1 / 3]
+    assert run("classification_fall_out") == [1.0, 1.0, 0.5, 0.5]
+    assert run("classification_miss_rate") == [0.0, 1 / 3, 1 / 3, 2 / 3]
+    assert run("classification_thresholds") == [0.0, 0.2, 0.4, 0.6]
+    # weighted variant: doubling one true weight shifts precision
+    wrows = [(0.1, True, 2.0), (0.9, False, 1.0)]
+    spark.createDataFrame(
+        wrows, "pred double, outcome boolean, w double"
+    ).createOrReplaceTempView("_cls_r5w")
+    assert spark.sql(
+        transpile(
+            "SELECT classification_precision(2, outcome, pred, w) AS v FROM _cls_r5w"
+        )
+    ).collect()[0].v == [2 / 3]
+    # geometric_mean identity
+    assert spark.sql(
+        transpile("SELECT geometric_mean(x) AS v FROM (VALUES (2.0), (8.0)) t(x)")
+    ).collect()[0].v == 4.0

@@ -300,3 +300,30 @@ def test_rest_table_partition_parallel_reads(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_jdbc_derby_roundtrip_partitioned(spark, tmp_path):
+    """REAL JDBC endpoint (Derby embedded, shipped on the Spark
+    classpath): write a table over JDBC, read it back with an 8-way
+    range-partitioned scan, and verify Catalyst pushes filters into
+    the remote query (presto-base-jdbc BaseJdbcClient.java shape)."""
+    from presto_copy_spark.sources.connectors import jdbc_table, jdbc_write
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(0, 500).selectExpr(
+        "id", "id * 3 AS v", "CAST(concat('n', id) AS VARCHAR(24)) AS name"
+    )
+    jdbc_write(spark, src, url, "jt", driver=drv)
+    back = jdbc_table(
+        spark, url, "jt",
+        partition_column="id", lower_bound=0, upper_bound=500,
+        num_partitions=8, driver=drv,
+    )
+    assert back.rdd.getNumPartitions() == 8
+    assert back.count() == 500
+    assert back.selectExpr("CAST(sum(v) AS BIGINT)").collect()[0][0] == 3 * 499 * 500 // 2
+    q = back.filter("id < 10")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan" in plan
+    assert q.count() == 10

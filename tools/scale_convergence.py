@@ -54,34 +54,28 @@ SHARED = ["nation", "region"]
 CORPUS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def build_layouts(spark) -> dict[str, str]:
+def _build_shifted(spark, big_dir: str, copies: int) -> None:
+    """Key-shifted layout with `copies` copies of the fact/corpus
+    tables (join cardinalities scale linearly; see module docstring)."""
     from pyspark.sql import functions as F
 
-    layouts = {"sf0.1": SRC}
-    split_dir = f"{OUT}/sf0.1_split"
-    big_dir = f"{OUT}/sf1x"
-    for d in (split_dir, big_dir):
-        os.makedirs(d, exist_ok=True)
+    os.makedirs(big_dir, exist_ok=True)
     for name in list(KEYED) + SHARED:
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
-        sp = f"{split_dir}/{name}.parquet"
-        if not os.path.exists(f"{sp}/_SUCCESS"):
-            n = 32 if name in ("lineitem", "orders") else 4
-            src.repartition(n).write.mode("overwrite").parquet(sp)
         bp = f"{big_dir}/{name}.parquet"
         if not os.path.exists(f"{bp}/_SUCCESS"):
             if name in KEYED:
-                copies = [
+                parts = [
                     src.select(
                         *[
                             (F.col(c) + i * OFF).alias(c) if c in KEYED[name] else F.col(c)
                             for c in src.columns
                         ]
                     )
-                    for i in range(COPIES)
+                    for i in range(copies)
                 ]
-                big = copies[0]
-                for c in copies[1:]:
+                big = parts[0]
+                for c in parts[1:]:
                     big = big.unionByName(c)
             else:
                 big = src
@@ -89,25 +83,43 @@ def build_layouts(spark) -> dict[str, str]:
             big.repartition(n).write.mode("overwrite").parquet(bp)
     for name, key in CORPUS.items():
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
-        sp = f"{split_dir}/{name}.parquet"
-        if not os.path.exists(f"{sp}/_SUCCESS"):
-            src.repartition(4).write.mode("overwrite").parquet(sp)
         bp = f"{big_dir}/{name}.parquet"
         if not os.path.exists(f"{bp}/_SUCCESS"):
-            copies = []
-            for i in range(COPIES):
+            parts = []
+            for i in range(copies):
                 c = src.withColumn(key, F.col(key) + i * OFF)
                 if name == "documents":
                     c = c.withColumn(
                         "text", F.regexp_replace("text", " ", f" x{i}")
                     ).withColumn("n_chars", F.length("text"))
-                copies.append(c)
-            big = copies[0]
-            for c in copies[1:]:
+                parts.append(c)
+            big = parts[0]
+            for c in parts[1:]:
                 big = big.unionByName(c)
-            big.repartition(8).write.mode("overwrite").parquet(bp)
+            big.repartition(8 if copies <= 10 else 16).write.mode(
+                "overwrite"
+            ).parquet(bp)
+
+
+def build_layouts(spark, include_sf3x: bool = False) -> dict[str, str]:
+    layouts = {"sf0.1": SRC}
+    split_dir = f"{OUT}/sf0.1_split"
+    os.makedirs(split_dir, exist_ok=True)
+    for name in list(KEYED) + SHARED + list(CORPUS):
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        sp = f"{split_dir}/{name}.parquet"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            n = 32 if name in ("lineitem", "orders") else 4
+            src.repartition(n).write.mode("overwrite").parquet(sp)
+    _build_shifted(spark, f"{OUT}/sf1x", COPIES)
     layouts["sf0.1_split"] = split_dir
-    layouts["sf1x"] = big_dir
+    layouts["sf1x"] = f"{OUT}/sf1x"
+    if include_sf3x:
+        # one more decade of the convergence curve: 30 key-shifted
+        # copies (~sf3) — the trend line sf0.1 -> sf1x -> sf3x is the
+        # load-bearing 100 TB evidence (BASELINE.md §scale convergence)
+        _build_shifted(spark, f"{OUT}/sf3x", 3 * COPIES)
+        layouts["sf3x"] = f"{OUT}/sf3x"
     return layouts
 
 
@@ -141,7 +153,7 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("scale-convergence")
-    layouts = build_layouts(spark)
+    layouts = build_layouts(spark, include_sf3x=True)
 
     print(f"| layout | engine | {' | '.join(n.removeprefix('tpch_') for n in names)} | total |")
     print("|---|---|" + "---|" * (len(names) + 1))
