@@ -203,6 +203,8 @@ _CALL_RENAMES = {
     "quantile_at_value": "kll_sketch_get_rank_double",
     "qdigest_agg": "kll_sketch_agg_double",
     "tdigest_agg": "kll_sketch_agg_double",
+    # theta-sketch accessor aliases (SetDigest/theta twins — COVERAGE.md)
+    "sketch_theta_estimate": "theta_sketch_estimate",
 }
 
 _TIME_UNITS = {
@@ -406,6 +408,31 @@ def _rewrite_classification(low: str, args: list[list]) -> str | None:
     )
 
 
+# Sketch-serialization internals with no Datasketches-twin equivalent:
+# these names manipulate Presto's OWN serialized sketch layouts
+# (construct/destructure/scale a tdigest's centroid list, SFM/KHLL
+# mergers, SetDigest minhash-register access), which the engine's
+# Datasketches binaries do not expose.  The surrounding functionality
+# (agg + estimate + merge + quantile/rank accessors) IS implemented
+# over the twins — see COVERAGE.md sketch inventory.
+_SKETCH_UNSUPPORTED = frozenset(
+    {
+        "construct_tdigest",
+        "destructure_tdigest",
+        "scale_tdigest",
+        "scale_qdigest",
+        "merge_sfm",
+        "merge_khll",
+        "noisy_empty_approx_set_sfm",
+        "sketch_theta_summary",
+        "hash_counts",
+        "reidentification_potential",
+        "uniqueness_distribution",
+        "trimmed_mean",
+    }
+)
+
+
 def _rewrite_call(name: str, args: list[list]) -> str | None:
     """Rewrite one call site; args are token lists. None = no rewrite."""
     low = name.lower()
@@ -413,6 +440,13 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         raise PrestoFeatureUnsupportedError(
             f"geospatial function {low} (OGC long-tail; the WKT planar "
             "core is implemented — see COVERAGE.md geometry inventory)"
+        )
+    if low in _SKETCH_UNSUPPORTED:
+        raise PrestoFeatureUnsupportedError(
+            f"sketch-internal function {low} (operates on Presto's "
+            "serialized sketch layout; the engine's sketches are "
+            "Datasketches twins — agg/estimate/merge/quantile accessors "
+            "are implemented, see COVERAGE.md sketch inventory)"
         )
     if low == "convex_hull_agg" and len(args) == 1:
         # AggregationFunction convex_hull_agg (GeometryUnionAgg.java
@@ -598,6 +632,34 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
                 f"kll_sketch_get_rank_double({sk}, {q})" for q in nums
             )
             return f"array({calls})"
+    if low in ("date_parse", "format_datetime", "parse_datetime") and len(args) == 2:
+        # MySQLFunctions date_parse(%-format) / Joda format_datetime,
+        # parse_datetime — for LITERAL formats the translation happens
+        # at transpile time (functions/presto.py carries the same table
+        # for the Column-helper path).  Joda patterns are passed through:
+        # the yyyy/MM/dd/HH/mm/ss/SSS core is identical in Spark's
+        # DateTimeFormatter (week-year 'x' and era differences are out
+        # of the supported subset).
+        fmt = _lit_str(args[1])
+        if fmt is not None:
+            e = _render_tokens(_strip(args[0]))
+            if low == "date_parse":
+                from .functions.presto import _mysql_format_to_java
+
+                jfmt = _mysql_format_to_java(fmt).replace("'", "''")
+                return f"to_timestamp({e}, '{jfmt}')"
+            jfmt = fmt.replace("'", "''")
+            if low == "parse_datetime":
+                return f"to_timestamp({e}, '{jfmt}')"
+            return f"date_format({e}, '{jfmt}')"
+        return None
+    if low == "rgb" and len(args) == 3:
+        # ColorFunctions.java rgb: pack validated 0-255 components
+        a0, a1, a2 = (_render_tokens(_strip(a)) for a in args)
+        return (
+            f"(CAST(({a0}) AS BIGINT) * 65536"
+            f" + CAST(({a1}) AS BIGINT) * 256 + CAST(({a2}) AS BIGINT))"
+        )
     if low == "geometric_mean" and len(args) == 1:
         # GeometricMeanAggregations.java: state is (sum of ln, count),
         # result exp(logSum / count) — exactly exp(avg(ln(x)))
@@ -639,6 +701,14 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         return None
     return None
 
+
+
+def _lit_str(arg: list) -> str | None:
+    """String-literal value of an arg token list (unquoted, '' -> ')."""
+    sig = _strip(arg)
+    if len(sig) == 1 and sig[0][0] == "str":
+        return sig[0][1][1:-1].replace("''", "'")
+    return None
 
 
 def _lit_num(arg: list):

@@ -191,6 +191,41 @@ def _is_subnet_of_sql(cidr: str, ip: str) -> str:
 
 # name: (arg signature, return type, body expression)
 SQL_UDFS: dict[str, tuple[str, str, str]] = {
+    # ---- sketch accessors over the Datasketches twins (round 5;
+    # SetDigestFunctions.java / HyperLogLogFunctions.java /
+    # TDigestFunctions.java).  The engine's sketches are Datasketches
+    # binaries (theta for SetDigest, HLL for HyperLogLog, KLL doubles
+    # for tdigest/qdigest — COVERAGE.md), so these operate on those
+    # layouts, not Presto's serialized forms; the NAMES and contracts
+    # match the reference.
+    "merge_hll": (
+        "xs ARRAY<BINARY>",
+        "BINARY",
+        # fold the pairwise union over the array (HyperLogLogFunctions
+        # mergeHll of array(hll))
+        "CASE WHEN xs IS NULL OR size(xs) = 0 THEN NULL ELSE"
+        " aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        " (a, x) -> hll_union(a, x)) END",
+    ),
+    "merge_tdigest": (
+        "xs ARRAY<BINARY>",
+        "BINARY",
+        "CASE WHEN xs IS NULL OR size(xs) = 0 THEN NULL ELSE"
+        " aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        " (a, x) -> kll_sketch_merge_double(a, x)) END",
+    ),
+    "intersection_cardinality": (
+        "a BINARY, b BINARY",
+        "BIGINT",
+        # SetDigestFunctions.intersectionCardinality over the theta twin
+        "CAST(round(theta_sketch_estimate(theta_intersection(a, b))) AS BIGINT)",
+    ),
+    "jaccard_index": (
+        "a BINARY, b BINARY",
+        "DOUBLE",
+        "theta_sketch_estimate(theta_intersection(a, b))"
+        " / theta_sketch_estimate(theta_union(a, b))",
+    ),
     # ---- string (StringFunctions.java) ----
     "strpos": ("x STRING, sub STRING", "BIGINT", "CAST(instr(x, sub) AS BIGINT)"),
     "codepoint": ("x STRING", "INT", "ascii(x)"),

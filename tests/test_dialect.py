@@ -464,3 +464,26 @@ def test_qdigest_names_transpile_and_run(spark):
     assert row.med == 50.0
     assert row.qs == [25.0, 75.0]
     assert row.r == 0.8
+
+
+def test_datetime_format_rewrites_round5(spark):
+    """date_parse (MySQL %-format) / format_datetime / parse_datetime
+    (Joda) with LITERAL formats translate at transpile time."""
+    from presto_copy_spark.dialect import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT date_parse('2023-07-15 10:30:45', '%Y-%m-%d %H:%i:%s') AS a,"
+            " format_datetime(TIMESTAMP '2023-07-15 10:30:45', 'yyyy/MM/dd HH:mm') AS b,"
+            " parse_datetime('2023-07-15', 'yyyy-MM-dd') AS c,"
+            " rgb(255, 136, 0) AS d"
+        )
+    ).collect()[0]
+    assert str(r.a) == "2023-07-15 10:30:45"
+    assert r.b == "2023/07/15 10:30"
+    assert str(r.c) == "2023-07-15 00:00:00"
+    assert r.d == 0xFF8800
+    # non-literal format: no rewrite (stays unresolved -> caller sees
+    # the honest resolution error, not silent misparse)
+    t = transpile("SELECT date_parse(x, f) FROM t")
+    assert "date_parse(" in t

@@ -893,3 +893,52 @@ def test_classification_aggregates_round5(spark):
     assert spark.sql(
         transpile("SELECT geometric_mean(x) AS v FROM (VALUES (2.0), (8.0)) t(x)")
     ).collect()[0].v == 4.0
+
+
+def test_sketch_accessor_names_round5(spark):
+    """Sketch accessor SQL names over the Datasketches twins: merge_hll
+    / merge_tdigest fold pairwise unions, intersection_cardinality /
+    jaccard_index / sketch_theta_estimate over theta binaries; the
+    serialization internals raise the typed unsupported error."""
+    import pytest as _pytest
+
+    from presto_copy_spark import dialect
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    spark.range(0, 1000).selectExpr(
+        "id", "id % 2 AS half"
+    ).createOrReplaceTempView("_sk_t")
+    # merge_hll of two half-range HLLs estimates the full range
+    est = spark.sql(
+        "SELECT hll_sketch_estimate(merge_hll(hlls)) AS v FROM ("
+        " SELECT collect_list(h) AS hlls FROM ("
+        "  SELECT half, hll_sketch_agg(id) AS h FROM _sk_t GROUP BY half))"
+    ).collect()[0].v
+    assert abs(est - 1000) / 1000 < 0.05
+    # merge_tdigest: median of the merged halves ~ global median
+    med = spark.sql(
+        "SELECT kll_sketch_get_quantile_double(merge_tdigest(ds), 0.5) AS v"
+        " FROM (SELECT collect_list(d) AS ds FROM ("
+        "  SELECT half, kll_sketch_agg_double(CAST(id AS DOUBLE)) AS d"
+        "  FROM _sk_t GROUP BY half))"
+    ).collect()[0].v
+    assert 400 <= med <= 600
+    # theta set ops: [0,1000) vs [500,1500) -> |intersection| ~ 500,
+    # jaccard ~ 1/3
+    r = spark.sql(
+        "SELECT intersection_cardinality(a, b) AS ic, jaccard_index(a, b) AS j"
+        " FROM (SELECT"
+        "  (SELECT theta_sketch_agg(id) FROM range(0, 1000)) AS a,"
+        "  (SELECT theta_sketch_agg(id) FROM range(500, 1500)) AS b)"
+    ).collect()[0]
+    assert abs(r.ic - 500) / 500 < 0.1
+    assert abs(r.j - 1 / 3) < 0.05
+    # alias + typed errors
+    t = dialect.transpile("SELECT sketch_theta_estimate(x) FROM t")
+    assert "theta_sketch_estimate" in t
+    for name in sorted(dialect._SKETCH_UNSUPPORTED):
+        with _pytest.raises(
+            dialect.PrestoFeatureUnsupportedError, match=name
+        ):
+            dialect.transpile(f"SELECT {name}(x) FROM t")

@@ -70,6 +70,7 @@ def main() -> None:
             "x, ARRAY[0.5]",  # vector accessors want literal arrays
             "x, 2",           # literal-int arity-2 (combinations, ...)
             "5, x, y", "5, x, y, w",  # classification_* literal buckets
+            "x, '%Y'",        # literal-format datetime rewrites
         ]
         for p in probes:
             try:
