@@ -1137,12 +1137,17 @@ def semantic_dedup(
         qdot(F.col("embedding"), F.col("embedding")).alias("nq"),
     )
     # window-carried size guard: one exchange on cluster that the
-    # self-join reuses (same pattern/rationale as sim_ann_lsh_neardup)
+    # self-join reuses (same pattern/rationale as sim_ann_lsh_neardup).
+    # The guarded assignment is the SemDeDup artifact (vec_id, cluster,
+    # embedding) — materialize it once: the self-join consumes it TWICE
+    # and Spark does not exchange-reuse the diamond, so without this
+    # the broadcast-argmin corpus pass and the window run once per side.
     w = Window.partitionBy("cluster")
     base = (
         base0.withColumn("cn", F.count(F.lit(1)).over(w))
         .filter(F.col("cn") <= cap)
         .drop("cn")
+        .localCheckpoint(eager=False)
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
@@ -1152,6 +1157,11 @@ def semantic_dedup(
     ).select(
         F.col("a.vec_id").alias("keeper"),
         F.col("b.vec_id").alias("dup"),
+        # NOTE: an unrolled 64-term straight-line dot was tried here
+        # (round 5) on the theory that HOFs evaluate interpreted — it
+        # measured 2x SLOWER than zip_with/aggregate (64 element_at
+        # calls each re-resolve the array vs the HOF's single array
+        # traversal), so the HOF form stays.
         cosine_from_q(
             qdot(F.col("a.embedding"), F.col("b.embedding")),
             F.col("a.nq"),
