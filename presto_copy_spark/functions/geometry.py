@@ -1206,6 +1206,57 @@ SQL_GEOMETRY_UDFS.update(
 )
 
 
+def _sql_canon_ring(r: str) -> str:
+    """Canonical form of a closed ring: drop the closing duplicate,
+    rotate to the lexicographically-smallest vertex, and take the
+    smaller of the two orientations — so any two vertex sequences
+    describing the same ring compare equal (SQL text, r is closed)."""
+    argmin = (
+        "array_min(transform(sequence(1, size({o})),"
+        " i9 -> named_struct('v', element_at({o}, i9), 'i', i9))).i"
+    )
+    rot = (
+        "element_at(transform(array(" + argmin + "), mi9 ->"
+        " concat(slice({o}, mi9, size({o}) - mi9 + 1),"
+        " slice({o}, 1, mi9 - 1))), 1)"
+    )
+    return (
+        f"element_at(transform(array(slice({r}, 1, size({r}) - 1)), o9 ->"
+        " least("
+        + rot.format(o="o9")
+        + ", element_at(transform(array(reverse(o9)), rv9 -> "
+        + rot.format(o="rv9")
+        + "), 1))), 1)"
+    )
+
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        # ST_Equals subset: same-point-set via canonical vertex
+        # sequences (ring rotation + orientation normalized, rings as a
+        # multiset).  Geometries describing one shape with DIFFERENT
+        # vertex sets (e.g. an extra collinear vertex) compare unequal —
+        # documented deviation from the reference's Esri relate.
+        "st_equals": (
+            f"a {GEOM_T}, b {GEOM_T}", "BOOLEAN",
+            "CASE WHEN a.gtype IS NULL OR b.gtype IS NULL THEN NULL"
+            " WHEN a.gtype IN ('POINT', 'MULTIPOINT')"
+            "  AND b.gtype IN ('POINT', 'MULTIPOINT') THEN"
+            "  array_sort(array_distinct(element_at(a.rings, 1)))"
+            "  = array_sort(array_distinct(element_at(b.rings, 1)))"
+            " WHEN a.gtype = 'LINESTRING' AND b.gtype = 'LINESTRING' THEN"
+            "  least(element_at(a.rings, 1), reverse(element_at(a.rings, 1)))"
+            "  = least(element_at(b.rings, 1), reverse(element_at(b.rings, 1)))"
+            " WHEN a.gtype IN ('POLYGON', 'MULTIPOLYGON')"
+            "  AND b.gtype IN ('POLYGON', 'MULTIPOLYGON') THEN"
+            f"  array_sort(transform(a.rings, cr9 -> {_sql_canon_ring('cr9')}))"
+            f"  = array_sort(transform(b.rings, cr9 -> {_sql_canon_ring('cr9')}))"
+            " ELSE false END",
+        ),
+    }
+)
+
+
 def register_geometry_sql(spark) -> None:
     """Register the SQL-invocable ST_* twins (idempotent per session)."""
     marker = "spark.sql.prestoCompat.geometryRegistered"

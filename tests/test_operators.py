@@ -854,6 +854,21 @@ def test_ogc_closures_round5(spark):
     ).collect()[0]
     assert r.a == 7.0  # 4 + 4 - 1 overlap
     assert r.h == 8.0  # hull (0,0),(2,0),(3,1),(3,3),(1,3),(0,2)
+    # st_equals: canonical-ring comparison (rotation + orientation)
+    assert one(
+        "st_equals("
+        "st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((2 2, 2 0, 0 0, 0 2, 2 2))'))"
+    ) is True
+    assert one(
+        "st_equals("
+        "st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))'))"
+    ) is False
+    assert one(
+        "st_equals(st_geometryfromtext('LINESTRING (0 0, 1 1, 2 0)'),"
+        " st_geometryfromtext('LINESTRING (2 0, 1 1, 0 0)'))"
+    ) is True
 
 
 def test_classification_aggregates_round5(spark):

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Regenerate BASELINE.md's floor-decomposition table (solo-measured).
+
+For every registry query whose bench ratio vs the DuckDB baseline
+exceeds 2x, measure solo: bench-protocol median (noop sink), plan-only
+time (fresh QueryExecution optimize+physical), distinct shuffle-stage
+count from the executed adaptive plan, and classify the floor:
+
+  planning     plan-only > 45% of solo time (generated macro/HOF trees;
+               paid per statement, not per TB)
+  multi-stage  >= 2 distinct shuffle stages (real exchanges — the
+               honest Spark-vs-in-process gap at this data size)
+  job floor    everything else (~0.1-0.2 s/stage local-mode scheduling
+               + codegen, amortized on a cluster)
+
+Usage: python tools/floor_table.py [--threshold 2.0]  (markdown to stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def duckdb_baseline() -> dict[str, float]:
+    base: dict[str, float] = {}
+    for line in open(os.path.join(REPO, "BASELINE.md")):
+        m = re.match(r"\| (\w+) \| ([\d.]+) \|$", line.strip())
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    return base
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("floor-table")
+    base = duckdb_baseline()
+    bench = json.load(open(os.path.join(REPO, "BENCH_detail.json")))["queries"]
+
+    targets = [
+        n
+        for n, v in bench.items()
+        if n in base and v >= 0 and v / base[n] > args.threshold
+    ]
+    print(
+        "| query | spark s (bench) | spark s (solo) | duckdb s |"
+        " ratio (solo) | shuffle stages | plan-only s | floor class |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    rows = []
+    for n in targets:
+        fn = registry.QUERIES[n]
+        df = fn(spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        t0 = time.perf_counter()
+        qe.executedPlan()
+        plan_s = time.perf_counter() - t0
+        df.write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        solo = statistics.median(samples)
+        df2 = fn(spark, SF_DIR)
+        df2.collect()
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        stages = len(set(re.findall(r"ShuffleQueryStage (\d+)", plan)))
+        ratio = solo / base[n]
+        if plan_s > 0.45 * solo:
+            cls = "planning (macro/HOF tree)"
+        elif stages >= 2:
+            cls = f"multi-stage ({stages} shuffle stages)"
+        else:
+            cls = "job floor (~0.1-0.2 s/stage)"
+        rows.append((ratio, n, bench[n], solo, base[n], stages, plan_s, cls))
+    for ratio, n, b, solo, d, stages, plan_s, cls in sorted(rows, reverse=True):
+        print(
+            f"| {n} | {b:.3f} | {solo:.3f} | {d:.4f} | {ratio:.2f}x"
+            f" | {stages} | {plan_s:.2f} | {cls} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
