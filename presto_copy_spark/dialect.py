@@ -193,6 +193,11 @@ _CALL_RENAMES = {
     # Datasketches twin; merge/cardinality accessors stay type-dependent
     # (documented in COVERAGE) so only the unambiguous name is renamed
     "approx_set": "hll_sketch_agg",
+    # SetDigest constructor/merger (SetDigestFunctions.java) over the
+    # theta twin — same rename policy as qdigest_agg -> KLL below; the
+    # minhash-register surface stays a documented typed error
+    "make_set_digest": "theta_sketch_agg",
+    "merge_set_digest": "theta_union_agg",
     # qdigest/tdigest surface (QuantileDigestFunctions.java,
     # TDigestFunctions.java) over Spark's Datasketches KLL double sketch
     # (the engine's digest model — COVERAGE.md): the rename carries the
@@ -665,6 +670,19 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         # result exp(logSum / count) — exactly exp(avg(ln(x)))
         e = _render_tokens(_strip(args[0]))
         return f"exp(avg(ln(CAST({e} AS DOUBLE))))"
+    if low == "noisy_count_if_gaussian" and len(args) == 2:
+        # NoisyCountIfGaussianAggregation.java, 2-arg (unseeded) form:
+        # exact conditional count + one N(0, scale) draw, clipped at 0.
+        # noise_scale = 0 folds to the exact count (the oracle path);
+        # the seeded per-group form stays on the Column helper
+        # (functions/presto.py noisy_count_if_gaussian — the group keys
+        # aren't visible at transpile time).
+        cond = _render_tokens(_strip(args[0]))
+        scale = _render_tokens(_strip(args[1]))
+        return (
+            f"greatest(CAST(round(CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) + randn() * ({scale})) AS BIGINT), 0L)"
+        )
     if low in _CLASSIFICATION_AGGS and len(args) in (3, 4):
         return _rewrite_classification(low, args)
         return None

@@ -487,3 +487,26 @@ def test_datetime_format_rewrites_round5(spark):
     # the honest resolution error, not silent misparse)
     t = transpile("SELECT date_parse(x, f) FROM t")
     assert "date_parse(" in t
+
+
+def test_set_digest_and_noisy_renames_round5(spark):
+    """make_set_digest/merge_set_digest route to the theta twins;
+    noisy_count_if_gaussian's unseeded form is exact at scale 0."""
+    from presto_copy_spark.dialect import transpile
+
+    est = spark.sql(
+        transpile(
+            "SELECT sketch_theta_estimate(merge_set_digest(d)) AS est FROM ("
+            " SELECT make_set_digest(id) AS d FROM range(0, 500) GROUP BY id % 4)"
+        )
+    ).collect()[0].est
+    assert abs(est - 500) / 500 < 0.05
+    assert (
+        spark.sql(
+            transpile(
+                "SELECT noisy_count_if_gaussian(id % 2 = 0, 0.0) AS c"
+                " FROM range(0, 100)"
+            )
+        ).collect()[0].c
+        == 50
+    )
