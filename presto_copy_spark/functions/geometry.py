@@ -1230,8 +1230,39 @@ def _sql_canon_ring(r: str) -> str:
     )
 
 
+_TILE_X = (
+    "greatest(0L, least(CAST(floor(({lon} + 180.0) / 360.0"
+    " * shiftleft(1L, zoom)) AS BIGINT), shiftleft(1L, zoom) - 1))"
+)
+_TILE_Y = (
+    "greatest(0L, least(CAST(floor((0.5 - ln((1.0 + sin(radians({lat})))"
+    " / (1.0 - sin(radians({lat})))) / (4.0 * pi()))"
+    " * shiftleft(1L, zoom)) AS BIGINT), shiftleft(1L, zoom) - 1))"
+)
+
 SQL_GEOMETRY_UDFS.update(
     {
+        # BingTileFunctions.java geometryToBingTiles, ENVELOPE-cover
+        # subset: the tiles covering the geometry's bounding box at the
+        # zoom (a superset of the reference's exact cover for
+        # non-rectangular shapes — documented; geometry x = longitude,
+        # y = latitude, so north edge maps to the SMALLER tile y).
+        # Guarded against tile-count explosion like the reference.
+        "geometry_to_bing_tiles": (
+            f"g {GEOM_T}, zoom INT",
+            "ARRAY<STRUCT<x: BIGINT, y: BIGINT, zoom: INT>>",
+            "element_at(transform(array(named_struct("
+            " 'x0', " + _TILE_X.format(lon="st_xmin(g)") + ","
+            " 'x1', " + _TILE_X.format(lon="st_xmax(g)") + ","
+            " 'y0', " + _TILE_Y.format(lat="st_ymax(g)") + ","
+            " 'y1', " + _TILE_Y.format(lat="st_ymin(g)") + ")), tb9 ->"
+            " CASE WHEN (tb9.x1 - tb9.x0 + 1) * (tb9.y1 - tb9.y0 + 1)"
+            "   > 1000000 THEN"
+            "  raise_error('geometry_to_bing_tiles: too many tiles at this zoom')"
+            " ELSE flatten(transform(sequence(tb9.x0, tb9.x1), bx9 ->"
+            "  transform(sequence(tb9.y0, tb9.y1), by9 ->"
+            "  named_struct('x', bx9, 'y', by9, 'zoom', zoom)))) END), 1)",
+        ),
         # ST_Equals subset: same-point-set via canonical vertex
         # sequences (ring rotation + orientation normalized, rings as a
         # multiset).  Geometries describing one shape with DIFFERENT

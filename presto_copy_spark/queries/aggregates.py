@@ -577,8 +577,15 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("approx_median"),
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("approx_p95"),
-        # Presto scalar-accessor parity (QuantileDigestFunctions.java):
-        values_at_quantiles("sk", [0.1, 0.5, 0.9]).alias("approx_deciles"),
+        # Presto scalar-accessor parity (QuantileDigestFunctions.java);
+        # serialized to one string: the query sits in the 50-slot driver
+        # window (round 5) and the driver canonicalizer hashes cell
+        # values — array cells are unhashable (driver-contract guard
+        # tests/test_queries_vs_oracle.py)
+        F.array_join(
+            values_at_quantiles("sk", [0.1, 0.5, 0.9]).cast("array<string>"),
+            ",",
+        ).alias("approx_deciles"),
         quantile_at_value("sk", 50000.0).alias("rank_of_50k"),
         F.kll_sketch_get_n_double("sk").alias("sketch_n"),
     )

@@ -869,6 +869,19 @@ def test_ogc_closures_round5(spark):
         "st_equals(st_geometryfromtext('LINESTRING (0 0, 1 1, 2 0)'),"
         " st_geometryfromtext('LINESTRING (2 0, 1 1, 0 0)'))"
     ) is True
+    # geometry_to_bing_tiles: envelope cover spans exactly the corner
+    # tiles (NW corner -> smallest tile y)
+    tiles = one(
+        "geometry_to_bing_tiles(st_geometryfromtext("
+        "'POLYGON ((10 50, 10.5 50, 10.5 50.3, 10 50.3, 10 50))'), 10)"
+    )
+    nw = one("bing_tile_at(50.3, 10.0, 10)")
+    se = one("bing_tile_at(50.0, 10.5, 10)")
+    xs = sorted({t.x for t in tiles})
+    ys = sorted({t.y for t in tiles})
+    assert xs == list(range(nw.x, se.x + 1))
+    assert ys == list(range(nw.y, se.y + 1))
+    assert len(tiles) == len(xs) * len(ys)
 
 
 def test_classification_aggregates_round5(spark):
