@@ -1263,6 +1263,32 @@ SQL_GEOMETRY_UDFS.update(
             "  transform(sequence(tb9.y0, tb9.y1), by9 ->"
             "  named_struct('x', bx9, 'y', by9, 'zoom', zoom)))) END), 1)",
         ),
+        # relate-class predicates expressible over the existing core
+        # (GeoFunctions.java stOverlaps/stCrosses subsets):
+        # st_overlaps for POLYGON x POLYGON = interiors intersect but
+        # neither contains the other; st_crosses for LINESTRING x
+        # LINESTRING = a proper interior crossing exists.  Other type
+        # combinations return NULL (documented subset).
+        "st_overlaps": (
+            f"a {GEOM_T}, b {GEOM_T}", "BOOLEAN",
+            "CASE WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON' THEN"
+            " st_intersects(a, b) AND NOT st_within(a, b)"
+            " AND NOT st_within(b, a) END",
+        ),
+        "st_crosses": (
+            f"a {GEOM_T}, b {GEOM_T}", "BOOLEAN",
+            "CASE WHEN a.gtype = 'LINESTRING' AND b.gtype = 'LINESTRING' THEN"
+            " exists(" + _sql_segs_of("element_at(a.rings, 1)") + ", sa9 ->"
+            " exists(" + _sql_segs_of("element_at(b.rings, 1)") + ", sb9 ->"
+            " (sign((sa9.q.x - sa9.p.x) * (sb9.p.y - sa9.p.y)"
+            "  - (sa9.q.y - sa9.p.y) * (sb9.p.x - sa9.p.x))"
+            "  * sign((sa9.q.x - sa9.p.x) * (sb9.q.y - sa9.p.y)"
+            "  - (sa9.q.y - sa9.p.y) * (sb9.q.x - sa9.p.x)) < 0)"
+            " AND (sign((sb9.q.x - sb9.p.x) * (sa9.p.y - sb9.p.y)"
+            "  - (sb9.q.y - sb9.p.y) * (sa9.p.x - sb9.p.x))"
+            "  * sign((sb9.q.x - sb9.p.x) * (sa9.q.y - sb9.p.y)"
+            "  - (sb9.q.y - sb9.p.y) * (sa9.q.x - sb9.p.x)) < 0))) END",
+        ),
         # ST_Equals subset: same-point-set via canonical vertex
         # sequences (ring rotation + orientation normalized, rings as a
         # multiset).  Geometries describing one shape with DIFFERENT

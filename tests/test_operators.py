@@ -882,6 +882,25 @@ def test_ogc_closures_round5(spark):
     assert xs == list(range(nw.x, se.x + 1))
     assert ys == list(range(nw.y, se.y + 1))
     assert len(tiles) == len(xs) * len(ys)
+    # st_overlaps / st_crosses subsets
+    assert one(
+        "st_overlaps("
+        "st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))"
+    ) is True
+    assert one(
+        "st_overlaps("
+        "st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        "st_geometryfromtext('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'))"
+    ) is False
+    assert one(
+        "st_crosses(st_geometryfromtext('LINESTRING (0 0, 2 2)'),"
+        " st_geometryfromtext('LINESTRING (0 2, 2 0)'))"
+    ) is True
+    assert one(
+        "st_crosses(st_geometryfromtext('LINESTRING (0 0, 1 1)'),"
+        " st_geometryfromtext('LINESTRING (5 5, 6 6)'))"
+    ) is False
 
 
 def test_classification_aggregates_round5(spark):
