@@ -685,6 +685,55 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         )
     if low in _CLASSIFICATION_AGGS and len(args) in (3, 4):
         return _rewrite_classification(low, args)
+    if low == "differential_entropy" and len(args) == 6:
+        # DifferentialEntropyAggregation.java, fixed_histogram_mle
+        # strategy (FixedHistogramMleStateStrategy.calculateEntropy):
+        # bucketed weight histogram over [min, max), entropy =
+        # (-sum p*ln p + ln(width)) / ln 2 with p = w_b / sum(w).
+        # Literal bucket count / method / bounds required (the same
+        # transpile-time histogram expansion as classification_*);
+        # the reservoir-sample Vasicek forms (2-3 args) stay
+        # unsupported — their state is a random reservoir.
+        b = _lit_num(args[0])
+        method = _lit_str(args[3])
+        mn, mx = _lit_num(args[4]), _lit_num(args[5])
+        if (
+            b is None
+            or not (1 <= int(b) <= _CLASSIFICATION_MAX_BUCKETS)
+            or method is None
+            or method.lower() != "fixed_histogram_mle"
+            or mn is None
+            or mx is None
+            or not float(mx) > float(mn)
+        ):
+            raise PrestoFeatureUnsupportedError(
+                "differential_entropy requires the 6-arg"
+                " fixed_histogram_mle form with literal bucket count"
+                f" <= {_CLASSIFICATION_MAX_BUCKETS} and literal bounds"
+                " (reservoir/Vasicek methods are stateful-random)"
+            )
+        b = int(b)
+        width = (float(mx) - float(mn)) / b
+        sample = _render_tokens(_strip(args[1]))
+        wgt = _render_tokens(_strip(args[2]))
+        bucket = (
+            f"greatest(0L, least(CAST(floor((CAST({sample} AS DOUBLE)"
+            f" - {float(mn)!r}) / {width!r}) AS BIGINT), {b - 1}L))"
+        )
+        hist = ", ".join(
+            f"sum(CASE WHEN {bucket} = {i} THEN CAST({wgt} AS DOUBLE)"
+            " ELSE 0D END)"
+            for i in range(b)
+        )
+        return (
+            f"element_at(transform(array(array({hist})), h9 ->"
+            " element_at(transform(array(aggregate(h9, 0D,"
+            " (a9, v9) -> a9 + v9)), tw9 ->"
+            " CASE WHEN tw9 = 0D THEN CAST('NaN' AS DOUBLE) ELSE"
+            " (aggregate(h9, 0D, (a9, v9) -> a9 - CASE WHEN v9 > 0D"
+            " THEN (v9 / tw9) * ln(v9 / tw9) ELSE 0D END)"
+            f" + ln({width!r})) / ln(2.0D) END), 1)), 1)"
+        )
         return None
     if low == "entropy" and len(args) == 1:
         # EntropyAggregation.java: Shannon entropy (bits) of the count

@@ -510,3 +510,48 @@ def test_set_digest_and_noisy_renames_round5(spark):
         ).collect()[0].c
         == 50
     )
+
+
+def test_differential_entropy_fixed_histogram_mle(spark):
+    """differential_entropy 6-arg fixed_histogram_mle form: exact
+    FixedHistogramMleStateStrategy formula over a literal histogram."""
+    import math
+
+    import pytest as _pytest
+
+    from presto_copy_spark.dialect import (
+        PrestoFeatureUnsupportedError,
+        transpile,
+    )
+
+    rows = [(0.5, 1.0), (0.7, 1.0), (0.9, 1.0), (2.5, 1.0)]
+    spark.createDataFrame(rows, "x double, w double").createOrReplaceTempView(
+        "_de_t"
+    )
+    got = spark.sql(
+        transpile(
+            "SELECT differential_entropy(4, x, w, 'fixed_histogram_mle',"
+            " 0.0, 4.0) AS e FROM _de_t"
+        )
+    ).collect()[0].e
+    p = [3 / 4, 1 / 4]
+    expect = (-(sum(pi * math.log(pi) for pi in p)) + math.log(1.0)) / math.log(2)
+    assert abs(got - expect) < 1e-12
+    # uniform over [0,1) has 0 bits of differential entropy
+    spark.createDataFrame(
+        [((i + 0.5) / 8, 1.0) for i in range(8)], "x double, w double"
+    ).createOrReplaceTempView("_de_u")
+    assert (
+        spark.sql(
+            transpile(
+                "SELECT differential_entropy(8, x, w, 'fixed_histogram_mle',"
+                " 0.0, 1.0) AS e FROM _de_u"
+            )
+        ).collect()[0].e
+        == 0.0
+    )
+    # reservoir/Vasicek forms: typed unsupported
+    with _pytest.raises(PrestoFeatureUnsupportedError, match="differential_entropy"):
+        transpile(
+            "SELECT differential_entropy(100, x, w, 'unknown', 0.0, 1.0) FROM t"
+        )

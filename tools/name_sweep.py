@@ -71,6 +71,8 @@ def main() -> None:
             "x, 2",           # literal-int arity-2 (combinations, ...)
             "5, x, y", "5, x, y, w",  # classification_* literal buckets
             "x, '%Y'",        # literal-format datetime rewrites
+            # differential_entropy fixed_histogram_mle literal form
+            "8, x, w, 'fixed_histogram_mle', 0.0, 1.0",
         ]
         for p in probes:
             try:
