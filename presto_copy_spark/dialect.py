@@ -685,6 +685,41 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         )
     if low in _CLASSIFICATION_AGGS and len(args) in (3, 4):
         return _rewrite_classification(low, args)
+    if low == "numeric_histogram" and len(args) in (2, 3):
+        # NumericHistogramAggregation.java: adaptive bin-merging whose
+        # bins depend on insertion order — engine-specific in the
+        # reference itself (parallel splits merge differently).  The
+        # deterministic twin here: B equi-depth bins, centered at the
+        # mid-quantiles (i+0.5)/B, each carrying total_weight/B —
+        # documented twin semantics like qdigest -> KLL.  Literal
+        # bucket count required.  The weighted form uses Spark's
+        # percentile(x, p, w) frequency argument.
+        b = _lit_num(args[0])
+        if b is None or not (1 <= int(b) <= _CLASSIFICATION_MAX_BUCKETS):
+            raise PrestoFeatureUnsupportedError(
+                "numeric_histogram requires a literal bucket count <= "
+                f"{_CLASSIFICATION_MAX_BUCKETS}"
+            )
+        b = int(b)
+        x = _render_tokens(_strip(args[1]))
+        if len(args) == 3:
+            w = _render_tokens(_strip(args[2]))
+            cents = ", ".join(
+                f"percentile(CAST({x} AS DOUBLE), {(i + 0.5) / b!r},"
+                f" CAST({w} AS BIGINT))"
+                for i in range(b)
+            )
+            total = f"CAST(sum(CAST({w} AS DOUBLE)) AS DOUBLE)"
+        else:
+            cents = ", ".join(
+                f"percentile(CAST({x} AS DOUBLE), {(i + 0.5) / b!r})"
+                for i in range(b)
+            )
+            total = f"CAST(count({x}) AS DOUBLE)"
+        return (
+            f"map_from_arrays(array({cents}),"
+            f" array_repeat({total} / {b}, {b}))"
+        )
     if low == "differential_entropy" and len(args) == 6:
         # DifferentialEntropyAggregation.java, fixed_histogram_mle
         # strategy (FixedHistogramMleStateStrategy.calculateEntropy):

@@ -555,3 +555,30 @@ def test_differential_entropy_fixed_histogram_mle(spark):
         transpile(
             "SELECT differential_entropy(100, x, w, 'unknown', 0.0, 1.0) FROM t"
         )
+
+
+def test_numeric_histogram_equidepth_twin(spark):
+    """numeric_histogram -> the deterministic equi-depth twin: B bins
+    at the mid-quantiles, each carrying total_weight/B (the reference's
+    adaptive bin-merge is insertion-order-dependent — engine-specific
+    by nature; twin semantics documented like qdigest -> KLL)."""
+    from presto_copy_spark.dialect import transpile
+
+    h = spark.sql(
+        transpile(
+            "SELECT numeric_histogram(4, CAST(id AS DOUBLE)) AS h"
+            " FROM range(0, 100)"
+        )
+    ).collect()[0].h
+    assert len(h) == 4
+    assert all(v == 25.0 for v in h.values())
+    cents = sorted(h)
+    # mid-quantile centers of uniform 0..99
+    assert cents[0] < 25 < cents[1] < 50 < cents[2] < 75 < cents[3]
+    hw = spark.sql(
+        transpile(
+            "SELECT numeric_histogram(2, x, w) AS h"
+            " FROM (VALUES (1.0, 3), (10.0, 1)) t(x, w)"
+        )
+    ).collect()[0].h
+    assert sorted(hw.values()) == [2.0, 2.0]
