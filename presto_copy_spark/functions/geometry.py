@@ -645,6 +645,14 @@ def _build_union_all_body() -> str:
         " v9 -> NOT exists(sequence(1, size(sh9)),"
         f" j9 -> j9 != i9 AND {vert_in_other}))))"
     )
+    # vertices strictly INSIDE another input — interior points of the
+    # overlap, used to anchor the witness (see below)
+    verts_in = (
+        "flatten(transform(sequence(1, size(sh9)), i9 ->"
+        " filter(slice(element_at(sh9, i9), 1, size(element_at(sh9, i9)) - 1),"
+        " v9 -> exists(sequence(1, size(sh9)),"
+        f" j9 -> j9 != i9 AND {vert_in_other}))))"
+    )
     total_verts = (
         "aggregate(sh9, 0, (ta9, tr9) -> ta9 + size(tr9) - 1)"
     )
@@ -664,6 +672,15 @@ def _build_union_all_body() -> str:
         " 'x', aggregate(ws9, 0D, (wa9, wp9) -> wa9 + wp9.x) / size(ws9),"
         " 'y', aggregate(ws9, 0D, (wa9, wp9) -> wa9 + wp9.y) / size(ws9))"
     )
+    # Witness point: mean of (proper crossings + vertices strictly
+    # inside another input).  Crossings alone can be COLLINEAR on one
+    # edge of the overlap (e.g. a T-shaped rectangle union, where both
+    # crossings sit on the same edge line) — their mean then lies ON
+    # the union boundary and the angular order around it is undefined.
+    # Adding the strictly-interior vertices makes the mean an interior
+    # point of the (convex) overlap whenever one exists; when no vertex
+    # is interior the crossings are non-collinear corners of the
+    # overlap region and their mean is its center.
     return (
         "element_at(transform(array(transform(gs, g9 -> element_at(g9.rings, 1))), sh9 ->"
         f" element_at(transform(array({inters}), in9 ->"
@@ -671,8 +688,8 @@ def _build_union_all_body() -> str:
         f" CASE WHEN size(in9) = 0 AND size(vk9) = {total_verts}"
         " THEN named_struct('gtype', 'MULTIPOLYGON', 'rings', sh9)"
         " ELSE element_at(transform(array("
-        "   element_at(transform(array(CASE WHEN size(in9) > 0 THEN in9"
-        f"     ELSE vk9 END), ws9 -> {witness}), 1)), w9 ->"
+        f"   element_at(transform(array(concat(in9, {verts_in})),"
+        f"     ws9 -> {witness}), 1)), w9 ->"
         " element_at(transform(array(array_distinct(concat(vk9, in9))), cd9 ->"
         f" {polygon_of}), 1)), 1)"
         " END), 1)), 1)), 1)"

@@ -989,3 +989,122 @@ def test_sketch_accessor_names_round5(spark):
             dialect.PrestoFeatureUnsupportedError, match=name
         ):
             dialect.transpile(f"SELECT {name}(x) FROM t")
+
+
+def test_geometry_randomized_properties(spark):
+    """Randomized property checks for the round-5 OGC core, evaluated
+    as ONE DataFrame per property with an INDEPENDENT Python oracle.
+
+    - st_union of two axis-aligned rectangles on mis-aligned grids
+      (A on integers, B on quarter-offsets, so boundaries can never be
+      collinear and every boundary contact is a proper crossing):
+      union area must equal the inclusion-exclusion closed form;
+      disjoint pairs must come back MULTIPOLYGON.
+    - st_hull_of_points vs an independently implemented monotone chain.
+    - line_locate_point(line_interpolate_point(f)) == f round-trip on
+      strictly monotone polylines.
+    """
+    import random
+
+    from presto_copy_spark.functions import register_all
+    from pyspark.sql import functions as F
+
+    register_all(spark)
+    rng = random.Random(0xC0FFEE)
+
+    # --- rectangle union vs closed form --------------------------------
+    cases = []
+    for i in range(200):
+        wa, ha = rng.randint(2, 6), rng.randint(2, 6)
+        dx = rng.randint(-8, 8) + 0.25
+        dy = rng.randint(-8, 8) + 0.25
+        wb, hb = rng.randint(1, 6), rng.randint(1, 6)
+        iw = min(wa, dx + wb) - max(0, dx)
+        ih = min(ha, dy + hb) - max(0, dy)
+        inter = float(iw * ih) if (iw > 0 and ih > 0) else 0.0
+        expect = float(wa * ha + wb * hb - inter) if inter > 0 else -1.0
+        wkt_a = (
+            f"POLYGON ((0 0, {wa} 0, {wa} {ha}, 0 {ha}, 0 0))"
+        )
+        wkt_b = (
+            f"POLYGON (({dx} {dy}, {dx + wb} {dy}, {dx + wb} {dy + hb},"
+            f" {dx} {dy + hb}, {dx} {dy}))"
+        )
+        cases.append((i, wkt_a, wkt_b, expect))
+    df = spark.createDataFrame(cases, "i long, wa string, wb string, expect double")
+    rows = (
+        df.selectExpr(
+            "i",
+            "expect",
+            "st_union(st_geometryfromtext(wa), st_geometryfromtext(wb)) AS u",
+        )
+        .selectExpr(
+            "i",
+            "expect",
+            "CASE WHEN u.gtype = 'POLYGON' THEN st_area(u) ELSE -1.0D END AS got",
+        )
+        .collect()
+    )
+    bad = [(r.i, r.got, r.expect) for r in rows if abs(r.got - r.expect) > 1e-9]
+    assert not bad, f"union mismatches: {bad[:5]}"
+
+    # --- convex hull vs independent monotone chain ---------------------
+    def py_hull_area(pts):
+        pts = sorted(set(pts))
+        if len(pts) < 3:
+            return 0.0
+        def half(seq):
+            h = []
+            for p in seq:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+        lower, upper = half(pts), half(pts[::-1])
+        ring = lower[:-1] + upper[:-1]
+        area2 = sum(
+            ring[k][0] * ring[(k + 1) % len(ring)][1]
+            - ring[(k + 1) % len(ring)][0] * ring[k][1]
+            for k in range(len(ring))
+        )
+        return abs(area2) / 2.0
+
+    hcases = []
+    for i in range(150):
+        n = rng.randint(3, 12)
+        pts = [
+            (rng.randint(0, 40) / 4.0, rng.randint(0, 40) / 4.0)
+            for _ in range(n)
+        ]
+        wkt = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+        hcases.append((i, wkt, py_hull_area(pts)))
+    hdf = spark.createDataFrame(hcases, "i long, w string, expect double")
+    hrows = hdf.selectExpr(
+        "i",
+        "expect",
+        "st_area(st_convexhull(st_geometryfromtext(w))) AS got",
+    ).collect()
+    hbad = [(r.i, r.got, r.expect) for r in hrows if abs(r.got - r.expect) > 1e-9]
+    assert not hbad, f"hull mismatches: {hbad[:5]}"
+
+    # --- interpolate/locate round-trip ---------------------------------
+    lcases = []
+    for i in range(100):
+        n = rng.randint(2, 6)
+        xs = sorted(rng.sample(range(0, 50), n))
+        ys = [rng.randint(0, 10) for _ in range(n)]
+        wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in zip(xs, ys)) + ")"
+        f = rng.randint(1, 9) / 10.0
+        lcases.append((i, wkt, f))
+    ldf = spark.createDataFrame(lcases, "i long, w string, f double")
+    lrows = ldf.selectExpr(
+        "i",
+        "f",
+        "line_locate_point(st_geometryfromtext(w),"
+        " line_interpolate_point(st_geometryfromtext(w), f)) AS got",
+    ).collect()
+    lbad = [(r.i, r.got, r.f) for r in lrows if abs(r.got - r.f) > 1e-9]
+    assert not lbad, f"roundtrip mismatches: {lbad[:5]}"
