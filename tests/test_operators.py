@@ -1108,3 +1108,33 @@ def test_geometry_randomized_properties(spark):
     ).collect()
     lbad = [(r.i, r.got, r.f) for r in lrows if abs(r.got - r.f) > 1e-9]
     assert not lbad, f"roundtrip mismatches: {lbad[:5]}"
+
+    # --- st_distance vs the axis-aligned closed form -------------------
+    # min distance between two AABBs = hypot(max(0, x_gap), max(0, y_gap))
+    import math
+
+    dcases = []
+    for i in range(150):
+        wa, ha = rng.randint(1, 5), rng.randint(1, 5)
+        dx = rng.randint(-10, 10) + 0.25
+        dy = rng.randint(-10, 10) + 0.25
+        wb, hb = rng.randint(1, 5), rng.randint(1, 5)
+        xgap = max(0.0, max(dx - wa, 0 - (dx + wb)))
+        ygap = max(0.0, max(dy - ha, 0 - (dy + hb)))
+        if xgap == 0 and ygap == 0:
+            continue  # touching/overlapping: boundary-distance semantics differ
+        wkt_a = f"POLYGON ((0 0, {wa} 0, {wa} {ha}, 0 {ha}, 0 0))"
+        wkt_b = (
+            f"POLYGON (({dx} {dy}, {dx + wb} {dy}, {dx + wb} {dy + hb},"
+            f" {dx} {dy + hb}, {dx} {dy}))"
+        )
+        dcases.append((i, wkt_a, wkt_b, math.hypot(xgap, ygap)))
+    assert len(dcases) > 30
+    ddf = spark.createDataFrame(dcases, "i long, wa string, wb string, expect double")
+    drows = ddf.selectExpr(
+        "i",
+        "expect",
+        "st_distance(st_geometryfromtext(wa), st_geometryfromtext(wb)) AS got",
+    ).collect()
+    dbad = [(r.i, r.got, r.expect) for r in drows if abs(r.got - r.expect) > 1e-9]
+    assert not dbad, f"distance mismatches: {dbad[:5]}"
