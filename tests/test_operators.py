@@ -1138,3 +1138,70 @@ def test_geometry_randomized_properties(spark):
     ).collect()
     dbad = [(r.i, r.got, r.expect) for r in drows if abs(r.got - r.expect) > 1e-9]
     assert not dbad, f"distance mismatches: {dbad[:5]}"
+
+
+def test_classification_randomized_vs_python(spark):
+    """Randomized check of the classification_* literal-bucket
+    expansions against an independent Python implementation of
+    PrecisionRecallAggregation.java (histogram + prefix/suffix sums,
+    0.99999999999 clamp, truncated-tail output length)."""
+    import math
+    import random
+
+    from presto_copy_spark.dialect import transpile
+
+    rng = random.Random(0xBEEF)
+
+    def py_classification(rows, b):
+        th, fh = [0.0] * b, [0.0] * b
+        for pred, outcome, w in rows:
+            i = int(math.floor(min(pred, 0.99999999999) * b))
+            if outcome:
+                th[i] += w
+            else:
+                fh[i] += w
+        tt, tf = sum(th), sum(fh)
+        out = {k: [] for k in ("precision", "recall", "fall_out", "miss_rate", "thresholds")}
+        run_t = run_f = 0.0
+        for i in range(b):
+            if tt <= run_t:
+                break
+            tp, fp = tt - run_t, tf - run_f
+            out["precision"].append(tp / (tp + fp) if tp + fp else float("nan"))
+            out["recall"].append(tp / tt)
+            out["fall_out"].append(fp / tf if tf else float("nan"))
+            out["miss_rate"].append(run_t / tt)
+            out["thresholds"].append(i / b)
+            run_t += th[i]
+            run_f += fh[i]
+        return out
+
+    for trial in range(5):
+        b = rng.choice([3, 5, 8, 16])
+        n = rng.randint(5, 60)
+        rows = [
+            (rng.random(), rng.random() < 0.6, float(rng.randint(1, 4)))
+            for _ in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "pred double, outcome boolean, w double"
+        ).createOrReplaceTempView("_cls_rand")
+        expect = py_classification(rows, b)
+        got = spark.sql(
+            transpile(
+                "SELECT "
+                + ", ".join(
+                    f"classification_{k}({b}, outcome, pred, w) AS {k}"
+                    for k in expect
+                )
+                + " FROM _cls_rand"
+            )
+        ).collect()[0]
+        for k, ev in expect.items():
+            gv = got[k]
+            assert len(gv) == len(ev), (trial, k, gv, ev)
+            for g, e in zip(gv, ev):
+                if math.isnan(e):
+                    assert g is None or math.isnan(g), (trial, k)
+                else:
+                    assert abs(g - e) < 1e-12, (trial, k, g, e)
