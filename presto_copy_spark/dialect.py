@@ -428,7 +428,10 @@ _SKETCH_UNSUPPORTED = frozenset(
         "scale_qdigest",
         "merge_sfm",
         "merge_khll",
+        "khyperloglog_agg",
         "noisy_empty_approx_set_sfm",
+        "noisy_approx_distinct_sfm",
+        "noisy_approx_set_sfm",
         "sketch_theta_summary",
         "hash_counts",
         "reidentification_potential",
