@@ -336,7 +336,6 @@ _GEO_UNSUPPORTED = frozenset(
         "simplify_geometry",
         "geometry_invalid_reason",
         "flatten_geometry_collections",
-        "expand_envelope",
     }
 )
 
@@ -377,7 +376,25 @@ def _rewrite_classification(low: str, args: list[list]) -> str | None:
     weight = (
         _render_tokens(_strip(args[3])) if len(args) == 4 else "1.0"
     )
-    bucket = f"floor(least(CAST({pred} AS DOUBLE), 0.99999999999) * {b})"
+    if len(args) == 4:
+        # PrecisionRecallAggregation.java throws INVALID_FUNCTION_ARGUMENT
+        # for negative weights (round-5 ADVICE item 4)
+        weight = (
+            f"CASE WHEN CAST({weight} AS DOUBLE) < 0D THEN"
+            f" CAST(raise_error(concat('{low}: weight must be"
+            f" non-negative: ', CAST({weight} AS STRING))) AS DOUBLE)"
+            f" ELSE CAST({weight} AS DOUBLE) END"
+        )
+    # predictions outside [0, 1] throw in the reference instead of
+    # silently matching no bucket (round-5 ADVICE item 4)
+    bucket = (
+        f"CASE WHEN CAST({pred} AS DOUBLE) < 0D"
+        f" OR CAST({pred} AS DOUBLE) > 1D THEN"
+        f" CAST(raise_error(concat('{low}: prediction must be in [0, 1]: ',"
+        f" CAST({pred} AS STRING))) AS BIGINT)"
+        f" ELSE CAST(floor(least(CAST({pred} AS DOUBLE),"
+        f" 0.99999999999) * {b}) AS BIGINT) END"
+    )
     th = ", ".join(
         f"sum(CASE WHEN ({outcome}) AND {bucket} = {i}"
         f" THEN CAST({weight} AS DOUBLE) ELSE 0D END)"
@@ -670,9 +687,18 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         )
     if low == "geometric_mean" and len(args) == 1:
         # GeometricMeanAggregations.java: state is (sum of ln, count),
-        # result exp(logSum / count) — exactly exp(avg(ln(x)))
+        # result exp(logSum / count).  Java's Math.log gives -Inf for 0
+        # and NaN for negatives, so logSum saturates: any negative ->
+        # NaN, else any zero -> exp(-Inf) = 0.  Spark's ln returns NULL
+        # for x <= 0 (and avg skips NULLs), so the branches are made
+        # explicit (round-5 ADVICE item 1).
         e = _render_tokens(_strip(args[0]))
-        return f"exp(avg(ln(CAST({e} AS DOUBLE))))"
+        d = f"CAST({e} AS DOUBLE)"
+        return (
+            f"CASE WHEN min({d}) < 0D THEN CAST('NaN' AS DOUBLE)"
+            f" WHEN min({d}) = 0D THEN 0D"
+            f" ELSE exp(avg(ln({d}))) END"
+        )
     if low == "noisy_count_if_gaussian" and len(args) == 2:
         # NoisyCountIfGaussianAggregation.java, 2-arg (unseeded) form:
         # exact conditional count + one N(0, scale) draw, clipped at 0.

@@ -202,17 +202,23 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
         "xs ARRAY<BINARY>",
         "BINARY",
         # fold the pairwise union over the array (HyperLogLogFunctions
-        # mergeHll of array(hll))
-        "CASE WHEN xs IS NULL OR size(xs) = 0 THEN NULL ELSE"
-        " aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
-        " (a, x) -> hll_union(a, x)) END",
+        # mergeHll of array(hll)); null entries are skipped like the
+        # reference's merge — a NULL head/element must not poison the
+        # fold (round-5 ADVICE item 5)
+        "CASE WHEN xs IS NULL THEN NULL ELSE"
+        " element_at(transform(array(filter(xs, x9 -> x9 IS NOT NULL)),"
+        " f9 -> CASE WHEN size(f9) = 0 THEN NULL ELSE"
+        " aggregate(slice(f9, 2, size(f9) - 1), element_at(f9, 1),"
+        " (a, x) -> hll_union(a, x)) END), 1) END",
     ),
     "merge_tdigest": (
         "xs ARRAY<BINARY>",
         "BINARY",
-        "CASE WHEN xs IS NULL OR size(xs) = 0 THEN NULL ELSE"
-        " aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
-        " (a, x) -> kll_sketch_merge_double(a, x)) END",
+        "CASE WHEN xs IS NULL THEN NULL ELSE"
+        " element_at(transform(array(filter(xs, x9 -> x9 IS NOT NULL)),"
+        " f9 -> CASE WHEN size(f9) = 0 THEN NULL ELSE"
+        " aggregate(slice(f9, 2, size(f9) - 1), element_at(f9, 1),"
+        " (a, x) -> kll_sketch_merge_double(a, x)) END), 1) END",
     ),
     "intersection_cardinality": (
         "a BINARY, b BINARY",

@@ -1153,16 +1153,18 @@ SQL_GEOMETRY_UDFS.update(
         ),
         "st_distance": (
             f"a {GEOM_T}, b {GEOM_T}", "DOUBLE",
-            # boundary-to-boundary distance via the nearest-points pair
-            # (exact for disjoint geometries; for intersecting AREAS the
-            # reference returns 0 — documented boundary semantics)
+            # 0 whenever the geometries intersect (containment /
+            # boundary crossings included — round-5 ADVICE item 2,
+            # matching the reference's Esri distance), else the exact
+            # disjoint boundary-to-boundary distance via nearest points
+            "CASE WHEN st_intersects(a, b) THEN 0D ELSE "
             "element_at(transform(array(geometry_nearest_points(a, b)), q9 ->"
             " CASE WHEN q9 IS NULL THEN NULL ELSE sqrt("
             " (element_at(q9, 2).rings[0][0].x - element_at(q9, 1).rings[0][0].x)"
             " * (element_at(q9, 2).rings[0][0].x - element_at(q9, 1).rings[0][0].x)"
             " + (element_at(q9, 2).rings[0][0].y - element_at(q9, 1).rings[0][0].y)"
             " * (element_at(q9, 2).rings[0][0].y - element_at(q9, 1).rings[0][0].y))"
-            " END), 1)",
+            " END), 1) END",
         ),
         "st_issimple": (
             f"g {GEOM_T}", "BOOLEAN",

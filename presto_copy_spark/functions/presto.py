@@ -323,7 +323,15 @@ def checksum(col) -> Column:
 
 
 def geometric_mean(col) -> Column:
-    return F.exp(F.avg(F.log(_col(col))))
+    """GeometricMeanAggregations.java: logSum saturates — any negative
+    input -> NaN, else any zero -> 0 (Math.log(0) = -Inf); Spark's ln
+    would NULL those out silently (round-5 ADVICE item 1)."""
+    c = _col(col).cast("double")
+    return (
+        F.when(F.min(c) < F.lit(0.0), F.lit(float("nan")))
+        .when(F.min(c) == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.exp(F.avg(F.log(c))))
+    )
 
 
 def max_by(value, ordering) -> Column:

@@ -285,3 +285,167 @@ def test_infoschema_catalog_qualified(spark):
         "SELECT count(*) AS c FROM system.information_schema.schemata"
     ).collect()
     assert rows2[0].c >= 1
+
+
+# ---- round-5 ADVICE items (fixed round 6) ----------------------------
+
+
+def test_geometric_mean_zero_and_negative(spark):
+    """GeometricMeanAggregations.java: logSum saturates — any zero input
+    -> 0.0 (Math.log(0) = -Inf), any negative -> NaN.  Spark's ln
+    NULLs those out, so the rewrite must branch (round-5 ADVICE 1)."""
+    import math
+
+    from presto_copy_spark.dialect import transpile
+
+    def gm(vals):
+        rows = ", ".join(f"({v!r})" for v in vals)
+        return spark.sql(
+            transpile(
+                f"SELECT geometric_mean(x) AS v FROM (VALUES {rows}) t(x)"
+            )
+        ).collect()[0].v
+
+    assert gm([2.0, 8.0]) == 4.0
+    assert gm([0.0, 2.0, 8.0]) == 0.0
+    assert math.isnan(gm([-1.0, 2.0, 8.0]))
+    assert math.isnan(gm([-1.0, 0.0, 8.0]))  # NaN wins over -Inf
+    # Column helper agrees
+    from presto_copy_spark.functions import presto as pf
+
+    df = spark.createDataFrame([(0.0,), (2.0,), (8.0,)], "x double")
+    assert df.agg(pf.geometric_mean("x").alias("v")).collect()[0].v == 0.0
+
+
+def test_st_distance_containment_and_crossing_zero(spark):
+    """st_distance must return 0 for intersecting geometries — polygon
+    containment and boundaries crossing far from any vertex (round-5
+    ADVICE 2, GeoFunctions.java stDistance via Esri distance)."""
+
+    def d(a_wkt, b_wkt):
+        return spark.sql(
+            f"SELECT st_distance(st_geometryfromtext('{a_wkt}'),"
+            f" st_geometryfromtext('{b_wkt}')) AS v"
+        ).collect()[0].v
+
+    # polygon fully containing another
+    assert d(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))",
+    ) == 0.0
+    # boundaries properly crossing far from any vertex
+    assert d("LINESTRING (0 5, 10 5)", "LINESTRING (5 0, 5 10)") == 0.0
+    # disjoint distance unchanged
+    assert d("POINT (0 0)", "POINT (3 4)") == 5.0
+    assert (
+        d(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0))",
+        )
+        == 2.0
+    )
+
+
+def test_expand_envelope_transpiles(spark):
+    """expand_envelope was registered but still listed in
+    _GEO_UNSUPPORTED, so transpiled queries raised (round-5 ADVICE 3)."""
+    from presto_copy_spark.dialect import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT st_xmin(expand_envelope(st_geometryfromtext("
+            "'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'), 1.0)) AS v"
+        )
+    ).collect()[0].v
+    assert r == 0.0
+    # negative distance still raises (reference validation)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="negative"):
+        spark.sql(
+            "SELECT expand_envelope(st_geometryfromtext('POINT (0 0)'),"
+            " -1.0) AS v"
+        ).collect()
+
+
+def test_classification_rejects_invalid_inputs(spark):
+    """PrecisionRecallAggregation.java throws INVALID_FUNCTION_ARGUMENT
+    for pred outside [0, 1] and for negative weights; the rewrite must
+    not silently drop/absorb them (round-5 ADVICE 4)."""
+    import pytest as _pytest
+
+    from presto_copy_spark.dialect import transpile
+
+    spark.createDataFrame(
+        [(True, 0.2, 1.0), (False, 1.5, 1.0)], "outcome boolean, pred double, w double"
+    ).createOrReplaceTempView("_cls_bad_pred")
+    with _pytest.raises(Exception, match=r"\[0, 1\]"):
+        spark.sql(
+            transpile(
+                "SELECT classification_recall(4, outcome, pred)"
+                " AS v FROM _cls_bad_pred"
+            )
+        ).collect()
+    spark.createDataFrame(
+        [(True, 0.2, -1.0), (False, 0.6, 1.0)],
+        "outcome boolean, pred double, w double",
+    ).createOrReplaceTempView("_cls_bad_w")
+    with _pytest.raises(Exception, match="non-negative"):
+        spark.sql(
+            transpile(
+                "SELECT classification_precision(4, outcome, pred, w)"
+                " AS v FROM _cls_bad_w"
+            )
+        ).collect()
+    # valid inputs still work
+    spark.createDataFrame(
+        [(True, 0.9, 1.0), (False, 0.1, 1.0)],
+        "outcome boolean, pred double, w double",
+    ).createOrReplaceTempView("_cls_ok")
+    out = spark.sql(
+        transpile(
+            "SELECT classification_recall(2, outcome, pred, w) AS v FROM _cls_ok"
+        )
+    ).collect()[0].v
+    assert out == [1.0, 1.0]
+
+
+def test_merge_sketches_skip_null_entries(spark):
+    """merge_hll / merge_tdigest skip NULL array entries like the
+    reference's merge; all-NULL folds return NULL instead of poisoning
+    (round-5 ADVICE 5)."""
+    spark.range(0, 1000).selectExpr("id", "id % 2 AS half").createOrReplaceTempView(
+        "_mrg_t"
+    )
+    est = spark.sql(
+        "SELECT hll_sketch_estimate(merge_hll(hlls)) AS v FROM ("
+        " SELECT array_insert(collect_list(h), 2, CAST(NULL AS BINARY)) AS hlls"
+        " FROM (SELECT half, hll_sketch_agg(id) AS h FROM _mrg_t GROUP BY half))"
+    ).collect()[0].v
+    assert abs(est - 1000) / 1000 < 0.05
+    # NULL head
+    est2 = spark.sql(
+        "SELECT hll_sketch_estimate(merge_hll(array(CAST(NULL AS BINARY),"
+        " (SELECT hll_sketch_agg(id) FROM range(0, 100)))))"
+        " AS v"
+    ).collect()[0].v
+    assert abs(est2 - 100) / 100 < 0.05
+    assert (
+        spark.sql(
+            "SELECT merge_hll(array(CAST(NULL AS BINARY))) AS v"
+        ).collect()[0].v
+        is None
+    )
+    med = spark.sql(
+        "SELECT kll_sketch_get_quantile_double(merge_tdigest(array("
+        " CAST(NULL AS BINARY),"
+        " (SELECT kll_sketch_agg_double(CAST(id AS DOUBLE)) FROM range(0, 101))"
+        ")), 0.5) AS v"
+    ).collect()[0].v
+    assert 40 <= med <= 60
+    assert (
+        spark.sql(
+            "SELECT merge_tdigest(array(CAST(NULL AS BINARY))) AS v"
+        ).collect()[0].v
+        is None
+    )
