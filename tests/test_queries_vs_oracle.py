@@ -56,14 +56,38 @@ def test_query_runs(spark, sf_dir, name):
 
 # ---- invariants for the sketch queries (no cross-engine oracle) -----------
 def test_kll_quantile_rollup_error_bounds(spark, sf_dir):
-    """Merged-KLL quantile estimates must sit within a small relative
-    error of the exact percentiles (default k -> ~1.65% rank error)."""
+    """The rollup's % 149 systematic filter keeps each merged group
+    under KLL's exact-mode threshold at the test SFs, so get_quantile(q)
+    must equal the ceil(q*n)-th order statistic EXACTLY (the same
+    identity the DuckDB oracle asserts; round-6 change — the query is
+    oracled now, this pins the exact-mode premise independently)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.catalog import load_table
+
     rows = registry.QUERIES["agg_kll_quantile_rollup"](spark, sf_dir).collect()
     assert rows
+    vals = {
+        r.l_returnflag: sorted(v.l_extendedprice for v in rows2)
+        for r in rows
+        for rows2 in [
+            load_table(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_orderkey") % 149 == 0)
+                & (F.col("l_returnflag") == r.l_returnflag)
+            )
+            .select("l_extendedprice")
+            .collect()
+        ]
+    }
     for r in rows:
-        assert r.sketch_n > 0
-        assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.10
-        assert abs(r.approx_p95 - r.exact_p95) / r.exact_p95 < 0.10
+        xs = vals[r.l_returnflag]
+        n = len(xs)
+        assert r.sketch_n == n > 0
+        assert r.approx_median == xs[max(1, math.ceil(0.5 * n)) - 1]
+        assert r.approx_p95 == xs[max(1, math.ceil(0.95 * n)) - 1]
 
 
 def test_theta_setops_error_bounds(spark, sf_dir):
