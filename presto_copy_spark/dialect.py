@@ -685,6 +685,68 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             f"(CAST(({a0}) AS BIGINT) * 65536"
             f" + CAST(({a1}) AS BIGINT) * 256 + CAST(({a2}) AS BIGINT))"
         )
+    if low in (
+        "ip_prefix",
+        "ip_subnet_min",
+        "ip_subnet_max",
+        "ip_subnet_range",
+        "is_subnet_of",
+    ):
+        # IpPrefixFunctions.java family: inline the generated v4+v6
+        # macro text instead of leaving a SQL-UDF call.  Spark's
+        # ResolveSQLFunctions re-parses and re-analyzes the ~6 KB
+        # registered body at EVERY call site (measured ~60-130 ms of
+        # pure planning on the round-5 floor table), while direct
+        # inlining is parsed once with the query.  Args are rendered
+        # text; the generators may embed them more than once, which is
+        # safe for the deterministic expressions the transpiler emits.
+        from .functions.compat import (
+            _ip_prefix_sql,
+            _ip_subnet_bound_sql,
+            _is_subnet_of_sql,
+        )
+
+        rendered = [f"({_render_tokens(_strip(a))})" for a in args]
+        if low == "ip_prefix" and len(args) == 2:
+            return _ip_prefix_sql(rendered[0], f"CAST({rendered[1]} AS INT)")
+        if low == "ip_subnet_min" and len(args) == 1:
+            return _ip_subnet_bound_sql(rendered[0], "min")
+        if low == "ip_subnet_max" and len(args) == 1:
+            return _ip_subnet_bound_sql(rendered[0], "max")
+        if low == "ip_subnet_range" and len(args) == 1:
+            return (
+                "array("
+                + _ip_subnet_bound_sql(rendered[0], "min")
+                + ", "
+                + _ip_subnet_bound_sql(rendered[0], "max")
+                + ")"
+            )
+        if low == "is_subnet_of" and len(args) == 2:
+            return _is_subnet_of_sql(rendered[0], rendered[1])
+    if low in ("parse_duration", "parse_presto_data_size", "char2hexint") and len(
+        args
+    ) == 1:
+        # same ResolveSQLFunctions-bypass inlining as the ip_* family —
+        # these bodies are small but each registered-UDF call site still
+        # pays a fixed body re-analysis cost per plan
+        e = f"({_render_tokens(_strip(args[0]))})"
+        if low == "char2hexint":
+            return f"upper(hex(encode({e}, 'UTF-16BE')))"
+        if low == "parse_duration":
+            return (
+                f"CAST(regexp_extract({e}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE)"
+                f" * (CASE lower(regexp_extract({e}, '([a-zA-Z]+)\\\\s*$', 1))"
+                " WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3"
+                " WHEN 's' THEN 1e0 WHEN 'm' THEN 60e0 WHEN 'h' THEN 3600e0"
+                " WHEN 'd' THEN 86400e0 END)"
+            )
+        return (
+            f"CAST(regexp_extract({e}, '^\\\\s*([0-9.]+)', 1) AS DOUBLE)"
+            f" * (CASE regexp_extract({e}, '([a-zA-Z]+)\\\\s*$', 1)"
+            " WHEN 'B' THEN 1e0 WHEN 'kB' THEN 1024e0 WHEN 'MB' THEN 1048576e0"
+            " WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0"
+            " WHEN 'PB' THEN 1125899906842624e0 END)"
+        )
     if low == "geometric_mean" and len(args) == 1:
         # GeometricMeanAggregations.java: state is (sum of ln, count),
         # result exp(logSum / count).  Java's Math.log gives -Inf for 0

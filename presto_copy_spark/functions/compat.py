@@ -85,9 +85,19 @@ def _v6_format(masked: str) -> str:
                 "concat_ws('', transform(m6, z6 -> IF(z6 = 0, 'z', 'n')))",
                 _let(
                     "b6",
-                    "get(filter(transform(sequence(8, 2, -1), "
-                    "r6 -> struct(r6 AS r, instr(f6, repeat('z', r6)) AS pos)), "
-                    "s6 -> s6.pos > 0), 0)",
+                    # generation-time fold of the run-length scan: the
+                    # former transform(sequence(8, 2, -1), r6 ->
+                    # ... repeat('z', r6) ...) kept non-foldable
+                    # lambda-bound literals that ConstantFolding
+                    # re-attempted on every optimizer iteration —
+                    # expanding the 7 literal probes here cuts the
+                    # macro's plan-only time (round-5 VERDICT ask #4)
+                    "get(filter(array("
+                    + ", ".join(
+                        f"struct({r} AS r, instr(f6, '{'z' * r}') AS pos)"
+                        for r in range(8, 1, -1)
+                    )
+                    + "), s6 -> s6.pos > 0), 0)",
                     "CASE WHEN b6 IS NULL THEN concat_ws(':', p6) "
                     "ELSE concat(concat_ws(':', slice(p6, 1, b6.pos - 1)), '::', "
                     "concat_ws(':', IF(b6.pos + b6.r > 8, array(), "
@@ -789,8 +799,12 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
     # macros cannot return intervals; DataSizeFunctions.java
     # parse_presto_data_size -> bytes as DOUBLE, Presto returns
     # DECIMAL(38,0)) ----
-    "parse_duration": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE lower(regexp_extract(s, '([a-zA-Z]+)\\s*$', 1)) WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 WHEN 's' THEN 1e0 WHEN 'm' THEN 60e0 WHEN 'h' THEN 3600e0 WHEN 'd' THEN 86400e0 END)"),
-    "parse_presto_data_size": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE regexp_extract(s, '([a-zA-Z]+)\\s*$', 1) WHEN 'B' THEN 1e0 WHEN 'kB' THEN 1024e0 WHEN 'MB' THEN 1048576e0 WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0 WHEN 'PB' THEN 1125899906842624e0 END)"),
+    # NOTE the doubled backslashes: Spark's string-literal parser
+    # unescapes '\s' to plain 's' inside the CREATE FUNCTION body, so a
+    # single-escaped regex silently failed on leading whitespace
+    # (caught round 6 when the transpiler gained an inlined twin)
+    "parse_duration": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE lower(regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1)) WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 WHEN 's' THEN 1e0 WHEN 'm' THEN 60e0 WHEN 'h' THEN 3600e0 WHEN 'd' THEN 86400e0 END)"),
+    "parse_presto_data_size": ("s STRING", "DOUBLE", "CAST(regexp_extract(s, '^\\\\s*([0-9.]+)', 1) AS DOUBLE) * (CASE regexp_extract(s, '([a-zA-Z]+)\\\\s*$', 1) WHEN 'B' THEN 1e0 WHEN 'kB' THEN 1024e0 WHEN 'MB' THEN 1048576e0 WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0 WHEN 'PB' THEN 1125899906842624e0 END)"),
     # ---- specialty: Teradata (presto-teradata-functions; `index` above) --
     "char2hexint": ("s STRING", "STRING", "upper(hex(encode(s, 'UTF-16BE')))"),
 }

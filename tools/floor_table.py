@@ -60,6 +60,15 @@ def main() -> None:
         for n, v in bench.items()
         if n in base and v >= 0 and v / base[n] > args.threshold
     ]
+    # Warm the planner once: the first executedPlan() in a fresh session
+    # pays one-time analyzer/optimizer rule init + codegen warm-up, which
+    # previously landed on whichever query ran first (the round-5 floor
+    # table showed q01 "plan-only 0.60 s" > its own solo total — probe
+    # overhead, not a planning regression).
+    warm = spark.range(2).groupBy("id").count()
+    warm._jdf.queryExecution().executedPlan()
+    warm.write.format("noop").mode("overwrite").save()
+
     print(
         "| query | spark s (bench) | spark s (solo) | duckdb s |"
         " ratio (solo) | shuffle stages | plan-only s | floor class |"
