@@ -328,9 +328,11 @@ _GEO_UNSUPPORTED = frozenset(
         # geometry_nearest_points — pure-Catalyst HOF implementations
         # in functions/geometry.py (documented convex/star-shaped
         # union subset; see its module docstring)
+        # round 6 closed: st_intersection (convex-convex hull-of-
+        # candidates), st_touches, st_geomfrombinary (NDR WKB decode)
+        # — functions/geometry.py
         "st_difference",
         "st_symdifference",
-        "st_intersection",
         "st_buffer",
         "line_interpolate_points",
         "simplify_geometry",
@@ -444,16 +446,14 @@ _SKETCH_UNSUPPORTED = frozenset(
         "scale_tdigest",
         "scale_qdigest",
         "merge_sfm",
-        "merge_khll",
-        "khyperloglog_agg",
+        # round 6 closed: khyperloglog_agg / merge_khll /
+        # uniqueness_distribution / reidentification_potential (KHLL
+        # twin — functions/compat.py) and trimmed_mean
         "noisy_empty_approx_set_sfm",
         "noisy_approx_distinct_sfm",
         "noisy_approx_set_sfm",
         "sketch_theta_summary",
         "hash_counts",
-        "reidentification_potential",
-        "uniqueness_distribution",
-        "trimmed_mean",
     }
 )
 
@@ -521,6 +521,30 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         folded = _fold_color_call(low, args)
         if folded is not None:
             return folded
+        # round 6: non-literal args route to the registered Arrow-
+        # batched UDFs (functions/__init__.py _register_color_py);
+        # SQL UDF names are single-arity so defaults are supplied here
+        if low == "bar" and len(args) == 2:
+            # ColorFunctions.bar 2-arg defaults: red -> green
+            a0 = _render_tokens(_strip(args[0]))
+            a1 = _render_tokens(_strip(args[1]))
+            return f"bar({a0}, {a1}, 16711680, 65280)"
+        if low == "render" and len(args) == 1:
+            # render(boolean): fixed green-check / red-cross literals
+            # (ColorFunctions.java renderBoolean), base64-armored so the
+            # raw ANSI ESC bytes never enter the SQL text
+            import base64
+
+            from .functions.presto import py_render_bool
+
+            b64t = base64.b64encode(py_render_bool(True).encode()).decode()
+            b64f = base64.b64encode(py_render_bool(False).encode()).decode()
+            e = _render_tokens(_strip(args[0]))
+            return (
+                f"IF(CAST({e} AS BOOLEAN),"
+                f" CAST(unbase64('{b64t}') AS STRING),"
+                f" CAST(unbase64('{b64f}') AS STRING))"
+            )
     if low == "features":
         # MLFeaturesFunctions.java: features(a, b, ...) builds the dense
         # 0..n-1 feature vector -> array<double>
@@ -747,6 +771,28 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
             " WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0"
             " WHEN 'PB' THEN 1125899906842624e0 END)"
         )
+    if low == "khyperloglog_agg" and len(args) == 2:
+        # KHyperLogLogAggregationFunction: the twin collects the
+        # distinct (hash(value), hash(uii)) pairs of the group, keeps
+        # the bottom-K value-hashes and groups uii-hashes per key with
+        # one boundary scan (functions/compat.py khll_from_pairs_sql;
+        # cap-guarded — beyond ~1M distinct pairs a two-level
+        # aggregation is the scalable shape)
+        from .functions.compat import khll_from_pairs_sql, khll_hash_sql
+
+        x = _render_tokens(_strip(args[0]))
+        u = _render_tokens(_strip(args[1]))
+        pairs = (
+            "array_sort(array_distinct(collect_list(named_struct("
+            f"'h', {khll_hash_sql(x)}, 'u', {khll_hash_sql(u)}))))"
+        )
+        return khll_from_pairs_sql(pairs)
+    if low == "uniqueness_distribution" and len(args) == 1:
+        # 1-arg form defaults to DEFAULT_HISTOGRAM_SIZE = 256
+        # (KHyperLogLog.java:59); SQL UDFs are single-arity so the
+        # default is supplied here
+        e = _render_tokens(_strip(args[0]))
+        return f"uniqueness_distribution({e}, 256)"
     if low == "geometric_mean" and len(args) == 1:
         # GeometricMeanAggregations.java: state is (sum of ln, count),
         # result exp(logSum / count).  Java's Math.log gives -Inf for 0

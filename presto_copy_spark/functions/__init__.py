@@ -43,7 +43,44 @@ def register_all(spark: SparkSession) -> None:
     register_stats_sql(spark)
     _register_normalize(spark)
     _register_binary_py(spark)
+    _register_color_py(spark)
     spark.conf.set(marker, "true")
+
+
+def _register_color_py(spark: SparkSession) -> None:
+    """ANSI display family as SQL names (ColorFunctions.java color /
+    render / bar): non-literal args route here (literal calls are
+    constant-folded by the dialect via the same Python ports).
+    Arrow-batched pandas UDFs — display functions, never a hot path."""
+    from pyspark.sql import functions as F
+
+    from .presto import _py_color, py_bar, py_render
+
+    def _pdudf(ret, fn):
+        @F.pandas_udf(ret)
+        def _udf(*cols):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    None if any(v is None for v in vals) else fn(*vals)
+                    for vals in zip(*cols)
+                ]
+            )
+
+        return _udf
+
+    spark.udf.register("color", _pdudf("bigint", lambda s: _py_color(str(s))))
+    spark.udf.register(
+        "render", _pdudf("string", lambda t, c: py_render(str(t), int(c)))
+    )
+    spark.udf.register(
+        "bar",
+        _pdudf(
+            "string",
+            lambda p, w, lo, hi: py_bar(float(p), int(w), int(lo), int(hi)),
+        ),
+    )
 
 
 def _register_binary_py(spark: SparkSession) -> None:

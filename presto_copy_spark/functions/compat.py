@@ -810,6 +810,137 @@ SQL_UDFS: dict[str, tuple[str, str, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# KHyperLogLog twin (round 6; KHyperLogLogFunctions.java,
+# KHyperLogLog.java — the join-ability / re-identification privacy
+# metrics a training-data pipeline needs).  The reference's KHLL is a
+# bottom-K minhash map from hash(value) to an HLL of uii; the twin here
+# is the same bottom-K map with an EXACT sorted-distinct uii-hash array
+# per key (documented: exact where the reference estimates, identical
+# in the exact regime the tests and oracles pin).  The hash is the
+# engine's cross-engine md5 60-bit row hash so a DuckDB oracle can
+# replicate the bottom-K selection bit-for-bit.  K = DEFAULT_MAX_SIZE
+# = 4096, histogram default = 256 (KHyperLogLog.java:58-59).
+# ---------------------------------------------------------------------------
+
+KHLL_T = "MAP<BIGINT, ARRAY<BIGINT>>"
+KHLL_K = 4096
+_KHLL_PAIR_CAP = 1_048_576
+
+
+def khll_hash_sql(e: str) -> str:
+    """The twin's hash: md5-based 60-bit, bit-identical in DuckDB via
+    ('0x' || substr(md5(CAST(e AS VARCHAR)), 1, 15))::BIGINT."""
+    return (
+        f"CAST(conv(substr(md5(CAST(({e}) AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def khll_from_pairs_sql(pairs: str, k: int = KHLL_K) -> str:
+    """KHLL twin map from `pairs` (sorted distinct
+    ARRAY<STRUCT<h BIGINT, u BIGINT>>): bottom-k distinct h, grouped by
+    h via one O(N) boundary scan (no per-key filter — the group slices
+    come from the sorted order)."""
+    keys = f"array_distinct(transform(kd9, kq9 -> kq9.h))"
+    kmax = f"element_at(slice({keys}, 1, {k}), least(size({keys}), {k}))"
+    return (
+        f"element_at(transform(array({pairs}), kd9 ->"
+        f" CASE WHEN size(kd9) = 0 THEN CAST(map() AS {KHLL_T})"
+        f" WHEN size(kd9) > {_KHLL_PAIR_CAP} THEN"
+        f"  raise_error('khyperloglog twin: more than {_KHLL_PAIR_CAP}"
+        " distinct (value, uii) pairs in one group; use a two-level"
+        " aggregation instead (see agg_khll_uniqueness)')"
+        f" ELSE element_at(transform(array(filter(kd9, kp9 -> kp9.h <= {kmax})), kt9 ->"
+        " element_at(transform(array(filter(sequence(1, size(kt9)),"
+        "  ki9 -> ki9 = 1 OR element_at(kt9, ki9).h"
+        "   != element_at(kt9, ki9 - 1).h)), kb9 ->"
+        " map_from_arrays("
+        "  transform(kb9, bi9 -> element_at(kt9, bi9).h),"
+        "  transform(sequence(1, size(kb9)), kj9 ->"
+        "   transform(slice(kt9, element_at(kb9, kj9),"
+        "    IF(kj9 < size(kb9), element_at(kb9, kj9 + 1),"
+        "     size(kt9) + 1) - element_at(kb9, kj9)),"
+        "    kp9 -> kp9.u)))), 1)), 1) END), 1)"
+    )
+
+
+SQL_UDFS.update(
+    {
+        # uniquenessDistribution(khll, histogramSize): buckets 1..size
+        # initialized to 0, each sampled key adds 1/|keys| at bucket
+        # min(|uii set|, size).  The 1-arg default (256) is a dialect
+        # rewrite (SQL UDFs are single-arity).
+        "uniqueness_distribution": (
+            f"k {KHLL_T}, hist BIGINT",
+            "MAP<BIGINT, DOUBLE>",
+            "CASE WHEN k IS NULL THEN NULL"
+            " WHEN size(map_keys(k)) = 0 THEN CAST(map() AS MAP<BIGINT, DOUBLE>)"
+            " ELSE element_at(transform(array(map_values(k)), vs9 ->"
+            " map_from_arrays("
+            "  transform(sequence(1, hist), hi9 -> CAST(hi9 AS BIGINT)),"
+            "  transform(sequence(1, hist), hi9 ->"
+            "   CAST(size(filter(vs9, v9 -> least(size(v9), hist) = hi9))"
+            "    AS DOUBLE) / size(vs9)))), 1) END",
+        ),
+        # reidentificationPotential(khll, threshold): fraction of
+        # sampled keys whose uii set is at most `threshold` distinct
+        # values (KHyperLogLog.java:297)
+        "reidentification_potential": (
+            f"k {KHLL_T}, t BIGINT",
+            "DOUBLE",
+            "CASE WHEN k IS NULL THEN NULL"
+            " WHEN size(map_keys(k)) = 0 THEN 0D"
+            " ELSE CAST(size(filter(map_values(k), v9 -> size(v9) <= t))"
+            "  AS DOUBLE) / size(map_values(k)) END",
+        ),
+        # trimmed_mean(tdigest, lo, hi) (TDigestFunctions.java:142 /
+        # TDigest.java:589 — mean of the values between the quantile
+        # bounds).  Spark's KLL accessors require FOLDABLE quantile
+        # arguments, so the twin integrates the quantile function on a
+        # fixed 200-point midpoint grid ((j-0.5)/200): exact whenever
+        # the bounds and the group size divide the grid (the regime the
+        # pytest oracle pins), midpoint-Riemann otherwise.  Bounds
+        # outside [0,1] raise like the reference; lo >= hi -> NaN.
+        "trimmed_mean": (
+            "t BINARY, lo DOUBLE, hi DOUBLE",
+            "DOUBLE",
+            "CASE WHEN t IS NULL THEN NULL"
+            " WHEN lo < 0D OR lo > 1D OR hi < 0D OR hi > 1D THEN"
+            "  raise_error(concat('trimmed_mean: quantile bounds must be"
+            " in [0, 1], got ', CAST(lo AS STRING), ', ', CAST(hi AS STRING)))"
+            " WHEN lo >= hi THEN CAST('NaN' AS DOUBLE)"
+            " ELSE element_at(transform(array(filter(array("
+            + ", ".join(
+                f"named_struct('q', {(2 * j - 1) / 400!r}D, 'v',"
+                f" kll_sketch_get_quantile_double(t, {(2 * j - 1) / 400!r}D))"
+                for j in range(1, 201)
+            )
+            + "), tp9 -> tp9.q >= lo AND tp9.q < hi)), tf9 ->"
+            " CASE WHEN size(tf9) = 0 THEN CAST('NaN' AS DOUBLE)"
+            " ELSE aggregate(tf9, 0D, (ta9, tv9) -> ta9 + tv9.v)"
+            "  / size(tf9) END), 1) END",
+        ),
+        # mergeKhll(array<khll>): union of the maps re-truncated to the
+        # bottom-K keys, uii sets unioned per key; null entries skipped
+        "merge_khll": (
+            f"ks ARRAY<{KHLL_T}>",
+            KHLL_T,
+            "CASE WHEN ks IS NULL OR size(filter(ks, k9 -> k9 IS NOT NULL)) = 0"
+            " THEN NULL ELSE "
+            + khll_from_pairs_sql(
+                "array_sort(array_distinct(flatten(transform("
+                " flatten(transform(filter(ks, k9 -> k9 IS NOT NULL),"
+                "  k9 -> map_entries(k9))),"
+                " e9 -> transform(e9.value, eu9 ->"
+                "  named_struct('h', e9.key, 'u', eu9))))))"
+            )
+            + " END",
+        ),
+    }
+)
+
+
 def register_sql_udfs(spark: SparkSession) -> list[str]:
     """Register all compat functions; returns names that failed (if any).
 

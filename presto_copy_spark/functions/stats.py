@@ -297,6 +297,10 @@ CDF_IMPLS = {
     "inverse_chi_squared_cdf": (inverse_chi_squared_cdf, ("double", "double"), "double"),
     "f_cdf": (f_cdf, ("double", "double", "double"), "double"),
     "inverse_f_cdf": (inverse_f_cdf, ("double", "double", "double"), "double"),
+    # the reference's annotation spells this one WITHOUT the underscore
+    # (StatisticalFunctions.java inverseFCdf -> "inverse_fcdf"); both
+    # names register to the same implementation
+    "inverse_fcdf": (inverse_f_cdf, ("double", "double", "double"), "double"),
     "gamma_cdf": (gamma_cdf, ("double", "double", "double"), "double"),
     "inverse_gamma_cdf": (inverse_gamma_cdf, ("double", "double", "double"), "double"),
     "laplace_cdf": (laplace_cdf, ("double", "double", "double"), "double"),

@@ -526,3 +526,136 @@ def geo_hull_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st_area(from_geojson_geometry(to_geojson_geometry(ga)))"
         ).alias("gj_area"),
     )
+
+
+@query(
+    "geo_relate_ops",
+    # Closed-form truth (r = 1 + s % 4, cx = s % 10, cy = s % 7,
+    # A = [cx-r, cx+r]^2-ish square, B placed by mode = s % 4):
+    #   mode 0 (diagonal overlap, B center (cx+r, cy+r)):
+    #     touches false, A intersect B = [cx, cx+r] x [cy, cy+r]
+    #     POLYGON of area r^2
+    #   mode 1 (edge contact, B center (cx+2r, cy)): touches true,
+    #     intersection LINESTRING (the shared edge), area 0
+    #   mode 2 (corner contact, B center (cx+2r, cy+2r)): touches
+    #     true, intersection POINT, area 0
+    #   mode 3 (disjoint, B center (cx+5r, cy)): touches false,
+    #     intersection EMPTY, area 0
+    # The boundary probe POINT(cx + (s%2)*r, cy) touches A iff s is odd
+    # (right-edge midpoint) — even keys put it at the center (inside,
+    # not touching).  The WKB column is POINT(cx, cy) encoded to NDR
+    # bytes via a literal int->IEEE-754 hex map, read back bit-exactly
+    # by st_geomfrombinary.  All values are exact doubles.
+    oracle="""
+SELECT s_suppkey,
+       (s_suppkey % 4) IN (1, 2) AS touches_ab,
+       CASE s_suppkey % 4 WHEN 0 THEN 'POLYGON' WHEN 1 THEN 'LINESTRING'
+            WHEN 2 THEN 'POINT' ELSE 'EMPTY' END AS itype,
+       CASE s_suppkey % 4 WHEN 0 THEN r * r ELSE 0.0 END AS iarea,
+       (s_suppkey % 2) = 1 AS pt_touches,
+       CAST(s_suppkey % 10 AS DOUBLE) AS wkb_x,
+       CAST(s_suppkey % 7 AS DOUBLE) AS wkb_y
+FROM (SELECT s_suppkey, CAST(1 + s_suppkey % 4 AS DOUBLE) AS r
+      FROM supplier) t
+""",
+)
+def geo_relate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 relate-class end-to-end (GeoFunctions.java stTouches:1142,
+    stIntersection:986, stGeomFromBinary:250): per supplier build two
+    axis-aligned squares whose relation is decided by s_suppkey % 4 and
+    check st_touches / st_intersection (convex-convex hull-of-candidates)
+    / st_geomfrombinary (pure-SQL NDR WKB decode) against closed-form
+    truth.  Row-local HOFs only — no joins, no shuffles; the WKB decode
+    path is the ingestion shape a 100 TB geo pipeline needs (parquet
+    binary column -> geometry struct, never leaving the executors)."""
+    import struct
+
+    from ..functions import register_all
+
+    register_all(spark)
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 10).cast("double").alias("cx"),
+        (F.col("s_suppkey") % 7).cast("double").alias("cy"),
+        (1 + F.col("s_suppkey") % 4).cast("double").alias("r"),
+        (F.col("s_suppkey") % 4).alias("mode"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    bx = (
+        F.when(F.col("mode") == 0, cx + r)
+        .when(F.col("mode") == 1, cx + 2 * r)
+        .when(F.col("mode") == 2, cx + 2 * r)
+        .otherwise(cx + 5 * r)
+    )
+    by = (
+        F.when(F.col("mode") == 0, cy + r)
+        .when(F.col("mode") == 2, cy + 2 * r)
+        .otherwise(cy)
+    )
+
+    def num(c):
+        return c.cast("string")
+
+    def square_wkt(px, py, rr):
+        body = F.concat_ws(
+            ", ",
+            F.concat_ws(" ", num(px - rr), num(py - rr)),
+            F.concat_ws(" ", num(px + rr), num(py - rr)),
+            F.concat_ws(" ", num(px + rr), num(py + rr)),
+            F.concat_ws(" ", num(px - rr), num(py + rr)),
+            F.concat_ws(" ", num(px - rr), num(py - rr)),
+        )
+        return F.concat(F.lit("POLYGON (("), body, F.lit("))"))
+
+    # literal int -> little-endian IEEE-754 hex of the double value
+    # (cx in 0..9, cy in 0..6) — the WKB bytes are assembled in-plan
+    ieee = {i: struct.pack("<d", float(i)).hex() for i in range(10)}
+    hexmap = F.create_map(
+        *[F.lit(v) for kv in ieee.items() for v in kv]
+    )
+    parsed = s.select(
+        "s_suppkey",
+        "mode",
+        "r",
+        square_wkt(cx, cy, r).alias("wa"),
+        square_wkt(bx, by, r).alias("wb"),
+        F.concat_ws(
+            " ",
+            num(cx + (F.col("s_suppkey") % 2) * r),
+            num(cy),
+        ).alias("probe_body"),
+        F.unhex(
+            F.concat(
+                F.lit("0101000000"),
+                hexmap[F.col("s_suppkey") % 10],
+                hexmap[F.col("s_suppkey") % 7],
+            )
+        ).alias("wkb"),
+    ).select(
+        "s_suppkey",
+        F.expr("st_geometryfromtext(wa)").alias("ga"),
+        F.expr("st_geometryfromtext(wb)").alias("gb"),
+        F.expr(
+            "st_geometryfromtext(concat('POINT (', probe_body, ')'))"
+        ).alias("gp"),
+        F.expr("st_geomfrombinary(wkb)").alias("gw"),
+    )
+    # stage the intersection once (multi-referenced for gtype + area)
+    staged = parsed.select(
+        "s_suppkey",
+        "ga",
+        "gb",
+        "gp",
+        "gw",
+        F.expr("st_intersection(ga, gb)").alias("ab"),
+    )
+    return staged.select(
+        "s_suppkey",
+        F.expr("st_touches(ga, gb)").alias("touches_ab"),
+        F.expr("coalesce(ab.gtype, 'EMPTY')").alias("itype"),
+        F.expr("st_area(ab)").alias("iarea"),
+        F.expr("st_touches(gp, ga)").alias("pt_touches"),
+        F.expr("st_x(gw)").alias("wkb_x"),
+        F.expr("st_y(gw)").alias("wkb_y"),
+    )

@@ -53,8 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_lm_quality",  # bigram-LM CCNet-twin quality gate
     "docs_temperature_mix",  # alpha source reweighting
     "multimodal_audio_features",  # RIFF/WAVE PCM16 + signal features
-    "agg_kll_quantile_rollup",  # rows-only (sketch binary output)
-    "agg_theta_sketch_setops",  # rows-only
+    "agg_kll_quantile_rollup",  # r6: oracled (KLL exact-mode filter)
+    "agg_theta_sketch_setops",  # r6: oracled (theta exact regime)
     # Sampling family slot: the deterministic systematic sample carries
     # the oracled driver row (round-5 VERDICT ask #1 — sample_bernoulli
     # is genuinely un-oracle-able PRNG output; it stays registered
@@ -62,14 +62,19 @@ DRIVER_PRIORITY: list[str] = [
     "sample_systematic",
     "values_inline",
     "unnest_explode",
-    "geo_hull_union",  # NEW r5: OGC hull/union/nearest/interp/GeoJSON
+    "geo_hull_union",  # r5: OGC hull/union/nearest/interp/GeoJSON
+    # ---- Round-6 rotation: the two NEW round-6 queries take driver
+    # slots; geo_wkt_polygon_ops (r5-green, geo family still held by
+    # THREE driver rows) and agg_histogram_map (r3+r5-green) rotate out
+    # to tests/test_queries_vs_oracle.py like every prior rotation.
+    "geo_relate_ops",  # NEW r6: st_touches / st_intersection / WKB
+    "agg_khll_privacy",  # NEW r6: KHLL privacy SQL names end-to-end
     # Touched by round 5 — must re-prove green (11):
     "tpch_q02",  # one-shuffle agg+window fold
     "tpch_q11",  # CTE materialization (diamond dedup)
     "tpch_q15",  # CTE materialization
     "tpch_q22",  # broadcast hint removed, AQE decides
     "geo_polygon_predicates",  # staged shared primitives
-    "geo_wkt_polygon_ops",  # staged parse + centroid
     "ml_kmeans",  # one-pass mean_update fold
     "sim_pq_adc",  # pq_code_sub_structs train fold + model checkpoint
     "sim_ivfadc",  # coarse+PQ train folds + model checkpoints
@@ -86,7 +91,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_quality",
     "sim_topk_bruteforce",
     "sql_presto_aggregates",
-    "agg_histogram_map",
     "agg_percentiles",
     "agg_skew_kurt",  # kurtosis rewrite landed r5 — regression-guard
     "geo_distance_join",
@@ -106,7 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "try_cast_absorbs",
     "distinct_limit",
     # ---- the 50-entry cut lands here ----
-    # Rotated out this round (all r2 ∪ r3 ∪ r4 driver-green, still
+    # Rotated out round 6: geo_wkt_polygon_ops, agg_histogram_map.
+    # Rotated out round 5 (all r2 ∪ r3 ∪ r4 driver-green, still
     # pytest-oracled): tpch_q03, tpch_q13, tpch_q18, text_repetition,
     # text_bpe_tokens, text_lang_id, text_token_stats,
     # sim_quantized_cosine, events_json_props, docs_decontaminate,

@@ -1205,3 +1205,297 @@ def test_classification_randomized_vs_python(spark):
                     assert g is None or math.isnan(g), (trial, k)
                 else:
                     assert abs(g - e) < 1e-12, (trial, k, g, e)
+
+
+def test_geometry_relate_round6(spark):
+    """Round-6 relate-class: st_touches (boundary contact, disjoint
+    interiors), st_intersection (convex-convex exact hull-of-candidates),
+    including the partial-edge-overlap case where neither polygon has a
+    vertex strictly inside the other (GeoFunctions.java stTouches:1142,
+    stIntersection:986)."""
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def one(expr):
+        return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+    def touch(a, b):
+        return one(
+            f"st_touches(st_geometryfromtext('{a}'), st_geometryfromtext('{b}'))"
+        )
+
+    def inter_wkt(a, b):
+        return one(
+            "st_astext(st_intersection(st_geometryfromtext"
+            f"('{a}'), st_geometryfromtext('{b}')))"
+        )
+
+    sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert touch(sq, "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))") is True  # edge
+    assert touch(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") is True  # corner
+    assert touch(sq, sq) is False  # equal -> interiors overlap
+    assert touch(sq, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") is False
+    assert (
+        touch(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+        )
+        is False
+    )  # overlap
+    # partial-edge overlap: no vertex strictly inside, interiors overlap
+    assert (
+        touch(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))",
+        )
+        is False
+    )
+    # containment (no boundary contact)
+    assert (
+        touch(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))",
+        )
+        is False
+    )
+    # point / linestring branches
+    assert touch("POINT (1 0.5)", sq) is True
+    assert touch("POINT (0.5 0.5)", sq) is False
+    assert touch("POINT (1 1)", "POINT (1 1)") is False
+    assert touch("POINT (0 0)", "LINESTRING (0 0, 1 1)") is True
+    assert touch("POINT (0.5 0.5)", "LINESTRING (0 0, 1 1)") is False
+    # intersection shapes
+    assert inter_wkt(
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+        "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+    ) == "POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))"
+    assert inter_wkt(sq, "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))") == (
+        "LINESTRING (1.0 0.0, 1.0 1.0)"
+    )
+    assert inter_wkt(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == "POINT (1.0 1.0)"
+    assert inter_wkt(sq, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") is None  # EMPTY
+    # square x diamond -> octagon, area check 16 - 4*(1/2) = 14
+    area = spark.sql(
+        "SELECT st_area(st_intersection("
+        " st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),"
+        " st_geometryfromtext('POLYGON ((2 -1, 5 2, 2 5, -1 2, 2 -1))'))) AS v"
+    ).collect()[0].v
+    assert area == 14.0
+    # transpiler routes st_intersection now (was _GEO_UNSUPPORTED)
+    from presto_copy_spark.dialect import transpile
+
+    assert "st_intersection" in transpile(
+        "SELECT st_intersection(a, b) FROM t"
+    ).lower()
+
+
+def test_geometry_wkb_decode_round6(spark):
+    """st_geomfrombinary: bit-exact NDR WKB decode, property-tested
+    against Python struct round-trips (150 random doubles incl.
+    denormals), plus LINESTRING/POLYGON/MULTIPOINT layouts and the
+    big-endian / unknown-type error paths (GeoFunctions.java
+    stGeomFromBinary:250)."""
+    import math
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    rng = random.Random(606)
+    vals = [0.0, -0.0, 1.0, -1.0, 5e-324, -5e-324, 2.2250738585072014e-308,
+            1.7976931348623157e308, 123.456, -7.25e-300]
+    for _ in range(140):
+        kind = rng.randrange(3)
+        if kind == 0:
+            vals.append(rng.uniform(-1e6, 1e6))
+        elif kind == 1:
+            vals.append(rng.uniform(-1, 1) * 10 ** rng.randrange(-300, 300))
+        else:
+            vals.append(struct.unpack("<d", struct.pack("<Q", rng.getrandbits(63)))[0])
+    vals = [v for v in vals if not math.isnan(v)]
+    rows = [(struct.pack("<BI2d", 1, 1, v, -v),) for v in vals]
+    df = spark.createDataFrame(rows, "wkb binary")
+    got = [
+        (r.x, r.y)
+        for r in df.selectExpr(
+            "st_x(st_geomfrombinary(wkb)) AS x",
+            "st_y(st_geomfrombinary(wkb)) AS y",
+        ).collect()
+    ]
+    for v, (x, y) in zip(vals, got):
+        assert struct.pack("<d", x) == struct.pack("<d", v), (v, x)
+        assert struct.pack("<d", y) == struct.pack("<d", -v), (v, y)
+
+    def one(expr):
+        return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+    line = struct.pack("<BII", 1, 2, 3) + struct.pack("<6d", 0, 0, 1.5, 2.5, -3.25, 4.0)
+    assert one(
+        f"st_astext(st_geomfrombinary(unhex('{line.hex()}')))"
+    ) == "LINESTRING (0.0 0.0, 1.5 2.5, -3.25 4.0)"
+    poly = (
+        struct.pack("<BII", 1, 3, 2)
+        + struct.pack("<I", 4)
+        + struct.pack("<8d", 0, 0, 4, 0, 4, 4, 0, 0)
+        + struct.pack("<I", 4)
+        + struct.pack("<8d", 1, 1, 2, 1, 2, 2, 1, 1)
+    )
+    assert one(f"st_area(st_geomfrombinary(unhex('{poly.hex()}')))") == 7.5
+    mp = (
+        struct.pack("<BII", 1, 4, 2)
+        + struct.pack("<BI2d", 1, 1, 1, 2)
+        + struct.pack("<BI2d", 1, 1, 3, 4)
+    )
+    assert one(
+        f"st_astext(st_geomfrombinary(unhex('{mp.hex()}')))"
+    ) == "MULTIPOINT (1.0 2.0, 3.0 4.0)"
+    # NaN decodes as NaN
+    nanpt = struct.pack("<BI2d", 1, 1, float("nan"), 1.0)
+    assert math.isnan(one(f"st_x(st_geomfrombinary(unhex('{nanpt.hex()}')))"))
+    # error paths
+    big = struct.pack(">BI2d", 0, 1, 1.0, 2.0)
+    with _pytest.raises(Exception, match="big-endian"):
+        spark.sql(
+            f"SELECT st_geomfrombinary(unhex('{big.hex()}')) AS v"
+        ).collect()
+    badtype = struct.pack("<BI2d", 1, 99, 1.0, 2.0)
+    with _pytest.raises(Exception, match="type code 99"):
+        spark.sql(
+            f"SELECT st_geomfrombinary(unhex('{badtype.hex()}')) AS v"
+        ).collect()
+    # alias
+    pt = struct.pack("<BI2d", 1, 1, 9.0, -2.0)
+    assert one(
+        f"st_astext(st_geometryfrombinary(unhex('{pt.hex()}')))"
+    ) == "POINT (9.0 -2.0)"
+
+
+def test_khll_privacy_names_round6(spark):
+    """khyperloglog_agg / uniqueness_distribution /
+    reidentification_potential / merge_khll SQL names (round-6 twin;
+    KHyperLogLogFunctions.java, KHyperLogLog.java:297,312).  The twin is
+    exact in the bottom-K regime, so every value is checked exactly."""
+    from presto_copy_spark.dialect import transpile
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    rows = [(v, u) for v in range(1, 9) for u in range(v % 4 + 1)]
+    spark.createDataFrame(rows, "v int, uii int").createOrReplaceTempView(
+        "_khll_r6"
+    )
+    # v % 4 + 1 distinct uii per v: sizes {1: x2, 2: x2, 3: x2, 4: x2}
+    r = spark.sql(
+        transpile(
+            """
+WITH s AS (SELECT khyperloglog_agg(v, uii) AS k FROM _khll_r6)
+SELECT size(map_keys(k)) AS nk,
+       uniqueness_distribution(k, 3) AS ud,
+       reidentification_potential(k, 2) AS reid,
+       uniqueness_distribution(k)[CAST(4 AS BIGINT)] AS ud4
+FROM s
+"""
+        )
+    ).collect()[0]
+    assert r.nk == 8
+    assert dict(sorted(r.ud.items())) == {1: 0.25, 2: 0.25, 3: 0.5}
+    assert r.reid == 0.5
+    assert r.ud4 == 0.25  # default 256-bucket histogram, bucket 4
+    # merge of per-group sketches == sketch of the union
+    r2 = spark.sql(
+        transpile(
+            """
+WITH s AS (SELECT v % 2 AS g, khyperloglog_agg(v, uii) AS k
+           FROM _khll_r6 GROUP BY v % 2),
+     m AS (SELECT merge_khll(collect_list(k)) AS k FROM s),
+     w AS (SELECT khyperloglog_agg(v, uii) AS k FROM _khll_r6)
+SELECT (SELECT array_sort(map_entries(k)) FROM m)
+     = (SELECT array_sort(map_entries(k)) FROM w) AS same
+"""
+        )
+    ).collect()[0]
+    assert r2.same is True
+    # merge skips NULL entries / returns NULL for all-NULL
+    assert (
+        spark.sql(
+            "SELECT merge_khll(CAST(array(NULL) AS"
+            " ARRAY<MAP<BIGINT, ARRAY<BIGINT>>>)) AS v"
+        ).collect()[0].v
+        is None
+    )
+
+
+def test_trimmed_mean_round6(spark):
+    """trimmed_mean(tdigest, lo, hi) twin (TDigestFunctions.java:142 /
+    TDigest.java:589): exact on the 200-probe grid in KLL exact mode —
+    oracled against the closed-form mean of the bounded order
+    statistics."""
+    import math
+    import statistics
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    r = spark.sql(
+        """
+WITH s AS (SELECT kll_sketch_agg_double(CAST(id AS DOUBLE)) AS t
+           FROM range(1, 101))
+SELECT trimmed_mean(t, 0.1D, 0.9D) AS tm,
+       trimmed_mean(t, 0.25D, 0.75D) AS iqm,
+       trimmed_mean(t, 0D, 1D) AS full,
+       trimmed_mean(t, 0.6D, 0.6D) AS degen
+FROM s
+"""
+    ).collect()[0]
+    assert r.tm == statistics.mean(range(11, 91))
+    assert r.iqm == statistics.mean(range(26, 76))
+    assert r.full == statistics.mean(range(1, 101))
+    assert math.isnan(r.degen)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match=r"\[0, 1\]"):
+        spark.sql(
+            "SELECT trimmed_mean((SELECT kll_sketch_agg_double(CAST(id AS"
+            " DOUBLE)) FROM range(1, 5)), 0.2D, 1.5D) AS v"
+        ).collect()
+
+
+def test_ansi_display_names_round6(spark):
+    """bar / color / render as SQL names over non-literal args (round 6;
+    ColorFunctions.java): Arrow-batched UDFs must agree with the literal
+    constant-fold Python ports byte-for-byte."""
+    from presto_copy_spark.dialect import transpile
+    from presto_copy_spark.functions import register_all
+    from presto_copy_spark.functions.presto import (
+        _py_color,
+        py_bar,
+        py_render,
+        py_render_bool,
+    )
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(0.3, "#abc", True), (0.9, "red", False)], "p double, c string, b boolean"
+    ).createOrReplaceTempView("_ansi_r6")
+    rows = spark.sql(
+        transpile(
+            "SELECT bar(p, 7) AS b, color(c) AS ci,"
+            " render(CAST(p AS STRING), color(c)) AS r, render(b) AS rb"
+            " FROM _ansi_r6 ORDER BY p"
+        )
+    ).collect()
+    assert rows[0].b == py_bar(0.3, 7)
+    assert rows[1].b == py_bar(0.9, 7)
+    assert rows[0].ci == _py_color("#abc")
+    assert rows[1].ci == _py_color("red")
+    assert rows[0].r == py_render("0.3", _py_color("#abc"))
+    assert rows[0].rb == py_render_bool(True)
+    assert rows[1].rb == py_render_bool(False)
+    # inverse_fcdf (reference spelling) registers alongside inverse_f_cdf
+    v = spark.sql(
+        "SELECT inverse_fcdf(4.0, 7.0, f_cdf(4.0, 7.0, 1.75)) AS v"
+    ).collect()[0].v
+    assert abs(v - 1.75) < 1e-9
