@@ -51,20 +51,53 @@ def ml_learn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregation pass, classify the full corpus against the broadcast
     model, return the confusion matrix (label, predicted, n).
 
-    At 100 TB: training is a map-side-combined hash agg over the
-    exploded coordinates; prediction is one corpus pass joined to a
-    KB-sized broadcast model with a min_by hash-agg argmin — the same
-    train/apply split the reference plans for learn_classifier inside
-    an aggregation and classify as a scalar."""
+    At 100 TB (round-6 collapse, 7 shuffle stages -> 4, three of them
+    KB-sized): training is ONE map-side-combined hash agg with `dim`
+    sum buffers per label (the ml_kmeans round-5 update shape — no
+    coordinate explode into the shuffle); the centroid table packs into
+    a one-row broadcast; and classification + the confusion matrix are
+    a single corpus pass — per-row HOF argmin against the packed model
+    (label rides the same row, so the former truth-side shuffle join
+    disappears entirely), then one K*K-row output agg."""
+    from ..operators.similarity import EMB_DIM, hof_argmin, quantize_arr
+
     e = load_table(spark, sf_dir, "embeddings")
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-    model = learn_nearest_centroid(e, "label", "embedding")
-    pred = classify_nearest_centroid(e, "vec_id", "embedding", model, "label")
-    truth = e.select("vec_id", "label")
-    return (
-        truth.join(pred, "vec_id")
-        .groupBy("label", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
+    corpus = e.select(
+        "label", quantize_arr(F.col("embedding")).alias("qarr")
+    )
+    dim = EMB_DIM
+    sums = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.element_at("qarr", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    cent = sums.select(
+        "label",
+        F.array(
+            *[
+                F.floor(F.col(f"s{i}").cast("double") / F.col("cnt")).cast(
+                    "long"
+                )
+                for i in range(dim)
+            ]
+        ).alias("cv_arr"),
+    )
+    packed = cent.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("label").alias("k"), F.col("cv_arr"))
+            )
+        ).alias("cents")
+        # one-row MODEL table: lineage-truncated so the classify branch
+        # doesn't re-run the training agg (the sim_* model pattern;
+        # bench.py's accounting note covers the protocol implication)
+    ).localCheckpoint(eager=False)
+    pred = corpus.crossJoin(F.broadcast(packed)).select(
+        "label",
+        hof_argmin(F.col("qarr"), F.col("cents")).alias("predicted"),
+    )
+    return pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 

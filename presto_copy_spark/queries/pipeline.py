@@ -544,13 +544,15 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high, character soup scores near zero; the deterministic
     integer twin of the CCNet perplexity gate.
 
-    Scale shape: the model tables (unigram/bigram counts) come from two
-    map-side-combined hash aggs over the one bigram explode; scoring
-    re-joins the occurrence stream to the counts on (w1, w2) then (w1)
-    — both model tables are vocabulary-sized (<< corpus), and the
-    stopword-headed key skew on w1 is exactly what AQE skew-join
-    handles (session.py enables it).  Final per-doc agg collapses
-    map-side by doc_id."""
+    Scale shape (round-6 collapse, 6 shuffle stages -> 4): the bigram
+    model is one map-side-combined agg over the occurrence stream; the
+    unigram totals ride a window over the VOCABULARY-sized model (no
+    second corpus aggregation); and scoring is a BROADCAST of the model
+    back onto the occurrences — the corpus never sort-merge-joins, and
+    its only shuffle is the final per-doc agg, partial-aggregated to
+    one row per document before it moves.  Stopword-headed w1 skew
+    lands in a broadcast hash table instead of a skewed shuffle (the
+    same "model tables broadcast" shape as docs_vocab_coverage)."""
     d = _docs(spark, sf_dir)
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     tok = tokens(F.col("text"))
@@ -563,17 +565,25 @@ def docs_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b")["w1"].alias("w1"), F.col("b")["w2"].alias("w2")
     )
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # the bigram model: one map-side-combined agg over the occurrence
+    # stream; the unigram totals ride a window over the (vocabulary-
+    # sized) model instead of a second corpus aggregation
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    scored = (
-        bg.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
-        .select(
-            "doc_id",
-            F.floor(F.lit(float(LM_PSCALE)) * F.col("n2") / F.col("n1"))
-            .cast("long")
-            .alias("p"),
-        )
+    # vocabulary-sized MODEL table: localCheckpoint truncates the
+    # lineage so the probe branch below doesn't re-tokenize the corpus
+    # to rebuild it (the sim_ivfadc/sim_pq_adc model pattern; the
+    # BENCH accounting note in bench.py covers the protocol implication)
+    model = bi.withColumn(
+        "n1", F.sum("n2").over(Window.partitionBy("w1")).cast("long")
+    ).localCheckpoint(eager=False)
+    # scoring: broadcast the model onto the raw occurrences (map-only),
+    # then ONE corpus shuffle — partial-aggregated to per-doc rows
+    # before it moves
+    scored = bg.join(F.broadcast(model), ["w1", "w2"]).select(
+        "doc_id",
+        F.floor(F.lit(float(LM_PSCALE)) * F.col("n2") / F.col("n1"))
+        .cast("long")
+        .alias("p"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -646,9 +656,17 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
         "source", "n", F.floor(F.sqrt(F.col("n"))).cast("long").alias("isq")
     )
-    tot = counts.agg(
-        F.sum("n").cast("long").alias("big_n"),
-        F.sum("isq").cast("long").alias("ssum"),
+    # corpus totals ride an unpartitioned window over the HANDFUL of
+    # per-source rows instead of a separate global agg + cross join —
+    # one tiny single-partition exchange, 4 shuffle stages -> 3
+    # (round-6 collapse)
+    w0 = Window.partitionBy(F.lit(1))
+    totals = counts.select(
+        "source",
+        "n",
+        "isq",
+        F.sum("n").over(w0).cast("long").alias("big_n"),
+        F.sum("isq").over(w0).cast("long").alias("ssum"),
     )
     # floor-division spelled as floor(a / b): exact for these
     # magnitudes (numerator <= 1000 * N * sqrt(N), far under 2^53) and
@@ -658,7 +676,7 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.floor(F.col("big_n") / MIX_TARGET_DIV).cast("long")
         * F.col("isq")
     )
-    rates = counts.crossJoin(F.broadcast(tot)).select(
+    rates = totals.select(
         "source",
         F.least(
             F.lit(1000).cast("long"),

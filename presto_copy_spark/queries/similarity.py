@@ -283,6 +283,12 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", F.explode("probes").alias("p"))
         .select("qid", F.col("p")["label"].alias("label"))
+        # (round 6) N_QUERIES x n_probe rows: lineage-truncated so the
+        # scoring join below doesn't re-run the centroid training chain
+        # to rebuild this tiny probe table (the sim_ivfadc model
+        # pattern; bench.py's accounting note covers the protocol
+        # implication)
+        .localCheckpoint(eager=False)
     )
     base = e.select(
         "vec_id", "label", "embedding", qdot(F.col("embedding"), F.col("embedding")).alias("nq")
