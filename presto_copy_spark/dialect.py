@@ -329,15 +329,15 @@ _GEO_UNSUPPORTED = frozenset(
         # in functions/geometry.py (documented convex/star-shaped
         # union subset; see its module docstring)
         # round 6 closed: st_intersection (convex-convex hull-of-
-        # candidates), st_touches, st_geomfrombinary (NDR WKB decode)
-        # — functions/geometry.py
+        # candidates), st_touches, st_relate (synthesized DE-9IM),
+        # st_geomfrombinary (NDR WKB decode), st_buffer (POINT 32-gon),
+        # simplify_geometry (chord-distance twin),
+        # geometry_invalid_reason, flatten_geometry_collections,
+        # to_spherical_geography / to_geometry (tag twin + great-circle
+        # distance + spherical-excess area) — functions/geometry.py
         "st_difference",
         "st_symdifference",
-        "st_buffer",
         "line_interpolate_points",
-        "simplify_geometry",
-        "geometry_invalid_reason",
-        "flatten_geometry_collections",
     }
 )
 

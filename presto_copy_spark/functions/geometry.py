@@ -1617,6 +1617,359 @@ SQL_GEOMETRY_UDFS.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 spherical geography twin (SphericalGeoFunctions.java,
+# SphericalGeographyUtils.java).  The reference's SphericalGeography is
+# the SAME serialized geometry under a different SQL type tag —
+# to_spherical_geography validates the envelope and returns `input`
+# unchanged (SphericalGeoFunctions.java:74-103).  One engine type here,
+# so the tag is a 'SPHERICAL_' gtype prefix: to_spherical_geography
+# validates lon/lat ranges and tags; to_geometry strips the tag;
+# ST_Distance dispatches on the tag to the Vincenty great-circle
+# distance in meters (POINT-only, like the reference's
+# ALLOWED_SPHERICAL_DISTANCE_TYPES); ST_Area dispatches to the exact
+# spherical-excess algorithm (per-edge excess terms + the course-delta
+# pole-enclosure correction, SphericalGeoFunctions.java:340-433,
+# EARTH_RADIUS_M = 6371010); ST_AsText prints the untagged WKT.
+# ---------------------------------------------------------------------------
+
+
+def _sql_ring_spherical_excess(r: str) -> str:
+    """Pole-corrected spherical excess of one closed ring (SQL text):
+    Σ over cycle edges of 2·atan2(tan(Δλ/2)(tan(φa/2)+tan(φb/2)),
+    1+tan(φa/2)tan(φb/2)), with excess -> |excess|-2π when the summed
+    turning (courseDelta) is ~0 instead of ±2π (pole enclosed)."""
+    edges = (
+        f"transform(zip_with(slice({r}, 1, size({r}) - 1),"
+        f" slice({r}, 2, size({r}) - 1),"
+        " (ea9, eb9) -> named_struct('a', ea9, 'b', eb9)), ee9 ->"
+        " CASE WHEN ee9.a.x = ee9.b.x AND ee9.a.y = ee9.b.y THEN"
+        "  named_struct('ex', CAST(raise_error('Polygon is not valid:"
+        " it has two identical consecutive vertices') AS DOUBLE),"
+        "  'ib', 0D, 'fb', 0D)"
+        " ELSE element_at(transform(array(named_struct("
+        "  'pa', radians(ee9.a.y), 'pb', radians(ee9.b.y),"
+        "  'dl', radians(ee9.b.x) - radians(ee9.a.x))), ev9 ->"
+        " named_struct("
+        "  'ex', 2 * atan2(tan(ev9.dl / 2)"
+        "   * (tan(ev9.pa / 2) + tan(ev9.pb / 2)),"
+        "   1 + tan(ev9.pa / 2) * tan(ev9.pb / 2)),"
+        "  'ib', pmod(atan2(sin(ev9.dl) * cos(ev9.pb),"
+        "   cos(ev9.pa) * sin(ev9.pb)"
+        "   - sin(ev9.pa) * cos(ev9.pb) * cos(ev9.dl)) + 2 * pi(), 2 * pi()),"
+        "  'fb', pmod(atan2(-sin(ev9.dl) * cos(ev9.pa),"
+        "   sin(ev9.pa) * cos(ev9.pb)"
+        "   - cos(ev9.pa) * sin(ev9.pb) * cos(ev9.dl)) + pi(), 2 * pi())"
+        " )), 1) END)"
+    )
+    return (
+        f"element_at(transform(array({edges}), eg9 ->"
+        " element_at(transform(array(named_struct("
+        "  'ex', aggregate(eg9, 0D, (ax9, e9) -> ax9 + e9.ex),"
+        "  'cd', aggregate(eg9, 0D, (ax9, e9) ->"
+        "   ax9 + pmod(e9.fb - e9.ib + 3 * pi(), 2 * pi()) - pi())"
+        "  + aggregate(sequence(1, size(eg9)), 0D, (ax9, i9) ->"
+        "   ax9 + pmod(element_at(eg9,"
+        "    CASE WHEN i9 = size(eg9) THEN 1 ELSE i9 + 1 END).ib"
+        "    - element_at(eg9, i9).fb + 3 * pi(), 2 * pi()) - pi())"
+        " )), ec9 -> CASE WHEN abs(ec9.cd) < pi() / 4"
+        "  THEN abs(ec9.ex) - 2 * pi() ELSE ec9.ex END), 1)), 1)"
+    )
+
+
+_SQL_SPHERICAL_AREA = (
+    "abs(aggregate(transform(sequence(1, size(g.rings)), ri9 ->"
+    " IF(ri9 = 1, 1D, -1D)"
+    f" * abs({_sql_ring_spherical_excess('element_at(g.rings, ri9)')})),"
+    " 0D, (sa9, sv9) -> sa9 + sv9) * 6371010.0D * 6371010.0D)"
+)
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        "to_spherical_geography": (
+            f"g {GEOM_T}",
+            GEOM_T,
+            "CASE WHEN g.gtype IS NULL THEN g"
+            " WHEN g.gtype NOT IN"
+            "  ('POINT', 'MULTIPOINT', 'LINESTRING', 'POLYGON') THEN"
+            "  raise_error(concat('Cannot convert geometry of this type"
+            " to spherical geography: ', g.gtype))"
+            " WHEN exists(flatten(g.rings), sp9 ->"
+            "  isnan(sp9.x) OR sp9.x < -180D OR sp9.x > 180D) THEN"
+            "  raise_error('Longitude must be between -180 and 180')"
+            " WHEN exists(flatten(g.rings), sp9 ->"
+            "  isnan(sp9.y) OR sp9.y < -90D OR sp9.y > 90D) THEN"
+            "  raise_error('Latitude must be between -90 and 90')"
+            " ELSE named_struct('gtype', concat('SPHERICAL_', g.gtype),"
+            "  'rings', g.rings) END",
+        ),
+        "to_geometry": (
+            f"g {GEOM_T}",
+            GEOM_T,
+            "named_struct('gtype', replace(g.gtype, 'SPHERICAL_', ''),"
+            " 'rings', g.rings)",
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Round-6 st_relate (GeoFunctions-adjacent relate family;
+# SphericalGeoFunctions sibling stRelate at GeoFunctions.java:1130):
+# DE-9IM pattern matching for the convex-shell POLYGON x POLYGON
+# subset.  The nine cells are SYNTHESIZED from quantities this module
+# already computes exactly: st_equals, boundary contact (+ its
+# dimension via collinear-overlap detection), and the exact convex
+# st_intersection area (interiors overlap iff area > 0; containment
+# iff area equals one side's area).  Derivation per cell documented in
+# the builder; canonical matrices (equal 2FFF1FFF2, disjoint
+# FF2FF1212, touch FF2F{0|1}1212, overlap 2121{0|1}1212, contains
+# 212F{F|0|1}1FF2 / within transposed) all fall out.  Pattern chars
+# T/F/0/1/2/*; other geometry types return NULL (documented subset).
+# ---------------------------------------------------------------------------
+
+_SQL_LINE_CONTACT = (
+    f"exists({_sql_segs_of('element_at(a.rings, 1)')}, sa9 ->"
+    f" exists({_sql_segs_of('element_at(b.rings, 1)')}, sb9 ->"
+    f" {_sql_orient('sa9.p', 'sa9.q', 'sb9.p')} = 0D"
+    f" AND {_sql_orient('sa9.p', 'sa9.q', 'sb9.q')} = 0D"
+    " AND (least(greatest(sa9.p.x, sa9.q.x), greatest(sb9.p.x, sb9.q.x))"
+    "      > greatest(least(sa9.p.x, sa9.q.x), least(sb9.p.x, sb9.q.x))"
+    "   OR least(greatest(sa9.p.y, sa9.q.y), greatest(sb9.p.y, sb9.q.y))"
+    "      > greatest(least(sa9.p.y, sa9.q.y), least(sb9.p.y, sb9.q.y)))))"
+)
+
+
+def _build_relate_body() -> str:
+    # flags: ii2 = interiors overlap; ainb/bina = (strict-or-contact)
+    # containment via exact intersection area; ct/lc = boundary contact
+    # and whether it has positive length
+    matrix = (
+        "element_at(transform(array(named_struct("
+        " 'ia', st_area(st_intersection(a, b)),"
+        " 'aa', st_area(a), 'ab', st_area(b),"
+        " 'eq', st_equals(a, b),"
+        f" 'ct', {_SQL_SHELLS_CONTACT}, 'lc', {_SQL_LINE_CONTACT})), rf9 ->"
+        " element_at(transform(array(named_struct("
+        "  'ii2', rf9.ia > 0D, 'eq', rf9.eq,"
+        "  'ainb', rf9.ia = rf9.aa AND NOT rf9.eq,"
+        "  'bina', rf9.ia = rf9.ab AND NOT rf9.eq,"
+        "  'ct', rf9.ct, 'lc', rf9.lc)), rg9 ->"
+        " concat("
+        #  II: interiors overlap
+        "  IF(rg9.ii2, '2', 'F'),"
+        #  IB: B's boundary crosses A's interior unless equal or A<=B
+        "  IF(rg9.ii2 AND NOT rg9.eq AND NOT rg9.ainb, '1', 'F'),"
+        #  IE: A's interior escapes B unless A<=B
+        "  IF(rg9.ainb OR rg9.eq, 'F', '2'),"
+        #  BI: transpose of IB
+        "  IF(rg9.ii2 AND NOT rg9.eq AND NOT rg9.bina, '1', 'F'),"
+        #  BB: coincident (equal) or positive-length contact -> 1,
+        #  point contact -> 0, no contact -> F
+        "  CASE WHEN rg9.eq OR (rg9.ct AND rg9.lc) THEN '1'"
+        "   WHEN rg9.ct THEN '0' ELSE 'F' END,"
+        #  BE: A's boundary escapes B unless A<=B
+        "  IF(rg9.ainb OR rg9.eq, 'F', '1'),"
+        #  EI / EB: transposes of IE / BE
+        "  IF(rg9.bina OR rg9.eq, 'F', '2'),"
+        "  IF(rg9.bina OR rg9.eq, 'F', '1'),"
+        "  '2')), 1)), 1)"
+    )
+    return (
+        "CASE WHEN rel IS NULL THEN NULL"
+        " WHEN length(rel) != 9 OR rel RLIKE '[^TF012*]' THEN"
+        "  raise_error(concat('st_relate: invalid DE-9IM pattern: ', rel))"
+        " WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON' THEN"
+        f" element_at(transform(array({matrix}), rm9 ->"
+        " forall(sequence(1, 9), ri9 -> CASE substr(rel, ri9, 1)"
+        "  WHEN '*' THEN true"
+        "  WHEN 'T' THEN substr(rm9, ri9, 1) != 'F'"
+        "  ELSE substr(rel, ri9, 1) = substr(rm9, ri9, 1) END)), 1)"
+        " END"
+    )
+
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        "st_relate": (
+            f"a {GEOM_T}, b {GEOM_T}, rel STRING",
+            "BOOLEAN",
+            _build_relate_body(),
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 constructive/diagnostic long-tail closures:
+#
+# - geometry_invalid_reason (GeoFunctions.java:414): NULL when valid,
+#   else a reason string.  The reasons come from THIS engine's validity
+#   checks (ring arity / closure / self-intersection — the same
+#   predicates st_isvalid evaluates), so the strings differ from the
+#   JTS/Esri wording; the NULL-iff-valid contract matches.
+# - flatten_geometry_collections (GeoFunctions.java:1179): returns the
+#   component geometries.  This engine's WKT subset has no
+#   GEOMETRYCOLLECTION constructor, so every input is its own single
+#   component — array(g) (the reference's exact behavior for
+#   non-collection inputs).
+# - simplify_geometry (GeoFunctions.java:763): same validation
+#   contract (NaN raises, negative raises, 0 returns the input);
+#   positive tolerance applies a DETERMINISTIC single-pass
+#   chord-distance filter — an interior vertex is dropped when its
+#   perpendicular distance to the chord of its original neighbors is
+#   at most the tolerance (endpoints and ring closure preserved,
+#   output vertices are a subset of input vertices).  The reference
+#   delegates to JTS Douglas-Peucker: same tolerance contract,
+#   documented different vertex selection on deeply nested zigzags
+#   (the numeric_histogram twin-semantics precedent).
+# - st_buffer (GeoFunctions.java:280): same validation contract; a
+#   POINT buffers to the 32-gon circle (JTS's default
+#   quadrantSegments = 8, i.e. 32 vertices, starting at (x+d, y));
+#   LINESTRING/POLYGON buffering raises the documented unsupported
+#   error (the Minkowski offset is the remaining constructive gap).
+# ---------------------------------------------------------------------------
+
+
+def _sql_drop_within_chord(r: str, keep_ends: str) -> str:
+    """Vertices of `r` whose chord-distance to their original
+    neighbors exceeds `tol` (plus the endpoints); SQL text."""
+    # perpendicular distance of v to chord(p, n):
+    # |cross(n-p, v-p)| / |n-p| (degenerate chord -> point distance)
+    return (
+        f"filter(transform({r}, (dv9, di9) -> named_struct('v', dv9,"
+        f" 'keep', di9 = 0 OR di9 = size({r}) - 1 OR"
+        " element_at(transform(array(named_struct("
+        f"  'p', element_at({r}, di9), 'n', element_at({r}, di9 + 2))), dc9 ->"
+        " CASE WHEN dc9.p.x = dc9.n.x AND dc9.p.y = dc9.n.y THEN"
+        "  sqrt((dv9.x - dc9.p.x) * (dv9.x - dc9.p.x)"
+        "   + (dv9.y - dc9.p.y) * (dv9.y - dc9.p.y)) > tol"
+        " ELSE abs((dc9.n.x - dc9.p.x) * (dv9.y - dc9.p.y)"
+        "   - (dc9.n.y - dc9.p.y) * (dv9.x - dc9.p.x))"
+        "  / sqrt((dc9.n.x - dc9.p.x) * (dc9.n.x - dc9.p.x)"
+        "   + (dc9.n.y - dc9.p.y) * (dc9.n.y - dc9.p.y)) > tol END), 1)))"
+        ", dk9 -> dk9.keep" + keep_ends + ")"
+    )
+
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        "geometry_invalid_reason": (
+            f"g {GEOM_T}",
+            "STRING",
+            "CASE WHEN g.gtype IS NULL THEN 'Unknown geometry type'"
+            " WHEN g.gtype = 'POLYGON' AND exists(g.rings, vr9 ->"
+            "  size(vr9) < 4) THEN"
+            "  'Polygon ring has fewer than 4 points'"
+            " WHEN g.gtype = 'POLYGON' AND exists(g.rings, vr9 ->"
+            "  element_at(vr9, 1) != element_at(vr9, size(vr9))) THEN"
+            "  'Polygon ring is not closed'"
+            " WHEN g.gtype IN ('POLYGON', 'LINESTRING')"
+            "  AND NOT st_issimple(g) THEN"
+            "  CASE WHEN g.gtype = 'POLYGON'"
+            "   THEN 'Polygon ring self-intersects'"
+            "   ELSE 'LineString self-intersects' END"
+            " WHEN size(flatten(g.rings)) = 0 THEN 'Geometry is empty'"
+            " ELSE NULL END",
+        ),
+        "flatten_geometry_collections": (
+            f"g {GEOM_T}",
+            f"ARRAY<{GEOM_T}>",
+            "array(g)",
+        ),
+        "simplify_geometry": (
+            f"g {GEOM_T}, tol DOUBLE",
+            GEOM_T,
+            "CASE WHEN isnan(tol) THEN"
+            "  element_at(transform(array(raise_error("
+            "   'distanceTolerance is NaN')), z9 -> g), 1)"
+            " WHEN tol < 0D THEN"
+            "  element_at(transform(array(raise_error("
+            "   'distanceTolerance is negative')), z9 -> g), 1)"
+            " WHEN tol = 0D OR g.gtype IS NULL"
+            "  OR g.gtype IN ('POINT', 'MULTIPOINT') THEN g"
+            " ELSE named_struct('gtype', g.gtype, 'rings',"
+            "  transform(g.rings, sr9 ->"
+            "  element_at(transform(array("
+            + _sql_drop_within_chord("sr9", "")
+            + "), sk9 -> CASE"
+            #  a ring collapsing below 4 points (or a line below 2)
+            #  keeps its original vertices — simplification must not
+            #  invalidate the geometry (JTS topology preservation)
+            "  WHEN g.gtype = 'POLYGON' AND size(sk9) < 4 THEN sr9"
+            "  WHEN size(sk9) < 2 THEN sr9"
+            "  ELSE transform(sk9, sv9 -> sv9.v) END), 1))) END",
+        ),
+        "st_buffer": (
+            f"g {GEOM_T}, d DOUBLE",
+            GEOM_T,
+            "CASE WHEN isnan(d) THEN"
+            "  element_at(transform(array(raise_error('distance is NaN')),"
+            "   z9 -> g), 1)"
+            " WHEN d < 0D THEN"
+            "  element_at(transform(array(raise_error("
+            "   'distance is negative')), z9 -> g), 1)"
+            " WHEN d = 0D THEN g"
+            " WHEN g.gtype IS NULL OR size(flatten(g.rings)) = 0 THEN"
+            "  named_struct('gtype', CAST(NULL AS STRING),"
+            f"  'rings', CAST(array() AS ARRAY<{_PT_T}>))"
+            " WHEN g.gtype = 'POINT' THEN named_struct("
+            "  'gtype', 'POLYGON', 'rings', array(transform("
+            "   sequence(0, 32), bi9 -> named_struct("
+            f"   'x', {_sql_pt_xy('g', 'x')}"
+            "    + d * cos(-2D * pi() * pmod(bi9, 32) / 32D),"
+            f"   'y', {_sql_pt_xy('g', 'y')}"
+            "    + d * sin(-2D * pi() * pmod(bi9, 32) / 32D))))) "
+            " ELSE element_at(transform(array(raise_error(concat("
+            "  'st_buffer: only POINT inputs are supported in this"
+            " engine (JTS 32-gon circle twin); got ', g.gtype))),"
+            "  z9 -> g), 1) END",
+        ),
+    }
+)
+
+# dispatch the tagged type through the existing names:
+# - st_distance: spherical points -> great-circle meters (compat.py
+#   great_circle_distance is the same Vincenty text; register_all
+#   registers compat before geometry, so the reference resolves)
+# - st_area: spherical polygon -> spherical excess; other spherical
+#   types raise like validateSphericalType
+# - st_astext: print the untagged WKT
+_sig, _ret, _body = SQL_GEOMETRY_UDFS["st_distance"]
+_body = (
+    "CASE WHEN substr(a.gtype, 1, 10) = 'SPHERICAL_'"
+    " OR substr(b.gtype, 1, 10) = 'SPHERICAL_' THEN"
+    " CASE WHEN a.gtype = 'SPHERICAL_POINT'"
+    "  AND b.gtype = 'SPHERICAL_POINT' THEN"
+    "  great_circle_distance("
+    f"  {_sql_pt_xy('a', 'y')}, {_sql_pt_xy('a', 'x')},"
+    f"  {_sql_pt_xy('b', 'y')}, {_sql_pt_xy('b', 'x')}) * 1000.0D"
+    " ELSE raise_error('When applied to SphericalGeography inputs,"
+    " ST_Distance only supports Point') END"
+    " ELSE " + _body + " END"
+)
+SQL_GEOMETRY_UDFS["st_distance"] = (_sig, _ret, _body)
+
+_sig, _ret, _body = SQL_GEOMETRY_UDFS["st_area"]
+_body = _body.replace(
+    " ELSE 0D END",
+    f" WHEN g.gtype = 'SPHERICAL_POLYGON' THEN {_SQL_SPHERICAL_AREA}"
+    " WHEN substr(g.gtype, 1, 10) = 'SPHERICAL_' THEN"
+    " raise_error(concat('When applied to SphericalGeography inputs,"
+    " ST_Area only supports Polygon or MultiPolygon. Input type is: ',"
+    " replace(g.gtype, 'SPHERICAL_', '')))"
+    " ELSE 0D END",
+)
+SQL_GEOMETRY_UDFS["st_area"] = (_sig, _ret, _body)
+
+_sig, _ret, _body = SQL_GEOMETRY_UDFS["st_astext"]
+_body = (
+    "element_at(transform(array(named_struct("
+    " 'gtype', replace(g.gtype, 'SPHERICAL_', ''), 'rings', g.rings)),"
+    " g9 -> " + _body.replace("g.", "g9.") + "), 1)"
+)
+SQL_GEOMETRY_UDFS["st_astext"] = (_sig, _ret, _body)
+
+
 def register_geometry_sql(spark) -> None:
     """Register the SQL-invocable ST_* twins (idempotent per session)."""
     marker = "spark.sql.prestoCompat.geometryRegistered"

@@ -1499,3 +1499,212 @@ def test_ansi_display_names_round6(spark):
         "SELECT inverse_fcdf(4.0, 7.0, f_cdf(4.0, 7.0, 1.75)) AS v"
     ).collect()[0].v
     assert abs(v - 1.75) < 1e-9
+
+
+def test_spherical_geography_round6(spark):
+    """to_spherical_geography / to_geometry / spherical ST_Distance /
+    ST_Area / ST_AsText (SphericalGeoFunctions.java:74-163,340-433;
+    SphericalGeographyUtils.java Vincenty, EARTH_RADIUS_KM 6371.01):
+    the tag-prefix twin must validate ranges, dispatch distance to the
+    great-circle formula in meters, and compute the pole-corrected
+    spherical excess area."""
+    import math
+
+    import pytest as _pytest
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def one(e):
+        return spark.sql(f"SELECT {e} AS v").collect()[0].v
+
+    # Vincenty reference (python port of SphericalGeographyUtils.java)
+    def ref_gc(lat1, lon1, lat2, lon2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon1) - math.radians(lon2)
+        t1 = math.cos(rl2) * math.sin(dl)
+        t2 = math.cos(rl1) * math.sin(rl2) - math.sin(rl1) * math.cos(
+            rl2
+        ) * math.cos(dl)
+        t3 = math.sin(rl1) * math.sin(rl2) + math.cos(rl1) * math.cos(
+            rl2
+        ) * math.cos(dl)
+        return math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3) * 6371.01 * 1000
+
+    d = one(
+        "st_distance(to_spherical_geography(st_point(13.405, 52.52)),"
+        " to_spherical_geography(st_point(2.3522, 48.8566)))"
+    )
+    assert abs(d - ref_gc(52.52, 13.405, 48.8566, 2.3522)) < 1e-6  # ~878 km
+    # planar path untouched
+    assert one("st_distance(st_point(0, 0), st_point(3, 4))") == 5.0
+    # 1-degree equatorial square ~ (111.2 km)^2
+    a = one(
+        "st_area(to_spherical_geography(st_geometryfromtext("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))"
+    )
+    assert 1.2e10 < a < 1.25e10
+    # hole subtracts
+    ah = one(
+        "st_area(to_spherical_geography(st_geometryfromtext("
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0),"
+        " (0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))')))"
+    )
+    assert 0.70 < ah / a < 0.80  # shell minus quarter-area hole
+    # same square away from the equator covers less area
+    a60 = one(
+        "st_area(to_spherical_geography(st_geometryfromtext("
+        "'POLYGON ((0 60, 1 60, 1 61, 0 61, 0 60))')))"
+    )
+    assert a60 < 0.55 * a
+    # round-trips
+    assert one(
+        "st_astext(to_spherical_geography(st_point(1.5, -2.5)))"
+    ) == "POINT (1.5 -2.5)"
+    assert one(
+        "st_geometrytype(to_geometry(to_spherical_geography(st_point(1, 2))))"
+    ) == "ST_Point"
+    # validation + type restrictions
+    with _pytest.raises(Exception, match="Longitude must be"):
+        one("to_spherical_geography(st_point(200, 0))")
+    with _pytest.raises(Exception, match="Latitude must be"):
+        one("to_spherical_geography(st_point(0, 95))")
+    with _pytest.raises(Exception, match="only supports Point"):
+        one(
+            "st_distance(to_spherical_geography(st_geometryfromtext("
+            "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')),"
+            " to_spherical_geography(st_point(0, 0)))"
+        )
+    with _pytest.raises(Exception, match="only supports Polygon"):
+        one("st_area(to_spherical_geography(st_point(0, 0)))")
+    with _pytest.raises(Exception, match="identical consecutive"):
+        one(
+            "st_area(to_spherical_geography(st_geometryfromtext("
+            "'POLYGON ((0 0, 1 0, 1 0, 1 1, 0 0))')))"
+        )
+
+
+def test_st_relate_round6(spark):
+    """st_relate DE-9IM pattern matching, convex POLYGON x POLYGON
+    subset (GeoFunctions.java:1130): the synthesized matrix must equal
+    the canonical DE-9IM for every relation class, and pattern
+    semantics (T = non-F, * = any, exact digit) must hold — including
+    that polygon edge-touch matches the OGC touches disjunct F***T****
+    and NOT FT******* (the shared edge is on both boundaries)."""
+    import pytest as _pytest
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def rel(a, b, pat):
+        return spark.sql(
+            f"SELECT st_relate(st_geometryfromtext('{a}'),"
+            f" st_geometryfromtext('{b}'), '{pat}') AS v"
+        ).collect()[0].v
+
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    big = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    cases = [
+        (sq, sq, "2FFF1FFF2", True),
+        (sq, sq, "T*F**FFF*", True),  # OGC equals
+        (sq, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF2FF1212", True),
+        (sq, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", "FF*FF****", True),
+        (sq, "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))", "FF2F01212", True),
+        (sq, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "FF2F11212", True),
+        (sq, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "F***T****", True),
+        (sq, "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", "FT*******", False),
+        (sq, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "212101212", True),
+        (sq, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "T*T***T**", True),  # overlaps
+        (sq, "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))", "212111212", True),
+        (big, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", "212FF1FF2", True),
+        (big, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", "T*****FF*", True),  # contains
+        ("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", big, "2FF1FF212", True),
+        ("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", big, "T*F**F***", True),  # within
+        (big, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "212F11FF2", True),
+        (sq, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", "2FFF1FFF2", False),
+        (sq, sq, "FF2FF1212", False),
+    ]
+    for a, b, p, want in cases:
+        assert rel(a, b, p) is want, (a[:30], b[:30], p, want)
+    with _pytest.raises(Exception, match="invalid DE-9IM"):
+        rel(sq, sq, "XYZ")
+    # non-polygon combos: NULL (documented subset)
+    assert rel("POINT (1 1)", sq, "T********") is None
+
+
+def test_constructive_geometry_round6(spark):
+    """geometry_invalid_reason / flatten_geometry_collections /
+    simplify_geometry (chord-distance twin) / st_buffer (POINT 32-gon)
+    — GeoFunctions.java:414,1179,763,280, validation contracts
+    included."""
+    import math
+
+    import pytest as _pytest
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def one(e):
+        return spark.sql(f"SELECT {e} AS v").collect()[0].v
+
+    assert (
+        one(
+            "geometry_invalid_reason(st_geometryfromtext("
+            "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))"
+        )
+        is None
+    )
+    assert one(
+        "geometry_invalid_reason(st_geometryfromtext("
+        "'POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))'))"
+    ) == "Polygon ring self-intersects"
+    assert one("size(flatten_geometry_collections(st_point(1, 2)))") == 1
+    # simplify: near-collinear vertex within tolerance drops, a real
+    # corner survives, tolerance 0 is the identity, and a ring that
+    # would collapse below 4 points keeps its vertices
+    assert one(
+        "st_astext(simplify_geometry(st_geometryfromtext("
+        "'LINESTRING (0 0, 1 0.001, 2 0, 4 3)'), 0.01))"
+    ) == "LINESTRING (0.0 0.0, 2.0 0.0, 4.0 3.0)"
+    assert one(
+        "st_astext(simplify_geometry(st_geometryfromtext("
+        "'LINESTRING (0 0, 1 0.5, 2 0)'), 0.01))"
+    ) == "LINESTRING (0.0 0.0, 1.0 0.5, 2.0 0.0)"
+    assert one(
+        "st_numpoints(simplify_geometry(st_geometryfromtext("
+        "'POLYGON ((0 0, 2 0.001, 4 0, 4 4, 0 4, 0 0))'), 0.01))"
+    ) == 5
+    assert one(
+        "st_numpoints(simplify_geometry(st_geometryfromtext("
+        "'POLYGON ((0 0, 2 0.001, 4 0, 0 0))'), 0.01))"
+    ) == 4  # would collapse below a ring -> unchanged
+    # st_buffer POINT: JTS 32-gon, area = 1/2 * n * d^2 * sin(2pi/n)
+    a = one("st_area(st_buffer(st_point(5, 5), 2))")
+    assert abs(a - 0.5 * 32 * 4 * math.sin(2 * math.pi / 32)) < 1e-9
+    assert one("st_isvalid(st_buffer(st_point(0, 0), 1))") is True
+    assert one("st_astext(st_buffer(st_point(1, 2), 0D))") == "POINT (1.0 2.0)"
+    for expr, msg in [
+        ("simplify_geometry(st_point(0,0), CAST('NaN' AS DOUBLE))", "NaN"),
+        ("simplify_geometry(st_point(0,0), -1D)", "negative"),
+        ("st_buffer(st_point(0,0), -1D)", "negative"),
+        (
+            "st_buffer(st_geometryfromtext("
+            "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), 1D)",
+            "only POINT",
+        ),
+    ]:
+        with _pytest.raises(Exception, match=msg):
+            one(expr)
+    # transpiler routes all four now (were _GEO_UNSUPPORTED)
+    from presto_copy_spark.dialect import transpile
+
+    for n in (
+        "st_buffer(a, 1)",
+        "simplify_geometry(a, 0.5)",
+        "geometry_invalid_reason(a)",
+        "flatten_geometry_collections(a)",
+    ):
+        assert transpile(f"SELECT {n} FROM t")
