@@ -1708,3 +1708,153 @@ def test_constructive_geometry_round6(spark):
         "flatten_geometry_collections(a)",
     ):
         assert transpile(f"SELECT {n} FROM t")
+
+
+def test_relate_intersection_randomized_round6(spark):
+    """150 random integer-coordinate convex polygon pairs: st_touches /
+    st_intersection / st_relate checked against two INDEPENDENT exact
+    oracles — a separating-axis test (disjoint/touch/overlap trichotomy
+    over edge normals, exact in Fractions) and Sutherland-Hodgman
+    half-plane clipping (intersection area, exact in Fractions).  The
+    SQL implementation is hull-of-candidates — a different algorithm,
+    so agreement is evidence, not tautology."""
+    from fractions import Fraction
+
+    import random
+
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    rng = random.Random(4242)
+
+    def convex_poly(cx, cy, r):
+        # integer points on a loose circle -> convex hull (int coords)
+        pts = set()
+        while len(pts) < 3:
+            pts = {
+                (
+                    cx + round(r * __import__("math").cos(a)),
+                    cy + round(r * __import__("math").sin(a)),
+                )
+                for a in [rng.uniform(0, 6.283) for _ in range(rng.randint(3, 8))]
+            }
+        pts = sorted(pts)
+
+        def half(seq):
+            h = []
+            for p in seq:
+                while (
+                    len(h) >= 2
+                    and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                    <= 0
+                ):
+                    h.pop()
+                h.append(p)
+            return h
+
+        lo, hi = half(pts), half(list(reversed(pts)))
+        hull = lo[:-1] + hi[:-1]
+        return hull if len(hull) >= 3 else None
+
+    def sat(pa, pb):
+        """max separation over edge normals: >0 disjoint, =0 touch,
+        <0 interiors overlap (convex pairs; exact integers)."""
+        best = None
+        for poly, other in ((pa, pb), (pb, pa)):
+            n = len(poly)
+            for i in range(n):
+                ex = poly[(i + 1) % n][0] - poly[i][0]
+                ey = poly[(i + 1) % n][1] - poly[i][1]
+                ax, ay = -ey, ex  # outward-ish normal (orientation-free)
+                p1 = [ax * x + ay * y for x, y in poly]
+                p2 = [ax * x + ay * y for x, y in other]
+                gap = max(min(p2) - max(p1), min(p1) - max(p2))
+                # normalize by axis length? comparisons to 0 only - no
+                if best is None or gap > best:
+                    best = gap
+        return best
+
+    def sh_clip_area(pa, pb):
+        """Sutherland-Hodgman clip of pb by pa's half-planes; area as
+        an exact Fraction (CCW input)."""
+        def ccw(p):
+            s = sum(
+                (p[i][0] * p[(i + 1) % len(p)][1] - p[(i + 1) % len(p)][0] * p[i][1])
+                for i in range(len(p))
+            )
+            return p if s > 0 else list(reversed(p))
+
+        subj = [(Fraction(x), Fraction(y)) for x, y in ccw(pb)]
+        clip = ccw(pa)
+        for i in range(len(clip)):
+            a, b = clip[i], clip[(i + 1) % len(clip)]
+            inside = lambda q: (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (
+                q[0] - a[0]
+            ) >= 0
+            out = []
+            for j in range(len(subj)):
+                cur, prv = subj[j], subj[j - 1]
+                ic, ip = inside(cur), inside(prv)
+                if ic != ip:
+                    dx, dy = cur[0] - prv[0], cur[1] - prv[1]
+                    den = (b[0] - a[0]) * dy - (b[1] - a[1]) * dx
+                    t = (
+                        (b[1] - a[1]) * (prv[0] - a[0])
+                        - (b[0] - a[0]) * (prv[1] - a[1])
+                    ) / den
+                    out.append((prv[0] + t * dx, prv[1] + t * dy))
+                if ic:
+                    out.append(cur)
+            subj = out
+            if not subj:
+                return Fraction(0)
+        area2 = sum(
+            subj[i][0] * subj[(i + 1) % len(subj)][1]
+            - subj[(i + 1) % len(subj)][0] * subj[i][1]
+            for i in range(len(subj))
+        )
+        return abs(area2) / 2
+
+    def wkt(p):
+        ring = list(p) + [p[0]]
+        return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+
+    cases = []
+    while len(cases) < 150:
+        pa = convex_poly(rng.randint(-5, 5), rng.randint(-5, 5), rng.randint(2, 8))
+        # bias toward contact/overlap: B near A
+        pb = convex_poly(rng.randint(-8, 12), rng.randint(-8, 12), rng.randint(2, 8))
+        if pa and pb:
+            cases.append((len(cases), wkt(pa), wkt(pb), pa, pb))
+    df = spark.createDataFrame(
+        [(i, wa, wb) for i, wa, wb, _, _ in cases], "i int, wa string, wb string"
+    )
+    rows = {
+        r.i: r
+        for r in df.selectExpr(
+            "i",
+            "st_touches(st_geometryfromtext(wa), st_geometryfromtext(wb)) AS t",
+            "st_area(st_intersection(st_geometryfromtext(wa),"
+            " st_geometryfromtext(wb))) AS ia",
+            "st_relate(st_geometryfromtext(wa), st_geometryfromtext(wb),"
+            " 'FF*FF****') AS disj",
+            "st_relate(st_geometryfromtext(wa), st_geometryfromtext(wb),"
+            " 'T********') AS ii",
+        ).collect()
+    }
+    n_touch = n_overlap = 0
+    for i, wa, wb, pa, pb in cases:
+        gap = sat(pa, pb)
+        ref_area = sh_clip_area(pa, pb)
+        r = rows[i]
+        assert abs(r.ia - float(ref_area)) < 1e-9, (wa, wb, r.ia, float(ref_area))
+        assert r.t == (gap == 0), (wa, wb, gap, r.t)
+        assert r.disj == (gap > 0), (wa, wb, gap, r.disj)
+        assert r.ii == (gap < 0), (wa, wb, gap, r.ii)
+        n_touch += gap == 0
+        n_overlap += gap < 0
+    # the generator must actually exercise the interesting classes
+    assert n_overlap >= 20, n_overlap
