@@ -701,3 +701,94 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (round 6): split every document into
+# fixed-size token windows with overlap — the packing-adjacent shape
+# every pretraining pipeline runs between cleaning and tokenization
+# (e.g. long-document splitting with stride so no boundary context is
+# lost).  W = 64 tokens, stride S = 48 (16-token overlap).
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "docs_chunk_windows",
+    # chunk count = 1 + ceil(max(0, n - W) / S); chunk i (0-based)
+    # covers tokens [1 + i*S, 1 + i*S + min(W, n - i*S)).  The
+    # fingerprint hashes the space-joined token slice with the
+    # engine's md5 hash60 — bit-identical across engines.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE doc_id % 5 = 0
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         1 + CAST(ceil(greatest(0, len(tk) - {_CHUNK_W})
+                       / CAST({_CHUNK_S} AS DOUBLE)) AS BIGINT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(1 + i * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, n - i * {_CHUNK_S}) AS BIGINT) AS n_tok,
+       {sql_hash60(f"array_to_string(tk[1 + i * {_CHUNK_S} : i * {_CHUNK_S} + least({_CHUNK_W}, n - i * {_CHUNK_S})], ' ')")}
+         AS fp
+FROM sized, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+""",
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: one row per (doc, window) with
+    the token span and a cross-engine fingerprint of the chunk text.
+
+    Scale shape: pure row-local work — tokenize once, explode
+    sequence(0, n_chunks-1), slice + hash per chunk.  No shuffle at
+    all (the plan is scan -> project -> generate); at 100 TB this is
+    the map-only stage between cleaning and tokenizer sharding, and
+    the fingerprint column feeds chunk-level exact dedup downstream
+    (dedup_exact's groupBy shape)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    tk = tokens(F.col("text"))
+    sized = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.size(tk).alias("n"),
+        (
+            1
+            + F.ceil(
+                F.greatest(F.size(tk) - _CHUNK_W, F.lit(0))
+                / float(_CHUNK_S)
+            ).cast("long")
+        ).alias("n_chunks"),
+    )
+    return sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        "tk",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (1 + F.col("chunk_idx") * _CHUNK_S).cast("long").alias("start_tok"),
+        F.least(
+            F.lit(_CHUNK_W), F.col("n") - F.col("chunk_idx") * _CHUNK_S
+        )
+        .cast("long")
+        .alias("n_tok"),
+        hash60(
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    (1 + F.col("chunk_idx") * _CHUNK_S).cast("int"),
+                    F.least(
+                        F.lit(_CHUNK_W),
+                        F.col("n") - F.col("chunk_idx") * _CHUNK_S,
+                    ).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
