@@ -632,10 +632,33 @@ TPCDS_CASES = [
 # Documented oracle deltas (not engine defects): Spark follows Presto's
 # decimal semantics — decimal/int division stays DECIMAL, each term
 # rounded at the result scale — while DuckDB promotes to DOUBLE, so
-# q66's sum-of-30k-divided-terms drifts past the 6-sig-fig comparison.
-TPCDS_SKIP = {
-    "tpcds/q66": "decimal division: Spark/Presto round-at-scale vs DuckDB double"
+# q66's sum-of-30k-divided-terms drifts past the 6-sig-fig canon
+# (measured max relative deviation 7.0e-6, round 6).  Instead of a
+# skip, the case runs under a 1e-4 relative tolerance — the divergence
+# is the ORACLE's numeric model, and 4 significant figures still pin
+# the whole join/agg/pivot structure.
+TPCDS_SKIP: dict[str, str] = {}
+TPCDS_LOOSE = {
+    "tpcds/q66": 1e-4,  # decimal round-at-scale vs DuckDB double
 }
+
+
+def _rows_match_loose(got, want, rtol: float) -> bool:
+    if len(got) != len(want):
+        return False
+    for g, w in zip(sorted(got), sorted(want)):
+        if len(g) != len(w):
+            return False
+        for a, b in zip(g, w):
+            try:
+                fa, fb = float(a), float(b)
+            except (TypeError, ValueError):
+                if str(a) != str(b):
+                    return False
+                continue
+            if abs(fa - fb) > rtol * max(abs(fa), abs(fb), 1e-12):
+                return False
+    return True
 
 
 @pytest.fixture(scope="session")
@@ -659,9 +682,18 @@ def test_golden_tpcds_vs_duckdb(tpcds_engines, rel):
         pytest.skip(TPCDS_SKIP[rel])
     spark, con = tpcds_engines
     text = _read_sql(rel).rstrip(";")
-    got = _canon_rows([list(r) for r in spark.sql(Engine.transpile(text)).collect()])
+    raw_got = [list(r) for r in spark.sql(Engine.transpile(text)).collect()]
     duck_text = re.sub(r"(?i)decimal\s+'([^']*)'", r"\1", text)
-    want = _canon_rows([list(r) for r in con.sql(duck_text).fetchall()])
+    raw_want = [list(r) for r in con.sql(duck_text).fetchall()]
+    if rel in TPCDS_LOOSE:
+        assert _rows_match_loose(
+            [tuple(map(_canon_cell, r)) for r in raw_got],
+            [tuple(map(_canon_cell, r)) for r in raw_want],
+            TPCDS_LOOSE[rel],
+        ), (rel, raw_got[:2], raw_want[:2])
+        return
+    got = _canon_rows(raw_got)
+    want = _canon_rows(raw_want)
     assert got == want, (rel, got[:3], want[:3])
 
 
