@@ -1853,6 +1853,37 @@ def _sql_drop_within_chord(r: str, keep_ends: str) -> str:
 
 SQL_GEOMETRY_UDFS.update(
     {
+        # geometry_to_dissolved_bing_tiles (BingTileFunctions.java:444):
+        # minimum mixed-zoom cover.  Over THIS engine's envelope-cover
+        # twin (geometry_to_bing_tiles), dissolving = the quadtree
+        # cover of the tile rectangle: fold zoom levels bottom-up,
+        # replacing every complete 4-child quad by its parent.  The
+        # per-level merge is O(n^2) over the current tile set, so the
+        # dissolve path carries a tighter 65536-tile guard; output
+        # sorted by (x, y, zoom) — deterministic, struct-typed like
+        # the zoom-level cover.
+        "geometry_to_dissolved_bing_tiles": (
+            f"g {GEOM_T}, zoom INT",
+            "ARRAY<STRUCT<x: BIGINT, y: BIGINT, zoom: INT>>",
+            "CASE WHEN g.gtype IS NULL OR size(flatten(g.rings)) = 0 THEN"
+            " CAST(array() AS ARRAY<STRUCT<x: BIGINT, y: BIGINT, zoom: INT>>)"
+            " ELSE element_at(transform(array(geometry_to_bing_tiles(g, zoom)),"
+            " tz0 -> CASE WHEN size(tz0) > 65536 THEN"
+            "  raise_error('geometry_to_dissolved_bing_tiles: cover too"
+            " large to dissolve at this zoom')"
+            " ELSE array_sort(aggregate(sequence(1, greatest(zoom, 1)), tz0,"
+            "  (ts9, st9) -> element_at(transform(array(named_struct("
+            "   'ch', filter(ts9, mt9 -> mt9.zoom = zoom - st9 + 1),"
+            "   'ot', filter(ts9, mt9 -> mt9.zoom != zoom - st9 + 1))), mp9 ->"
+            "  element_at(transform(array(filter(array_distinct("
+            "   transform(mp9.ch, mc9 -> named_struct('x', mc9.x DIV 2,"
+            "    'y', mc9.y DIV 2, 'zoom', zoom - st9))),"
+            "   pp9 -> size(filter(mp9.ch, mc9 -> mc9.x DIV 2 = pp9.x"
+            "    AND mc9.y DIV 2 = pp9.y)) = 4)), fl9 ->"
+            "   concat(mp9.ot, fl9, filter(mp9.ch, mc9 ->"
+            "    NOT exists(fl9, pp9 -> mc9.x DIV 2 = pp9.x"
+            "     AND mc9.y DIV 2 = pp9.y)))), 1)), 1))) END), 1) END",
+        ),
         "geometry_invalid_reason": (
             f"g {GEOM_T}",
             "STRING",

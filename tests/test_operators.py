@@ -1858,3 +1858,49 @@ def test_relate_intersection_randomized_round6(spark):
         n_overlap += gap < 0
     # the generator must actually exercise the interesting classes
     assert n_overlap >= 20, n_overlap
+
+
+def test_dissolved_bing_tiles_round6(spark):
+    """geometry_to_dissolved_bing_tiles (BingTileFunctions.java:444):
+    quadtree dissolve over the envelope cover — complete 4-child quads
+    merge into parents recursively; partial quads stay at max zoom."""
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def tiles(wkt, zoom):
+        r = spark.sql(
+            "SELECT geometry_to_dissolved_bing_tiles("
+            f"st_geometryfromtext('{wkt}'), {zoom}) AS v"
+        ).collect()[0].v
+        return sorted((t.x, t.y, t.zoom) for t in r)
+
+    # full 2x2 quad at zoom 2 -> the single zoom-1 parent
+    assert tiles(
+        "POLYGON ((-170 10, -10 10, -10 80, -170 80, -170 10))", 2
+    ) == [(0, 0, 1)]
+    # half-quad: no dissolve
+    assert tiles(
+        "POLYGON ((-170 50, -100 50, -100 80, -170 80, -170 50))", 2
+    ) == [(0, 0, 2), (0, 1, 2)]
+    # full 4x4 block at zoom 3 dissolves recursively to zoom 1
+    assert tiles(
+        "POLYGON ((-179 1, -1 1, -1 84, -179 84, -179 1))", 3
+    ) == [(0, 0, 1)]
+    # dissolved cover equals the flat cover as a region: expanding
+    # every dissolved tile back to max zoom reproduces the flat cover
+    r = spark.sql(
+        """
+SELECT array_sort(flatten(transform(
+         geometry_to_dissolved_bing_tiles(g, 3),
+         t -> flatten(transform(sequence(t.x * CAST(pow(2, 3 - t.zoom) AS BIGINT),
+                                 (t.x + 1) * CAST(pow(2, 3 - t.zoom) AS BIGINT) - 1),
+           xx -> transform(sequence(t.y * CAST(pow(2, 3 - t.zoom) AS BIGINT),
+                                 (t.y + 1) * CAST(pow(2, 3 - t.zoom) AS BIGINT) - 1),
+           yy -> named_struct('x', xx, 'y', yy, 'zoom', 3))))))) =
+       array_sort(geometry_to_bing_tiles(g, 3)) AS same
+FROM (SELECT st_geometryfromtext(
+  'POLYGON ((-179 -80, 100 -80, 100 84, -179 84, -179 -80))') AS g)
+"""
+    ).collect()[0].same
+    assert r is True
