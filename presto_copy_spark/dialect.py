@@ -334,9 +334,9 @@ _GEO_UNSUPPORTED = frozenset(
         # simplify_geometry (chord-distance twin),
         # geometry_invalid_reason, flatten_geometry_collections,
         # to_spherical_geography / to_geometry (tag twin + great-circle
-        # distance + spherical-excess area) — functions/geometry.py
-        "st_difference",
-        "st_symdifference",
+        # distance + spherical-excess area), st_difference /
+        # st_symdifference (exact convex fan decomposition ->
+        # MULTIPOLYGON of disjoint convex pieces) — functions/geometry.py
         "line_interpolate_points",
     }
 )

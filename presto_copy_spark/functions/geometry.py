@@ -367,6 +367,10 @@ SQL_GEOMETRY_UDFS: dict[str, tuple[str, str, str]] = {
         f" element_at({_SQL_AREAS}, 1)"
         f" - aggregate(slice({_SQL_AREAS}, 2,"
         f"     greatest(size(g.rings) - 1, 0)), 0D, (a, v) -> a + v)"
+        # MULTIPOLYGON rings are disjoint SHELLS (e.g. st_difference's
+        # convex-piece decomposition): areas sum (round 6)
+        " WHEN g.gtype = 'MULTIPOLYGON' THEN"
+        f" aggregate({_SQL_AREAS}, 0D, (a, v) -> a + v)"
         " ELSE 0D END",
     ),
     "st_numpoints": (
@@ -1957,6 +1961,143 @@ SQL_GEOMETRY_UDFS.update(
         ),
     }
 )
+
+# ---------------------------------------------------------------------------
+# Round-6 st_difference / st_symdifference (GeoFunctions.java
+# stDifference / stSymDifference; Esri difference), convex POLYGON x
+# POLYGON subset — EXACT as a point set via the classical fan
+# decomposition: for B's CCW edges e_1..e_m,
+#     A \ B  =  disjoint-union over i of  A ∩ right(e_i) ∩ left(e_1..e_{i-1})
+# Each piece is one convex polygon produced by successive
+# Sutherland-Hodgman half-plane clips of A's shell, so the result is
+# returned as a MULTIPOLYGON of disjoint convex pieces — the same
+# point set as the reference's minimal-ring form, in a different (but
+# valid) tessellation; st_area over it is the exact difference area
+# (pytest pins area(A\B) = area(A) - area(A∩B) on random pairs).
+# Degenerate sliver pieces (zero-area chords from boundary contact)
+# are dropped at a 1e-9 area epsilon (documented).  POINT probes pass
+# through; other combos NULL (documented subset).
+# ---------------------------------------------------------------------------
+
+
+def _sql_ccw_shell(g: str) -> str:
+    """closed shell of `g` normalized to CCW orientation (SQL text)."""
+    r = f"element_at({g}.rings, 1)"
+    return (
+        f"IF({_sql_ring_shoelace2(r)} >= 0D, {r}, reverse({r}))"
+    )
+
+
+def _sql_halfplane_clip(ring: str, u: str, w: str, mult: str) -> str:
+    """Sutherland-Hodgman clip of closed ring `ring` by the line
+    through u->w, keeping the side where mult*cross(w-u, pt-u) >= 0;
+    returns a closed ring (or an empty/degenerate array)."""
+    def f(pt: str) -> str:
+        return (
+            f"(({mult}) * (({w}.x - {u}.x) * (({pt}).y - {u}.y)"
+            f" - ({w}.y - {u}.y) * (({pt}).x - {u}.x)))"
+        )
+
+    cross_pt = (
+        "element_at(transform(array("
+        f" {f('hg9.p')} / ({f('hg9.p')} - {f('hg9.q')})), ht9 ->"
+        " named_struct('x', hg9.p.x + ht9 * (hg9.q.x - hg9.p.x),"
+        " 'y', hg9.p.y + ht9 * (hg9.q.y - hg9.p.y))), 1)"
+    )
+    pts = (
+        f"flatten(transform(zip_with(slice({ring}, 1, size({ring}) - 1),"
+        f" slice({ring}, 2, size({ring}) - 1),"
+        " (hu9, hv9) -> named_struct('p', hu9, 'q', hv9)), hg9 ->"
+        f" CASE WHEN {f('hg9.q')} >= 0D THEN"
+        f"  IF({f('hg9.p')} >= 0D, array(hg9.q), array({cross_pt}, hg9.q))"
+        f" ELSE IF({f('hg9.p')} >= 0D AND {f('hg9.p')} > 0D,"
+        f"  array({cross_pt}), CAST(array() AS {_PT_T})) END))"
+    )
+    return (
+        f"CASE WHEN size({ring}) < 4 THEN CAST(array() AS {_PT_T})"
+        f" ELSE element_at(transform(array({pts}), hp9 ->"
+        " IF(size(hp9) >= 3, concat(hp9, array(element_at(hp9, 1))),"
+        f" CAST(array() AS {_PT_T}))), 1) END"
+    )
+
+
+def _build_difference_pieces() -> str:
+    """SQL text: ARRAY of closed piece rings of a \\ b (both bound as
+    CCW shells sa0 / sb0 inside a surrounding let)."""
+    # one clip step of the fold: cj9 = 0 clips right-of-e_{i9}, else
+    # left-of-e_{cj9}
+    clip_step = _sql_halfplane_clip(
+        "pc9",
+        "element_at(sb0, IF(cj9 = 0, i9, cj9))",
+        "element_at(sb0, IF(cj9 = 0, i9, cj9) + 1)",
+        "IF(cj9 = 0, -1D, 1D)",
+    )
+    piece = (
+        "aggregate(sequence(0, i9 - 1), sa0,"
+        f" (pc9, cj9) -> {clip_step})"
+    )
+    return (
+        "filter(transform(sequence(1, size(sb0) - 1), i9 ->"
+        f" {piece}), fr9 ->"
+        f" size(fr9) >= 4 AND abs({_sql_ring_shoelace2('fr9')}) / 2 > 1e-9)"
+    )
+
+
+def _build_difference_body() -> str:
+    pieces = _build_difference_pieces()
+    poly_poly = (
+        "element_at(transform(array(named_struct("
+        f" 'sa0x', {_sql_ccw_shell('a')}, 'sb0x', {_sql_ccw_shell('b')})), lt9 ->"
+        " element_at(transform(array(lt9.sa0x), sa0 ->"
+        " element_at(transform(array(lt9.sb0x), sb0 ->"
+        f" element_at(transform(array({pieces}), ps9 -> CASE"
+        " WHEN size(ps9) = 0 THEN named_struct('gtype', CAST(NULL AS STRING),"
+        f"  'rings', CAST(array() AS ARRAY<{_PT_T}>))"
+        " WHEN size(ps9) = 1 THEN named_struct('gtype', 'POLYGON', 'rings', ps9)"
+        " ELSE named_struct('gtype', 'MULTIPOLYGON', 'rings', ps9)"
+        " END), 1)), 1)), 1)), 1)"
+    )
+    return (
+        "CASE WHEN a.gtype IS NULL OR b.gtype IS NULL THEN NULL"
+        " WHEN a.gtype = 'POINT' AND b.gtype = 'POLYGON' THEN"
+        f" CASE WHEN {_sql_contains_point('b', _sql_pt_xy('a', 'x'), _sql_pt_xy('a', 'y'))}"
+        f"  OR {_sql_pt_on_boundary('b', _sql_pt_xy('a', 'x'), _sql_pt_xy('a', 'y'))}"
+        "  THEN named_struct('gtype', CAST(NULL AS STRING),"
+        f"   'rings', CAST(array() AS ARRAY<{_PT_T}>)) ELSE a END"
+        " WHEN a.gtype = 'POLYGON' AND b.gtype = 'POINT' THEN a"
+        " WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON' THEN"
+        " CASE WHEN st_area(st_intersection(a, b)) = 0D THEN a"
+        "  WHEN st_area(st_intersection(a, b)) = st_area(a) THEN"
+        "   named_struct('gtype', CAST(NULL AS STRING),"
+        f"   'rings', CAST(array() AS ARRAY<{_PT_T}>))"
+        f"  ELSE {poly_poly} END"
+        " END"
+    )
+
+
+SQL_GEOMETRY_UDFS.update(
+    {
+        "st_difference": (
+            f"a {GEOM_T}, b {GEOM_T}",
+            GEOM_T,
+            _build_difference_body(),
+        ),
+        # symmetric difference = (a \ b) pieces + (b \ a) pieces —
+        # both are piece sets of the SAME disjoint decomposition family
+        "st_symdifference": (
+            f"a {GEOM_T}, b {GEOM_T}",
+            GEOM_T,
+            "element_at(transform(array(named_struct("
+            " 'd1', st_difference(a, b), 'd2', st_difference(b, a))), sy9 ->"
+            " CASE WHEN sy9.d1 IS NULL OR sy9.d2 IS NULL THEN NULL"
+            " WHEN sy9.d1.gtype IS NULL THEN sy9.d2"
+            " WHEN sy9.d2.gtype IS NULL THEN sy9.d1"
+            " ELSE named_struct('gtype', 'MULTIPOLYGON',"
+            "  'rings', concat(sy9.d1.rings, sy9.d2.rings)) END), 1)",
+        ),
+    }
+)
+
 
 # dispatch the tagged type through the existing names:
 # - st_distance: spherical points -> great-circle meters (compat.py

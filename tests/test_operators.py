@@ -1904,3 +1904,116 @@ FROM (SELECT st_geometryfromtext(
 """
     ).collect()[0].same
     assert r is True
+
+
+def test_st_difference_round6(spark):
+    """st_difference / st_symdifference (convex fan decomposition —
+    exact point set as a MULTIPOLYGON of disjoint convex pieces) plus
+    the MULTIPOLYGON st_area branch; randomized area identities
+    area(A\\B) = area(A) - area(A n B) and
+    area(A xor B) = area(A) + area(B) - 2*area(A n B) over 60 random
+    convex pairs (the SAME generator as the relate property test)."""
+    import math
+    import random
+
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+
+    def one(e):
+        return spark.sql(f"SELECT {e} AS v").collect()[0].v
+
+    def g(w):
+        return f"st_geometryfromtext('{w}')"
+
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    ov = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert one(f"st_area(st_difference({g(sq)}, {g(ov)}))") == 3.0
+    assert one(f"st_area(st_symdifference({g(sq)}, {g(ov)}))") == 6.0
+    assert one(f"st_astext(st_difference({g(sq)}, {g(sq)}))") is None
+    # touching removes nothing
+    assert (
+        one(
+            f"st_area(st_difference({g(sq)},"
+            f" {g('POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))')}))"
+        )
+        == 4.0
+    )
+    # strict containment leaves the ring region (as convex pieces)
+    assert (
+        one(
+            f"st_area(st_difference({g(sq)},"
+            f" {g('POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))')}))"
+        )
+        == 3.75
+    )
+    # square minus 45-degree diamond: 4 corner pieces, area 2
+    d = one(
+        "st_difference("
+        f" {g('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')},"
+        f" {g('POLYGON ((2 -1, 5 2, 2 5, -1 2, 2 -1))')})"
+    )
+    assert abs(
+        one(
+            "st_area(st_difference("
+            f" {g('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')},"
+            f" {g('POLYGON ((2 -1, 5 2, 2 5, -1 2, 2 -1))')}))"
+        )
+        - 2.0
+    ) < 1e-9
+    # randomized area identities
+    rng = random.Random(777)
+
+    def convex_poly(cx, cy, r):
+        pts = set()
+        while len(pts) < 3:
+            pts = {
+                (
+                    cx + round(r * math.cos(a)),
+                    cy + round(r * math.sin(a)),
+                )
+                for a in [rng.uniform(0, 6.283) for _ in range(rng.randint(3, 8))]
+            }
+        pts = sorted(pts)
+
+        def half(seq):
+            h = []
+            for p in seq:
+                while (
+                    len(h) >= 2
+                    and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                    <= 0
+                ):
+                    h.pop()
+                h.append(p)
+            return h
+
+        lo, hi = half(pts), half(list(reversed(pts)))
+        hull = lo[:-1] + hi[:-1]
+        return hull if len(hull) >= 3 else None
+
+    def wkt(p):
+        ring = list(p) + [p[0]]
+        return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+
+    cases = []
+    while len(cases) < 60:
+        pa = convex_poly(rng.randint(-5, 5), rng.randint(-5, 5), rng.randint(2, 7))
+        pb = convex_poly(rng.randint(-7, 9), rng.randint(-7, 9), rng.randint(2, 7))
+        if pa and pb:
+            cases.append((len(cases), wkt(pa), wkt(pb)))
+    df = spark.createDataFrame(cases, "i int, wa string, wb string")
+    rows = df.selectExpr(
+        "st_area(st_geometryfromtext(wa)) AS aa",
+        "st_area(st_geometryfromtext(wb)) AS ab",
+        "st_area(st_intersection(st_geometryfromtext(wa),"
+        " st_geometryfromtext(wb))) AS ia",
+        "st_area(st_difference(st_geometryfromtext(wa),"
+        " st_geometryfromtext(wb))) AS da",
+        "st_area(st_symdifference(st_geometryfromtext(wa),"
+        " st_geometryfromtext(wb))) AS sa",
+    ).collect()
+    for r in rows:
+        assert abs(r.da - (r.aa - r.ia)) < 1e-7, (r.aa, r.ia, r.da)
+        assert abs(r.sa - (r.aa + r.ab - 2 * r.ia)) < 1e-7, r
