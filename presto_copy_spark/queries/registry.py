@@ -69,6 +69,11 @@ DRIVER_PRIORITY: list[str] = [
     # to tests/test_queries_vs_oracle.py like every prior rotation.
     "geo_relate_ops",  # NEW r6: st_touches / st_intersection / WKB
     "agg_khll_privacy",  # NEW r6: KHLL privacy SQL names end-to-end
+    "docs_chunk_windows",  # NEW r6: context-window chunking
+    # Touched by the round-6 stage-collapse pass — re-prove green
+    # (docs_lm_quality / docs_temperature_mix / sim_ivf_probe already
+    # hold slots below):
+    "ml_learn_classify",  # r6 rewrite: packed-centroid argmin
     # Touched by round 5 — must re-prove green (11):
     "tpch_q02",  # one-shuffle agg+window fold
     "tpch_q11",  # CTE materialization (diamond dedup)
@@ -88,7 +93,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "text_quality",
     "sim_topk_bruteforce",
     "sql_presto_aggregates",
     "agg_percentiles",
@@ -101,7 +105,6 @@ DRIVER_PRIORITY: list[str] = [
     "join_full_outer",
     "subquery_exists_correlated",
     "subquery_in",
-    "docs_mix_sample",
     "docs_pack_sequences",
     "docs_filter_funnel",
     "pii_scrub",
@@ -110,7 +113,9 @@ DRIVER_PRIORITY: list[str] = [
     "try_cast_absorbs",
     "distinct_limit",
     # ---- the 50-entry cut lands here ----
-    # Rotated out round 6: geo_wkt_polygon_ops, agg_histogram_map.
+    # Rotated out round 6: geo_wkt_polygon_ops, agg_histogram_map,
+    # text_quality, docs_mix_sample (all driver-green in r5, families
+    # still held by sibling driver rows + pytest oracles).
     # Rotated out round 5 (all r2 ∪ r3 ∪ r4 driver-green, still
     # pytest-oracled): tpch_q03, tpch_q13, tpch_q18, text_repetition,
     # text_bpe_tokens, text_lang_id, text_token_stats,
