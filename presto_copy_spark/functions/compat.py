@@ -841,7 +841,10 @@ def khll_from_pairs_sql(pairs: str, k: int = KHLL_K) -> str:
     """KHLL twin map from `pairs` (sorted distinct
     ARRAY<STRUCT<h BIGINT, u BIGINT>>): bottom-k distinct h, grouped by
     h via one O(N) boundary scan (no per-key filter — the group slices
-    come from the sorted order)."""
+    come from the sorted order).  The k-th hash bound is LET-BOUND
+    before the filter: an inline bound would re-evaluate the O(N)
+    distinct scan per filtered element (measured O(N^2) blowup on the
+    truncation property test, round 6)."""
     keys = f"array_distinct(transform(kd9, kq9 -> kq9.h))"
     kmax = f"element_at(slice({keys}, 1, {k}), least(size({keys}), {k}))"
     return (
@@ -851,7 +854,8 @@ def khll_from_pairs_sql(pairs: str, k: int = KHLL_K) -> str:
         f"  raise_error('khyperloglog twin: more than {_KHLL_PAIR_CAP}"
         " distinct (value, uii) pairs in one group; use a two-level"
         " aggregation instead (see agg_khll_uniqueness)')"
-        f" ELSE element_at(transform(array(filter(kd9, kp9 -> kp9.h <= {kmax})), kt9 ->"
+        f" ELSE element_at(transform(array({kmax}), km9 ->"
+        " element_at(transform(array(filter(kd9, kp9 -> kp9.h <= km9)), kt9 ->"
         " element_at(transform(array(filter(sequence(1, size(kt9)),"
         "  ki9 -> ki9 = 1 OR element_at(kt9, ki9).h"
         "   != element_at(kt9, ki9 - 1).h)), kb9 ->"
@@ -861,7 +865,7 @@ def khll_from_pairs_sql(pairs: str, k: int = KHLL_K) -> str:
         "   transform(slice(kt9, element_at(kb9, kj9),"
         "    IF(kj9 < size(kb9), element_at(kb9, kj9 + 1),"
         "     size(kt9) + 1) - element_at(kb9, kj9)),"
-        "    kp9 -> kp9.u)))), 1)), 1) END), 1)"
+        "    kp9 -> kp9.u)))), 1)), 1)), 1) END), 1)"
     )
 
 

@@ -2017,3 +2017,78 @@ def test_st_difference_round6(spark):
     for r in rows:
         assert abs(r.da - (r.aa - r.ia)) < 1e-7, (r.aa, r.ia, r.da)
         assert abs(r.sa - (r.aa + r.ab - 2 * r.ia)) < 1e-7, r
+
+
+def test_khll_truncation_randomized_round6(spark):
+    """khyperloglog_agg's bottom-K truncation (K = 4096) against a
+    brute-force Python reference on 6000 distinct values (so the
+    truncation path actually executes): the kept keys must be exactly
+    the 4096 smallest value-hashes, each mapped to its exact distinct
+    uii-hash set, and uniqueness_distribution / merge_khll must agree
+    with the reference computed from the truncated map."""
+    import hashlib
+    import random
+
+    from presto_copy_spark.dialect import transpile
+    from presto_copy_spark.functions import register_all
+
+    register_all(spark)
+    rng = random.Random(991)
+    rows = []
+    for v in range(6000):
+        for u in range(rng.randint(1, 3)):
+            rows.append((v, v * 10 + u))
+    rng.shuffle(rows)
+    spark.createDataFrame(rows, "v int, uii int").createOrReplaceTempView(
+        "_khll_trunc"
+    )
+
+    def h60(x) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    # brute-force reference
+    pairs = sorted({(h60(v), h60(u)) for v, u in rows})
+    keys = sorted({h for h, _ in pairs})[:4096]
+    kept = set(keys)
+    ref = {}
+    for h, u in pairs:
+        if h in kept:
+            ref.setdefault(h, set()).add(u)
+
+    got = spark.sql(
+        transpile("SELECT khyperloglog_agg(v, uii) AS k FROM _khll_trunc")
+    ).collect()[0].k
+    assert len(got) == 4096
+    assert sorted(got) == keys
+    for h, us in got.items():
+        assert sorted(us) == sorted(ref[h]), h
+    # accessor consistency on the truncated sketch
+    r = spark.sql(
+        transpile(
+            """
+WITH s AS (SELECT khyperloglog_agg(v, uii) AS k FROM _khll_trunc)
+SELECT uniqueness_distribution(k, 3) AS ud,
+       reidentification_potential(k, 1) AS reid
+FROM s
+"""
+        )
+    ).collect()[0]
+    import collections
+
+    hist = collections.Counter(min(len(us), 3) for us in ref.values())
+    for b in (1, 2, 3):
+        assert abs(r.ud[b] - hist.get(b, 0) / 4096) < 1e-12
+    assert abs(
+        r.reid - sum(1 for us in ref.values() if len(us) <= 1) / 4096
+    ) < 1e-12
+    # merging two disjoint halves re-truncates to the global bottom-K
+    r2 = spark.sql(
+        transpile(
+            """
+WITH s AS (SELECT v % 2 AS g, khyperloglog_agg(v, uii) AS k
+           FROM _khll_trunc GROUP BY v % 2)
+SELECT merge_khll(collect_list(k)) AS k FROM s
+"""
+        )
+    ).collect()[0].k
+    assert sorted(r2) == keys
