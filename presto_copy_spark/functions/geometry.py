@@ -1555,11 +1555,20 @@ def _build_geomfrombinary_body() -> str:
         pt=_sql_wkb_pt("hx9", "9 + 16 * i9"),
     )
     # each MULTIPOINT element is a full nested WKB point (order byte +
-    # u32 type + 16 coord bytes = 21 bytes); coords start at +5
+    # u32 type + 16 coord bytes = 21 bytes); coords start at +5.  The
+    # inner byte-order markers are validated too — a big-endian nested
+    # point must raise, not silently mis-decode
     mpoint_pts = pts_at.format(
         n=_sql_wkb_u32("hx9", "5"),
         ptt=_PT_T,
-        pt=_sql_wkb_pt("hx9", "14 + 21 * i9"),
+        pt=(
+            "CASE WHEN substr(hx9, 2 * (9 + 21 * i9) + 1, 2) != '01' THEN"
+            " element_at(transform(array(raise_error("
+            " 'st_geomfrombinary: nested MULTIPOINT element is not"
+            " little-endian NDR')), z9 ->"
+            " named_struct('x', 0D, 'y', 0D)), 1)"
+            f" ELSE {_sql_wkb_pt('hx9', '14 + 21 * i9')} END"
+        ),
     )
     ring_read = pts_at.format(
         n=_sql_wkb_u32("hx9", "ac9.off"),
@@ -1834,7 +1843,7 @@ SQL_GEOMETRY_UDFS.update(
 # ---------------------------------------------------------------------------
 
 
-def _sql_drop_within_chord(r: str, keep_ends: str) -> str:
+def _sql_drop_within_chord(r: str) -> str:
     """Vertices of `r` whose chord-distance to their original
     neighbors exceeds `tol` (plus the endpoints); SQL text."""
     # perpendicular distance of v to chord(p, n):
@@ -1851,7 +1860,7 @@ def _sql_drop_within_chord(r: str, keep_ends: str) -> str:
         "   - (dc9.n.y - dc9.p.y) * (dv9.x - dc9.p.x))"
         "  / sqrt((dc9.n.x - dc9.p.x) * (dc9.n.x - dc9.p.x)"
         "   + (dc9.n.y - dc9.p.y) * (dc9.n.y - dc9.p.y)) > tol END), 1)))"
-        ", dk9 -> dk9.keep" + keep_ends + ")"
+        ", dk9 -> dk9.keep)"
     )
 
 
@@ -1925,7 +1934,7 @@ SQL_GEOMETRY_UDFS.update(
             " ELSE named_struct('gtype', g.gtype, 'rings',"
             "  transform(g.rings, sr9 ->"
             "  element_at(transform(array("
-            + _sql_drop_within_chord("sr9", "")
+            + _sql_drop_within_chord("sr9")
             + "), sk9 -> CASE"
             #  a ring collapsing below 4 points (or a line below 2)
             #  keeps its original vertices — simplification must not
@@ -2010,7 +2019,10 @@ def _sql_halfplane_clip(ring: str, u: str, w: str, mult: str) -> str:
         " (hu9, hv9) -> named_struct('p', hu9, 'q', hv9)), hg9 ->"
         f" CASE WHEN {f('hg9.q')} >= 0D THEN"
         f"  IF({f('hg9.p')} >= 0D, array(hg9.q), array({cross_pt}, hg9.q))"
-        f" ELSE IF({f('hg9.p')} >= 0D AND {f('hg9.p')} > 0D,"
+        # exiting edge: emit the crossing only when p is STRICTLY
+        # inside — a p exactly ON the clip line was already emitted by
+        # the previous edge's entering case (avoids duplicate vertices)
+        f" ELSE IF({f('hg9.p')} > 0D,"
         f"  array({cross_pt}), CAST(array() AS {_PT_T})) END))"
     )
     return (
