@@ -1011,8 +1011,12 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the per-cluster pair count (the quadratic term) stays bounded; the
 # SIZE_CAP guard below drops degenerate clusters the same way BUCKET_CAP
 # protects the LSH join.
-SEM_K = 16  # clusters: K ~ N / target-cluster-size (the paper's knob
-# bounding the quadratic within-cluster term; ~128/cluster at sf0.1)
+SEM_TARGET = 128  # target cluster size: K = max(SEM_MIN_K, floor(N / SEM_TARGET))
+# — the paper's knob bounding the quadratic within-cluster term, DERIVED
+# from corpus size inside the query (round-8: was a fixture-pinned K=16;
+# at the fixture scales the derived K still lands on 16, at the 10x/30x
+# layouts it grows to ~159/~478 so clusters stay ~target-sized)
+SEM_MIN_K = 16
 SEM_T = 0.9  # cosine threshold for "semantic duplicate"
 SEM_CAP = 512  # degenerate-cluster guard (see BUCKET_CAP rationale)
 
@@ -1029,7 +1033,11 @@ coords AS (
   SELECT vec_id, i, CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
   FROM corpus, unnest(generate_series(1, len(embedding))) AS g(i)
 ),
-cent0 AS (SELECT vec_id AS cluster, i, qv AS cv FROM coords WHERE vec_id < {SEM_K}),
+kstat AS (
+  SELECT greatest({SEM_MIN_K}, CAST(floor(count(*) / {SEM_TARGET}.0) AS BIGINT)) AS k
+  FROM corpus
+),
+cent0 AS (SELECT vec_id AS cluster, i, qv AS cv FROM coords, kstat WHERE vec_id < k),
 dist0 AS (
   SELECT c.vec_id, ct.cluster, CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
   FROM coords c JOIN cent0 ct ON c.i = ct.i GROUP BY 1, 2
@@ -1087,16 +1095,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  The decision rule (keep the smallest vec_id per duplicate)
     is deterministic, so the whole pipeline is DuckDB-oracle-exact;
     planted shifted copies (vec_id + 1e6) guarantee the fixture
-    actually contains duplicates to find, like sim_ann_lsh_neardup."""
-    return semantic_dedup(spark, sf_dir, k=SEM_K, cap=SEM_CAP)
+    actually contains duplicates to find, like sim_ann_lsh_neardup.
+
+    K is DERIVED FROM CORPUS SIZE inside the query (round 8):
+    K = max(SEM_MIN_K, floor(N / SEM_TARGET)), computed as a 1-row
+    broadcast agg on the Spark side and a kstat CTE in the oracle —
+    the paper's production setup, where cluster size (and hence the
+    quadratic within-cluster pair term) stays constant as N grows."""
+    return semantic_dedup(spark, sf_dir, k=None, cap=SEM_CAP)
 
 
 def semantic_dedup(
-    spark: SparkSession, sf_dir: str, k: int, cap: int
+    spark: SparkSession, sf_dir: str, k: int | None, cap: int
 ) -> DataFrame:
     """Parameterized SemDeDup (see dedup_semantic): `k` is the
-    production knob — scale it with corpus size so clusters stay
-    target-sized and the quadratic within-cluster term stays bounded
+    production knob — `None` (the default path) derives it from
+    corpus size in-plan so clusters stay target-sized and the
+    quadratic within-cluster term stays bounded; an explicit int
+    pins it for tests
     (tests/test_pipeline.py::test_semantic_dedup_k_scales proves a
     scaled k keeps every cluster under the cap with recall intact)."""
     from ..operators.similarity import (
@@ -1113,9 +1129,25 @@ def semantic_dedup(
         .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
     corpus = e.unionByName(planted).withColumn("qarr", quantize_arr(F.col("embedding")))
-    # seed centroids = the first SEM_K vectors' integer arrays, packed
+    if k is None:
+        # derive K = max(SEM_MIN_K, floor(N / SEM_TARGET)) in-plan: one
+        # count(*) pass folded to a 1-row broadcast, consumed only by
+        # the KB-sized seed selection — the corpus itself never waits
+        # on it.  At 100 TB this is one columnar count stage; the
+        # alternative (driver-side .count()) would be a collect.
+        kdf = corpus.agg(
+            F.greatest(
+                F.lit(SEM_MIN_K).cast("long"),
+                F.floor(F.count(F.lit(1)) / F.lit(SEM_TARGET)).cast("long"),
+            ).alias("semk")
+        ).localCheckpoint(eager=False)
+        seed_pred = F.col("vec_id") < F.col("semk")
+        seeds = corpus.crossJoin(F.broadcast(kdf)).filter(seed_pred)
+    else:
+        seeds = corpus.filter(F.col("vec_id") < k)
+    # seed centroids = the first K vectors' integer arrays, packed
     # into ONE broadcast row (operators/similarity.pack_centroids)
-    c0 = corpus.filter(F.col("vec_id") < k).agg(
+    c0 = seeds.agg(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("vec_id").alias("k"), F.col("qarr").alias("cv_arr"))

@@ -219,3 +219,22 @@ def test_semantic_dedup_k_scales(spark, sf_dir):
     caught = [d for d in rows if d >= 1000000]
     assert len(caught) == planted_n
     assert all(rows[d] > 0.999 for d in caught)
+
+
+def test_semantic_dedup_derived_k_matches_pinned_at_fixture_scale(spark, sf_dir):
+    """The round-8 derived-K path (K = max(SEM_MIN_K, floor(N /
+    SEM_TARGET)), computed in-plan) must land on exactly K = SEM_MIN_K
+    at the fixture scales (N <= 2,040 < 17*128) and therefore return
+    the byte-identical result set to a pinned k=16 — the guarantee
+    that the production knob did not move the driver-green row."""
+    from presto_copy_spark.queries.similarity import SEM_CAP, SEM_MIN_K, semantic_dedup
+
+    derived = {
+        (r.dropped_vec_id, r.kept_vec_id, round(r.max_cosine, 9))
+        for r in semantic_dedup(spark, sf_dir, k=None, cap=SEM_CAP).collect()
+    }
+    pinned = {
+        (r.dropped_vec_id, r.kept_vec_id, round(r.max_cosine, 9))
+        for r in semantic_dedup(spark, sf_dir, k=SEM_MIN_K, cap=SEM_CAP).collect()
+    }
+    assert derived == pinned and derived
