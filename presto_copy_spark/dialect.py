@@ -452,8 +452,8 @@ _SKETCH_UNSUPPORTED = frozenset(
         "noisy_empty_approx_set_sfm",
         "noisy_approx_distinct_sfm",
         "noisy_approx_set_sfm",
-        "sketch_theta_summary",
-        "hash_counts",
+        # round 8 closed: sketch_theta_summary + hash_counts now parse
+        # the compact-theta layout directly (functions/sketch_layout.py)
     }
 )
 

@@ -44,6 +44,7 @@ def register_all(spark: SparkSession) -> None:
     _register_normalize(spark)
     _register_binary_py(spark)
     _register_color_py(spark)
+    _register_sketch_py(spark)
     spark.conf.set(marker, "true")
 
 
@@ -188,6 +189,57 @@ def _register_binary_py(spark: SparkSession) -> None:
             ),
         ),
     )
+
+
+def _register_sketch_py(spark: SparkSession) -> None:
+    """Sketch-introspection scalars over the Datasketches compact-theta
+    binary the engine's SetDigest/theta twins emit (round 8; layout
+    reader in sketch_layout.py):
+
+    - sketch_theta_summary (ThetaSketchFunctions.java:57)
+    - hash_counts (type/setdigest/SetDigestFunctions.java:81)
+
+    Arrow-batched pandas UDFs — sketch binaries are KB-sized aggregate
+    OUTPUTS (rows ~ group count, never corpus-sized), so introspection
+    is off the hot path by construction."""
+    from pyspark.sql import functions as F
+
+    from .sketch_layout import theta_hash_counts, theta_summary
+
+    @F.pandas_udf(
+        "struct<estimate:double,theta:double,upper_bound_std:double,"
+        "lower_bound_std:double,retained_entries:int>"
+    )
+    def _summary(col):
+        import pandas as pd
+
+        fields = (
+            "estimate",
+            "theta",
+            "upper_bound_std",
+            "lower_bound_std",
+            "retained_entries",
+        )
+        # a None input yields an all-null struct row (pandas has no
+        # null-struct representation to hand Arrow)
+        return pd.DataFrame(
+            [
+                {} if b is None else dict(zip(fields, theta_summary(bytes(b))))
+                for b in col
+            ],
+            columns=list(fields),
+        )
+
+    @F.pandas_udf("map<long,short>")
+    def _hash_counts(col):
+        import pandas as pd
+
+        return pd.Series(
+            [None if b is None else theta_hash_counts(bytes(b)) for b in col]
+        )
+
+    spark.udf.register("sketch_theta_summary", _summary)
+    spark.udf.register("hash_counts", _hash_counts)
 
 
 def _register_normalize(spark: SparkSession) -> None:
