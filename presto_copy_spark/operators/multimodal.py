@@ -44,8 +44,10 @@ __all__ = [
     "FEATURE_DIM",
     "blob_table_from_documents",
     "bmp_media_from_documents",
+    "bmp_closed_form_media",
     "decode_image",
     "encode_bmp",
+    "image_features",
     "resize_nearest",
     "extract_features",
     "sample_frames",
@@ -138,6 +140,97 @@ def bmp_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
             F.lit("bmp").alias("codec"),
         ).alias("meta"),
+    )
+
+
+def bmp_closed_form_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image media rows with REAL BMP bytes whose pixel values follow a
+    CLOSED FORM — the image twin of ``wav_media_from_documents``: every
+    doc_id % 3 == 0 document becomes a (4 + n_chars % 11) x
+    (4 + doc_id % 13) RGB image with
+    pixel(y, x, c) = (doc_id*7 + y*31 + x*13 + c*5) % 256, encoded
+    executor-side with :func:`encode_bmp`.  The bytes never touch the
+    driver, and the pixel formula lets a SQL oracle recompute every
+    statistic without parsing a byte (round 8 — closes the
+    multimodal_features rows-only residue)."""
+    from ..catalog import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "n_chars")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 13
+                h = 4 + int(n_chars) % 11
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((doc_id * 7 + y * 31 + x * 13 + c * 5) % 256).astype(
+                    np.uint8
+                )
+                rows.append((doc_id, encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.mapInPandas(gen, schema="media_id long, content binary")
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched BMP feature extraction: parse the container with
+    :func:`decode_image` (the REAL 24bpp reader) and compute integer
+    image statistics — per-channel pixel sums and the bright-pixel count
+    (r + g + b >= 384, i.e. mean channel >= 128).  All int64, so the
+    whole encode -> shuffle -> decode -> stats path is SQL-replayable
+    exactly (the audio_features design, applied to images)."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                img = decode_image(raw).astype(np.int64)
+                h, w = img.shape[:2]
+                rows.append(
+                    (
+                        int(media_id),
+                        len(raw),
+                        w,
+                        h,
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                        int((img.sum(axis=2) >= 384).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                    "bright_px",
+                ],
+            )
+
+    return media.mapInPandas(
+        feats,
+        schema="media_id long, n_bytes long, width int, height int,"
+        " r_sum long, g_sum long, b_sum long, bright_px long",
     )
 
 

@@ -363,20 +363,52 @@ def agg_arbitrary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(F.min("o_orderpriority").alias("some_priority"))
 
 
-# ---- approx / sketch family: rows-only (engine-specific algorithms) -------
-@query("agg_approx_distinct")
+# ---- approx / sketch family: tolerance-oracled (round 8; was rows-only).
+# The estimates themselves are engine-specific (Spark HLL++ / Datasketches
+# vs DuckDB HLL), so the driver-hashable contract is the VERDICT-endorsed
+# tolerance oracle: the exact ground truth column is oracled exactly, and
+# a boolean "estimate within the documented error bound" column is
+# hash-checked TRUE — if any estimate drifts outside its published bound,
+# the hash flips and the row goes red.
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_3rsd
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_distinct (HLL++; ApproximateCountDistinctAggregation.java).
-    No value oracle — Spark HLL++ vs DuckDB HLL differ; tests assert
-    relative error vs exact count instead."""
+    rsd = 0.023 (the reference's default standard error); the oracle
+    hash-checks |approx - exact| <= 3 * rsd * exact — the documented
+    99.7% bound — alongside the exactly-oracled COUNT(DISTINCT).
+    Measured error at the fixture scales is <=1% (probe: 199/200 at
+    sf0.001, 2019/2000 at sf0.01, 19793/19998 at sf0.1)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.023).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.023)
+                - F.countDistinct("l_partkey")
+            )
+            <= 3 * 0.023 * F.countDistinct("l_partkey")
+        ).alias("within_3rsd"),
     )
 
 
-@query("agg_hll_sketch_merge")
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_3rsd
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+""",
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_set / merge(HyperLogLog) / cardinality(hll) re-expressed as
     Spark Datasketches HLL (ApproximateSetAggregation.java,
@@ -386,31 +418,61 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sketch per nation (approx_set), sketches merged per region
     (merge), estimated at the end (cardinality).  The sketch column is a
     mergeable binary — at 100 TB the per-nation partials are tiny and the
-    re-aggregation shuffles only sketch bytes, never raw keys.  Rows-only:
-    Datasketches estimates are engine-specific."""
+    re-aggregation shuffles only sketch bytes, never raw keys.
+
+    Tolerance oracle (round 8): exact per-region COUNT(DISTINCT) is
+    oracled exactly and the merged estimate is hash-checked within
+    3 * rsd(lgK=14) ≈ 2.4% of it.  Measured: the Datasketches coupon
+    regime is near-exact here (largest observed deviation 1 in 2931 at
+    sf0.1 — a single coupon collision), far inside the bound."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     partial = c.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sketch"),
         F.countDistinct("c_custkey").alias("exact_partial"),
     )
+    rsd = 1.04 / (2 ** 7)  # 1.04 / sqrt(2^14)
     return (
         partial.join(F.broadcast(n), partial.c_nationkey == n.n_nationkey)
         .groupBy("n_regionkey")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_customers"),
             F.sum("exact_partial").alias("exact_customers"),
+            (
+                F.abs(
+                    F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                    - F.sum("exact_partial")
+                )
+                <= 3 * rsd * F.sum("exact_partial")
+            ).alias("within_3rsd"),
         )
     )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS approx_median,
+       median(l_extendedprice) AS exact_median
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (qdigest/tdigest analogue -> Spark
-    percentile_approx with accuracy knob)."""
+    percentile_approx with accuracy knob).
+
+    Exact-regime oracle (round 8): Greenwald-Khanna with
+    accuracy = 100,000 guarantees rank error <= n / accuracy, which is
+    < 1 rank whenever a group holds under 100k rows — true at the
+    pytest (sf0.001, ~2k rows/group) and driver (sf0.01, ~20k
+    rows/group) gates — so the approx result IS the discrete median,
+    byte-equal to DuckDB's quantile_disc.  Beyond the exact regime the
+    guarantee degrades gracefully to +-n/100k ranks (probe at sf0.1's
+    ~200k rows/group: two of three groups land one element off,
+    52803.51 vs 52803.59 — the documented GK slack, not a bug)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.5, 100000).alias("approx_median"),
         F.percentile("l_extendedprice", 0.5).alias("exact_median"),
     )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import blob_table_from_documents, extract_features, sample_frames
+from ..operators.multimodal import blob_table_from_documents, sample_frames
 from .registry import query
 
 _SQL_MEDIA = """
@@ -78,21 +78,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: fake embedding is a Python md5
-# chain inside mapInPandas — not SQL-replayable by design (stands in for
-# a model forward pass)
+@query(
+    "multimodal_features",
+    # Round 8: oracled (was rows-only).  The oracle recomputes every
+    # statistic from the closed-form pixel formula — it never parses a
+    # byte, so agreement proves the WHOLE image binary path (synthesize
+    # -> encode_bmp -> shuffle as binary -> decode_image -> numpy stats)
+    # end-to-end, exactly like the multimodal_audio_features WAV row.
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + n_chars % 11 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT i.doc_id, i.w, i.h,
+         (i.doc_id * 7 + y * 31 + x * 13) % 256 AS r,
+         (i.doc_id * 7 + y * 31 + x * 13 + 5) % 256 AS g,
+         (i.doc_id * 7 + y * 31 + x * 13 + 10) % 256 AS b
+  FROM imgs i,
+       unnest(generate_series(0, i.h - 1)) AS gy(y),
+       unnest(generate_series(0, i.w - 1)) AS gx(x)
+)
+SELECT doc_id AS media_id,
+       CAST(54 + h * (w * 3 + (4 - (w * 3) % 4) % 4) AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(coalesce(sum(CASE WHEN r + g + b >= 384 THEN 1 END), 0) AS BIGINT)
+         AS bright_px
+FROM px GROUP BY doc_id, w, h
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary media
-    (decode stubbed -> deterministic fake embedding; plumbing real)."""
-    m = blob_table_from_documents(spark, sf_dir)
-    feats = extract_features(m)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.size("feature").alias("dim"),
-        F.element_at("feature", 1).alias("f0"),
-    )
+    """REAL image path (round 8, the WAV design applied to images):
+    deterministic closed-form RGB patterns are encoded to 24bpp BMP
+    executor-side, travel as an opaque binary column, and a second
+    Arrow stage parses the container (operators/multimodal.py
+    decode_image — the real bottom-up/BGR/padded reader) and computes
+    integer image statistics.  Both Arrow stages are the deliberate
+    Python path (a codec/model stage); everything around them is
+    ordinary columnar plumbing.  The md5 fake-embedding fallback for
+    undecodable payloads stays pytest-covered via extract_features
+    (tests/test_operators.py::test_bmp_media_pipeline)."""
+    from ..operators.multimodal import bmp_closed_form_media, image_features
+
+    media = bmp_closed_form_media(spark, sf_dir)
+    return image_features(media)
 
 
 @query(
