@@ -490,6 +490,25 @@ def _rewrite_call(name: str, args: list[list]) -> str | None:
         a0 = _render_tokens(_strip(args[0]))
         a1 = _render_tokens(_strip(args[1]))
         return f"geometry_nearest_points({a0}, {a1})"
+    if low == "spatial_partitions" and len(args) in (2, 3):
+        # GeoFunctions.java:1195 spatialPartitions(kdbTree, geometry
+        # [, distance]).  The KdbTree arrives as the planner-injected
+        # CAST('<json>' AS KdbTree) literal (ExtractSpatialJoins.java:665)
+        # — parse it at transpile time into a flat leaves array and
+        # evaluate findIntersectingLeaves as a pure-Catalyst filter()
+        # (functions/geometry.py sql_spatial_partitions).
+        from .functions.geometry import sql_spatial_partitions
+
+        json_toks = [t for t in args[0] if t[0] == "str"]
+        if len(json_toks) != 1:
+            raise PrestoFeatureUnsupportedError(
+                "spatial_partitions requires a literal KdbTree — the"
+                " CAST('<json>' AS KdbTree) form the reference planner"
+                " injects (ExtractSpatialJoins.java:665)"
+            )
+        g = _render_tokens(_strip(args[1]))
+        d = _render_tokens(_strip(args[2])) if len(args) == 3 else None
+        return sql_spatial_partitions(_str_value(json_toks[0]), g, d)
     if low == "try" and len(args) == 1:
         return _rewrite_try(args[0])
     if low in ("date_add", "date_diff") and len(args) == 3:

@@ -2154,6 +2154,108 @@ _body = (
 SQL_GEOMETRY_UDFS["st_astext"] = (_sig, _ret, _body)
 
 
+# ---------------------------------------------------------------------------
+# spatial_partitions over a KdbTree literal (round 8).
+#
+# Reference: GeoFunctions.java:1195/:1210 spatialPartitions +
+# KdbTree.findIntersectingLeaves (presto-geospatial-toolkit
+# KdbTree.java:178) + KdbTreeType.java.  In the reference the KdbTree
+# arrives EXCLUSIVELY as a planner-injected literal —
+# ExtractSpatialJoins.java:665 wraps KdbTreeUtils.toJson(kdbTree) in
+# CAST('<json>' AS KdbTree) — so the Spark-first twin parses that
+# literal AT TRANSPILE TIME into a flat leaves array and evaluates the
+# intersection predicate as a pure-Catalyst filter() HOF: zero Python
+# in the plan, constant-foldable leaves, and the result feeds an
+# explode -> equi-join on partition id exactly like the reference's
+# addPartitioningNodes (ExtractSpatialJoins.java:655).
+# ---------------------------------------------------------------------------
+def kdb_tree_leaves(json_text: str) -> list[tuple[int, float, float, float, float]]:
+    """KdbTreeUtils.toJson output -> [(leafId, xMin, yMin, xMax, yMax)].
+
+    Traversal order matches KdbTree.findLeaves exactly (explicit stack;
+    left pushed before right, so the right subtree is visited first) —
+    spatial_partitions output order is the reference's."""
+    import json as _json
+
+    root = _json.loads(json_text)
+    root = root.get("root", root)
+    out: list[tuple[int, float, float, float, float]] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if not node:
+            continue
+        ext = node["extent"]
+        leaf_id = node.get("leafId")
+        if leaf_id is not None:
+            out.append(
+                (
+                    int(leaf_id),
+                    float(ext["xMin"]),
+                    float(ext["yMin"]),
+                    float(ext["xMax"]),
+                    float(ext["yMax"]),
+                )
+            )
+        else:
+            if node.get("left"):
+                stack.append(node["left"])
+            if node.get("right"):
+                stack.append(node["right"])
+    if not out:
+        raise ValueError("KdbTree has no leaves")
+    return out
+
+
+def sql_spatial_partitions(json_text: str, g: str, d: str | None) -> str:
+    """Generated-SQL body for spatial_partitions(kdbTree, g[, d]).
+
+    Semantics bit-for-bit with the reference:
+    - empty geometry -> NULL (GeoFunctions.java:1197);
+    - leaves exclude their top/right boundaries: a leaf intersects iff
+      xMin <= env.xMax AND xMax > env.xMin AND yMin <= env.yMax AND
+      yMax > env.yMin (KdbTree.java findIntersectingLeaves comment);
+    - the distance form expands the envelope by d on every side after
+      rejecting NaN / infinite / negative d (GeoFunctions.java:1212).
+    """
+    leaves = kdb_tree_leaves(json_text)
+    arr = ", ".join(
+        f"named_struct('id', {lid}, 'x0', CAST('{x0!r}' AS DOUBLE),"
+        f" 'y0', CAST('{y0!r}' AS DOUBLE), 'x1', CAST('{x1!r}' AS DOUBLE),"
+        f" 'y1', CAST('{y1!r}' AS DOUBLE))"
+        for lid, x0, y0, x1, y1 in leaves
+    )
+    if d is None:
+        dexpr = "0.0D"
+    else:
+        # runtime-validated distance (literal or expression)
+        dexpr = (
+            f"CASE WHEN isnan(CAST(({d}) AS DOUBLE)) THEN"
+            " raise_error('spatial_partitions: distance is NaN')"
+            f" WHEN abs(CAST(({d}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE) THEN"
+            " raise_error('spatial_partitions: distance is infinite')"
+            f" WHEN CAST(({d}) AS DOUBLE) < 0D THEN"
+            " raise_error('spatial_partitions: distance is negative')"
+            f" ELSE CAST(({d}) AS DOUBLE) END"
+        )
+    return (
+        f"element_at(transform(array(({g})), g9 ->"
+        " CASE WHEN g9.gtype IS NULL OR size(flatten(g9.rings)) = 0"
+        " THEN NULL ELSE"
+        " element_at(transform(array(flatten(g9.rings)), fp9 ->"
+        "  element_at(transform(array(named_struct("
+        f"    'x0', array_min(transform(fp9, p9 -> p9.x)) - ({dexpr}),"
+        f"    'x1', array_max(transform(fp9, p9 -> p9.x)) + ({dexpr}),"
+        f"    'y0', array_min(transform(fp9, p9 -> p9.y)) - ({dexpr}),"
+        f"    'y1', array_max(transform(fp9, p9 -> p9.y)) + ({dexpr}))), e9 ->"
+        f"   transform(filter(array({arr}),"
+        "     lf -> lf.x0 <= e9.x1 AND lf.x1 > e9.x0"
+        "       AND lf.y0 <= e9.y1 AND lf.y1 > e9.y0),"
+        "     lf -> CAST(lf.id AS INT))), 1)), 1)"
+        " END), 1)"
+    )
+
+
 def register_geometry_sql(spark) -> None:
     """Register the SQL-invocable ST_* twins (idempotent per session)."""
     marker = "spark.sql.prestoCompat.geometryRegistered"

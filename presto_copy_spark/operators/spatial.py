@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import st_distance, st_within_distance
 
-__all__ = ["distance_join"]
+__all__ = ["distance_join", "kdb_distance_join"]
 
 
 def _cell(p: Column, axis: str, cell: float) -> Column:
@@ -75,3 +75,68 @@ def distance_join(
     return joined.withColumn(
         "dist", st_distance(F.col(probe_point), F.col(build_point))
     ).drop("_cx", "_cy")
+
+
+def _point_geom_sql(point_col: str) -> str:
+    """struct<x,y> point column -> the GEOM_T literal form
+    spatial_partitions consumes (functions/geometry.py GEOM_T)."""
+    return (
+        "named_struct('gtype', 'POINT', 'rings', array(array("
+        f"named_struct('x', CAST({point_col}.x AS DOUBLE),"
+        f" 'y', CAST({point_col}.y AS DOUBLE)))))"
+    )
+
+
+def kdb_distance_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_point: str,
+    build_point: str,
+    radius: float,
+    tree_json: str,
+) -> DataFrame:
+    """Distance join partitioned by a KdbTree — the reference's
+    distributed spatial-join shape (ExtractSpatialJoins.java:655
+    addPartitioningNodes): each side computes
+    ``spatial_partitions(kdbTree, geometry[, radius])``, explodes the
+    partition array, and the join runs as an EQUI-JOIN on partition id
+    with the exact distance predicate verifying candidates row-locally.
+
+    - probe side: its own leaf (a point falls in exactly ONE leaf —
+      KdbTree extents exclude their top/right boundaries);
+    - build side: every leaf within `radius` (the 3-arg distance form),
+      mirroring which side the reference expands;
+    - dedup rule: a pair is kept only in the SMALLEST partition id the
+      two arrays share (row-local array_intersect/array_min — no second
+      shuffle), so boundary pairs emit exactly once.
+
+    At 100 TB this is ONE hash shuffle on partition id per side with
+    per-leaf skew governed by the KdbTree build (the reference samples
+    the data to balance leaves; leaves here come from the caller's
+    tree).  The tree must cover the data domain, as in the reference
+    where border leaves extend unbounded."""
+    from ..functions.geometry import sql_spatial_partitions
+
+    p = probe.withColumn(
+        "_pa",
+        F.expr(sql_spatial_partitions(tree_json, _point_geom_sql(probe_point), None)),
+    ).withColumn("_pid", F.explode("_pa"))
+    b = build.withColumn(
+        "_pb",
+        F.expr(
+            sql_spatial_partitions(
+                tree_json, _point_geom_sql(build_point), repr(float(radius))
+            )
+        ),
+    ).withColumn("_pid", F.explode("_pb"))
+    joined = (
+        p.join(b, "_pid")
+        .filter(st_within_distance(F.col(probe_point), F.col(build_point), radius))
+        .filter(
+            F.col("_pid")
+            == F.array_min(F.array_intersect(F.col("_pa"), F.col("_pb")))
+        )
+    )
+    return joined.withColumn(
+        "dist", st_distance(F.col(probe_point), F.col(build_point))
+    ).drop("_pid", "_pa", "_pb")

@@ -73,6 +73,9 @@ def main() -> None:
             "x, '%Y'",        # literal-format datetime rewrites
             # differential_entropy fixed_histogram_mle literal form
             "8, x, w, 'fixed_histogram_mle', 0.0, 1.0",
+            # spatial_partitions planner-literal KdbTree form (round 8)
+            'CAST(\'{"root":{"extent":{"xMin":0,"yMin":0,"xMax":1,'
+            '"yMax":1},"leafId":0}}\' AS KDBTREE), x',
         ]
         for p in probes:
             try:
