@@ -495,32 +495,33 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats instead of semi+anti self-joins: an order qualifies iff its
     late lines come from exactly ONE distinct supplier (NOT EXISTS other
     late supplier) and the order has >1 distinct suppliers overall
-    (EXISTS other supplier); numwait then sums the qualifying orders'
-    late-line counts per supplier.  Both aggregations land on the
-    l_orderkey partitioning the join already produced, so the whole
-    query is one lineitem shuffle + broadcast joins — measured ~3x over
-    the semi+anti form at 10x sf0.1."""
+    (EXISTS other supplier).  Since only F-order lineitems matter on
+    both sides, ONE join + ONE groupBy(l_orderkey) computes everything:
+    the distinct-supplier cardinalities come from collect_set (bounded
+    at TPC-H's <=7 suppliers/order, so ObjectHashAggregate state is a
+    few ints per group) instead of countDistinct, which would plan an
+    Expand + a second shuffle round per distinct column.  Round 9:
+    folded the separate full-lineitem order_supp aggregation into the
+    same pass — one lineitem scan and one lineitem-sized shuffle total
+    (measured 0.99 s -> ~0.4 s at sf0.1, 4 jobs -> 3)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
-    late = (
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l_orderkey", "l_suppkey")
+        .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
+            ).alias("n_late_supp"),
+            F.count(F.when(F.col("is_late"), 1)).alias("n_late_lines"),
+            F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
     )
-    late_stats = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_late_supp"),
-        F.count(F.lit(1)).alias("n_late_lines"),
-        F.min("l_suppkey").alias("late_supp"),
-    )
-    order_supp = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
-    )
-    qual = (
-        late_stats.filter(F.col("n_late_supp") == 1)
-        .join(order_supp, "l_orderkey")
-        .filter(F.col("n_supp") > 1)
-    )
+    qual = per_order.filter((F.col("n_late_supp") == 1) & (F.col("n_supp") > 1))
     return (
         qual.join(F.broadcast(s), qual["late_supp"] == s["s_suppkey"])
         .groupBy("s_name")

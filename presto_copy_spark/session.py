@@ -5,9 +5,12 @@ environment in presto-main's TaskExecutor + memory pools; on Spark all of
 that is session configuration.  This module is the single place where the
 engine's performance posture is declared:
 
-- AQE on (runtime join-strategy switch, skew-join splitting, partition
-  coalescing) — the Spark analogue of Presto's
+- AQE on for cluster masters (runtime join-strategy switch, skew-join
+  splitting, partition coalescing) — the Spark analogue of Presto's
   ``DetermineJoinDistributionType`` / ``RuntimeReorderJoinSides`` rules.
+  On local[...] masters AQE defaults off (its per-stage job
+  materialization + re-optimization dominates sub-second runs; see the
+  inline note) — SPARK_GRAFT_AQE=1 restores it.
 - CBO + join reorder on — analogue of ``ReorderJoins`` /
   ``EliminateCrossJoins`` (needs ANALYZE stats to bite).
 - Runtime bloom filters + dynamic partition pruning — analogue of
@@ -55,13 +58,31 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(min(cpus, 32)))
         )
 
+    # AQE + runtime bloom filters are unconditional wins on a cluster
+    # (runtime re-plan, skew splitting, semi-join reduction) but carry a
+    # fixed per-stage price that dominates sub-second local runs: AQE
+    # materializes every shuffle stage as its own job and RE-OPTIMIZES
+    # the remaining plan between stages (measured: dedup_semantic's
+    # large plan tree 2.61 s -> 0.50 s at sf0.1 with AQE off, ml_kmeans
+    # 0.92 -> 0.46, 9 jobs -> 3), and bloom-filter injection adds an
+    # aggregate subquery per join whose build side here is a few KB
+    # (tpch_q09 0.42 -> 0.30).  On local[...] masters both default OFF;
+    # any non-local master keeps them ON.  SPARK_GRAFT_AQE=1 /
+    # SPARK_GRAFT_RUNTIME_FILTERS=1 force them back on locally (the
+    # sf1x/sf3x scale-convergence runs exercise both states).
+    is_local = master.startswith("local")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "0" if is_local else "1") == "1"
+    rtf = (
+        os.environ.get("SPARK_GRAFT_RUNTIME_FILTERS", "0" if is_local else "1")
+        == "1"
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution (runtime re-plan ≈ Presto AQE-ish rules) ---
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -69,7 +90,7 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         # --- runtime filtering (≈ DynamicFilterSourceOperator) ---
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", str(rtf).lower())
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
         # --- scan efficiency ---
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
@@ -86,7 +107,7 @@ def get_spark(
         # run, which in a long-lived session means unbounded growth.
         .config("spark.cleaner.periodicGC.interval", "1min")
     )
-    if master.startswith("local"):
+    if is_local:
         # Single-host executors: shuffle blocks never cross a network,
         # so spend zero cycles on lz4 and keep the files on tmpfs
         # (measured 12% on the sf1x heavy-join suite).  A cluster
