@@ -176,6 +176,83 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kdb_grid_tree(lo: float, hi: float, depth: int) -> dict:
+    """Balanced KdbTree JSON over [lo,hi)^2: alternate x/y median splits
+    to 2^depth leaves — the layout the reference's KdbTreeUtils builds
+    from a balanced sample (KdbTree.java buildTree)."""
+    counter = [0]
+
+    def node(x0, y0, x1, y1, d):
+        ext = {"xMin": x0, "yMin": y0, "xMax": x1, "yMax": y1}
+        if d == depth:
+            leaf = {"extent": ext, "leafId": counter[0]}
+            counter[0] += 1
+            return leaf
+        if d % 2 == 0:
+            mx = (x0 + x1) / 2
+            return {"extent": ext,
+                    "left": node(x0, y0, mx, y1, d + 1),
+                    "right": node(mx, y0, x1, y1, d + 1)}
+        my = (y0 + y1) / 2
+        return {"extent": ext,
+                "left": node(x0, y0, x1, my, d + 1),
+                "right": node(x0, my, x1, y1, d + 1)}
+
+    return {"root": node(lo, lo, hi, hi, 0)}
+
+
+# 16 leaves of 25x25 over the synthetic [0,100) coordinate domain —
+# leaf side 25 >> radius 1.5, so the build side lands in <= 4 leaves.
+_KDB_TREE = __import__("json").dumps(_kdb_grid_tree(0.0, 100.0, 4))
+
+
+@query(
+    "geo_kdb_partition_join",
+    # Same exhaustive cross-join oracle as geo_distance_join: the
+    # KdbTree-partitioned plan must find EXACTLY the same pairs.
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_X.format(k='c_custkey')} AS x,
+         {_Y.format(k='c_custkey')} AS y
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         {_X.format(k='(s_suppkey * 7 + 3)')} AS x,
+         {_Y.format(k='(s_suppkey * 7 + 3)')} AS y
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) AS dist
+FROM cust c, supp s
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= {_RADIUS} * {_RADIUS}
+""",
+)
+def geo_kdb_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KdbTree-partitioned distance join customer x supplier — the
+    reference's distributed spatial-join shape
+    (ExtractSpatialJoins.java:655 addPartitioningNodes +
+    GeoFunctions.java:1195 spatial_partitions): both sides explode to
+    KdbTree leaf ids, equi-join on partition id, exact distance verify,
+    smallest-shared-leaf dedup — all row-local except the ONE
+    partition-id shuffle (operators/spatial.py kdb_distance_join).  The
+    oracle is the exhaustive cross join, proving leaf routing + boundary
+    dedup lose and duplicate nothing."""
+    from ..operators.spatial import kdb_distance_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _pt(F.col("c_custkey")).alias("cp")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", _pt(F.col("s_suppkey") * 7 + 3).alias("sp")
+    )
+    return kdb_distance_join(c, s, "cp", "sp", _RADIUS, _KDB_TREE).select(
+        "c_custkey", "s_suppkey", "dist"
+    )
+
+
 @query(
     "geo_wkt_polygon_ops",
     oracle="""

@@ -55,14 +55,20 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_features",  # RIFF/WAVE PCM16 + signal features
     "agg_kll_quantile_rollup",  # r6: oracled (KLL exact-mode filter)
     "agg_theta_sketch_setops",  # r6: oracled (theta exact regime)
-    # Sampling family slot: the deterministic systematic sample carries
-    # the oracled driver row (round-5 VERDICT ask #1 — sample_bernoulli
-    # is genuinely un-oracle-able PRNG output; it stays registered
-    # rows-only outside the 50-slot window with its pytest invariants).
-    "sample_systematic",
-    "values_inline",
-    "unnest_explode",
     "geo_hull_union",  # r5: OGC hull/union/nearest/interp/GeoJSON
+    # ---- Round-9 rotation (VERDICT r8 ask #3): the four queries that
+    # gained real oracles in round 8 (tolerance oracles for the approx
+    # family; closed-form BMP round-trip for multimodal_features) plus
+    # the NEW geo_kdb_partition_join take their first driver rows.
+    # Rotated out (all r8 driver-green, families keep sibling rows,
+    # still DuckDB-oracled on every pytest run): sample_systematic,
+    # values_inline, unnest_explode, geo_polygon_predicates,
+    # func_specialty.
+    "multimodal_features",  # first driver row under the r8 BMP oracle
+    "agg_approx_distinct",  # first driver row (3-rsd tolerance oracle)
+    "agg_hll_sketch_merge",  # first driver row (HLL union tolerance)
+    "agg_approx_percentile",  # first driver row (GK rank-exact oracle)
+    "geo_kdb_partition_join",  # NEW r9: KdbTree-partitioned join
     # ---- Round-6 rotation: the two NEW round-6 queries take driver
     # slots; geo_wkt_polygon_ops (r5-green, geo family still held by
     # THREE driver rows) and agg_histogram_map (r3+r5-green) rotate out
@@ -86,12 +92,10 @@ DRIVER_PRIORITY: list[str] = [
     "subquery_scalar",  # first driver row (rotated out r5, never run)
     # Touched by round 5 — must re-prove green:
     "tpch_q02",  # one-shuffle agg+window fold
-    "geo_polygon_predicates",  # staged shared primitives
     "ml_kmeans",  # one-pass mean_update fold
     "sim_pq_adc",  # pq_code_sub_structs train fold + model checkpoint
     "sim_ivfadc",  # coarse+PQ train folds + model checkpoints
     "sim_ivf_probe",  # packed-centroid probe selection
-    "func_specialty",  # register_all session-marker change
     # Family canaries:
     "tpch_q09",
     "tpch_q21",
