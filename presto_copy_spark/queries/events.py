@@ -24,12 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .qutil import scaled_long
+from .qutil import scaled_long, spread_scan
 from .registry import query
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # JSON prop extraction / sessionization map work is CPU-bound:
+    # floor the scan parallelism (no-op once the table splits naturally).
+    return spread_scan(spark, load_table(spark, sf_dir, "events"))
 
 
 def _cents_sum(col: str = "value"):

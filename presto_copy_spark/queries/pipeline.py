@@ -47,11 +47,14 @@ from ..operators.text import (
     sql_tokens,
     tokens,
 )
+from .qutil import spread_scan
 from .registry import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Quality scoring / tokenization are CPU-bound: floor the scan
+    # parallelism (no-op once the table splits naturally).
+    return spread_scan(spark, load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

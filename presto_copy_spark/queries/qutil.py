@@ -68,3 +68,27 @@ def sql_exact_sum(e: str, alias: str) -> str:
 
 def sql_exact_avg(e: str, alias: str) -> str:
     return f"{sql_scaled_sum(e)} / 10000.0 / count(*) AS {alias}"
+
+
+# ---- scan parallelism floor ------------------------------------------------
+def spread_scan(spark, df):
+    """Raise a starved scan to cluster parallelism before CPU-heavy
+    row-local work (shingling, regex sweeps, UDF batches, geometry).
+
+    The local fixtures are single-row-group parquet files, so Spark's
+    reader hands the WHOLE table to one task no matter how
+    ``spark.sql.files.maxPartitionBytes`` is set (a row group is
+    unsplittable) — every map-heavy first stage runs single-threaded.
+    One tiny round-robin exchange buys full parallelism on the expensive
+    map work.  At production scale a 100 TB table arrives as thousands
+    of row groups and this is a structural NO-OP (the partition count
+    already exceeds the floor), so the plan stays shuffle-free exactly
+    when the scan parallelizes naturally — same contract as Presto's
+    split enumeration (presto-spi ConnectorSplitManager).  Filters and
+    column pruning still reach the scan: Catalyst pushes both through
+    Repartition nodes.
+    """
+    goal = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, goal // 2):
+        return df
+    return df.repartition(goal)

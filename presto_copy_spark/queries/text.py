@@ -59,6 +59,7 @@ from ..operators.text import (
     sql_band_exprs,
     tokens,
 )
+from .qutil import spread_scan
 from .registry import query
 
 N_HASHES, N_BANDS = 16, 4
@@ -70,7 +71,9 @@ HAMMING_T = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Shingling/regex sweeps are CPU-bound: floor the scan parallelism
+    # (no-op once the table splits naturally — qutil.spread_scan).
+    return spread_scan(spark, load_table(spark, sf_dir, "documents"))
 
 
 def _shingle_index(docs: DataFrame) -> DataFrame:
