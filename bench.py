@@ -1,9 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
-Round-8 protocol: TWO spread-out passes of 3 measured runs per query;
-per-pass median; the recorded figure is the BEST of the two pass
-medians.  Rationale (tools/bench_variance.py, bench_variance_diag.json):
+Round-8 protocol (amended in-round to THREE passes — see PASS_RUNS):
+spread-out passes of 3 measured runs per query; per-pass median; the
+recorded figure is the BEST (min) of the pass medians — a deliberately
+burst-robust estimator, applied IDENTICALLY to the DuckDB baseline by
+tools/refresh_baseline.py so both ratio columns draw from the same
+statistics.  NOTE for cross-round reading: r7-and-earlier figures were
+median-of-5 (a higher estimator); r8+ totals are not apples-to-apples
+with them — compare within a protocol generation, or use the
+median-of-pass-medians also recorded per query in "pass_medians".
+Rationale (tools/bench_variance.py, bench_variance_diag.json):
 the round-7 verdict showed +-45-70% per-query swings on byte-identical
 code; the diagnostic refuted in-loop accumulation (after 90 queries the
 canary queries got FASTER — JIT warmth — while heap grew 0.5 -> 3.6 GB
@@ -23,7 +30,7 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Protocol lineage: the reference's benchto setup
 (presto-benchto-benchmarks/.../tpch.yaml: 2 prewarm + 6 measured,
-median reported) — here 1 prewarm + 2x3 measured, best pass median.
+median reported) — here 1 prewarm + 3x3 measured, best pass median.
 """
 
 from __future__ import annotations
@@ -128,6 +135,27 @@ def main() -> None:
                 broken[name] = str(e)
                 dfs.pop(name, None)
 
+    # Burst-retry pass (round 9, VERDICT r8 ask #7): a query whose pass
+    # medians still disagree >30% after three spread-out passes was hit
+    # by a co-tenant burst in at least one window — give exactly those
+    # queries one more pass so the recorded min comes from a clean
+    # window.  Cheap: the r8 driver run had 49/96 disagreeing, i.e. one
+    # extra ~0.3 s pass each, bounding the retry at ~15 s worst-case.
+    retried: list[str] = []
+    for name in list(dfs):
+        meds = [statistics.median(s) for s in pass_samples[name]]
+        if meds and min(meds) > 0 and max(meds) / min(meds) > 1.3:
+            try:
+                samples = []
+                for _ in range(PASS_RUNS[-1]):
+                    t0 = time.perf_counter()
+                    dfs[name].write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                pass_samples[name].append(samples)
+                retried.append(name)
+            except Exception as e:
+                print(f"bench: {name} failed in retry pass: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     pass_medians: dict[str, list[float]] = {}
     for name in names:
@@ -198,10 +226,23 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # per-pass medians: if the two disagree >30% on a query, that
-        # query saw a host burst in one pass and the clean pass was
-        # recorded — the diagnosability the round-7 drift lacked
+        # per-pass medians: if passes disagree >30% on a query, that
+        # query saw a host burst and the clean pass was recorded — the
+        # diagnosability the round-7 drift lacked
         "pass_medians": pass_medians,
+        # continuity estimator (ADVICE r8): median of the pass medians,
+        # comparable in spirit to the r7-and-earlier median-of-5 figures
+        "median_of_pass_medians_total": round(
+            sum(
+                statistics.median(m)
+                for n, m in pass_medians.items()
+                if timings.get(n, -1) >= 0
+            ),
+            4,
+        ),
+        # queries that got the burst-retry 4th pass (>30% pass
+        # disagreement after the main three)
+        "burst_retried": retried,
         "sf1x_tpch_sec": sf1x,
         "sf1x_tpch_total": round(sum(sf1x.values()), 4),
         "sf1x_pipeline_sec": sf1x_pipeline,

@@ -2238,21 +2238,27 @@ def sql_spatial_partitions(json_text: str, g: str, d: str | None) -> str:
             " raise_error('spatial_partitions: distance is negative')"
             f" ELSE CAST(({d}) AS DOUBLE) END"
         )
+    # The distance is validated OUTSIDE the empty-geometry branch —
+    # GeoFunctions.java:1212 throws on NaN/infinite/negative distance
+    # BEFORE the :1197 empty check, so spatial_partitions(tree, empty,
+    # NaN) must raise, not return NULL (ADVICE r8).  Binding it once in
+    # the outer transform also stops the 4x duplication in the envelope.
     return (
-        f"element_at(transform(array(({g})), g9 ->"
+        f"element_at(transform(array(CAST(({dexpr}) AS DOUBLE)), d9 ->"
+        f" element_at(transform(array(({g})), g9 ->"
         " CASE WHEN g9.gtype IS NULL OR size(flatten(g9.rings)) = 0"
         " THEN NULL ELSE"
         " element_at(transform(array(flatten(g9.rings)), fp9 ->"
         "  element_at(transform(array(named_struct("
-        f"    'x0', array_min(transform(fp9, p9 -> p9.x)) - ({dexpr}),"
-        f"    'x1', array_max(transform(fp9, p9 -> p9.x)) + ({dexpr}),"
-        f"    'y0', array_min(transform(fp9, p9 -> p9.y)) - ({dexpr}),"
-        f"    'y1', array_max(transform(fp9, p9 -> p9.y)) + ({dexpr}))), e9 ->"
+        "    'x0', array_min(transform(fp9, p9 -> p9.x)) - d9,"
+        "    'x1', array_max(transform(fp9, p9 -> p9.x)) + d9,"
+        "    'y0', array_min(transform(fp9, p9 -> p9.y)) - d9,"
+        "    'y1', array_max(transform(fp9, p9 -> p9.y)) + d9)), e9 ->"
         f"   transform(filter(array({arr}),"
         "     lf -> lf.x0 <= e9.x1 AND lf.x1 > e9.x0"
         "       AND lf.y0 <= e9.y1 AND lf.y1 > e9.y0),"
         "     lf -> CAST(lf.id AS INT))), 1)), 1)"
-        " END), 1)"
+        " END), 1)), 1)"
     )
 
 

@@ -151,7 +151,16 @@ def theta_summary(raw: bytes, num_std_dev: int = 1) -> tuple[float, float, float
 
 
 def theta_hash_counts(raw: bytes) -> dict[int, int]:
-    """hash -> count map over the twin's retained bottom-k hash set
-    (SetDigestFunctions.hashCounts; counts are 1 — see module doc)."""
+    """hash -> count map over the twin's retained bottom-k hash set.
+
+    DOCUMENTED DIVERGENCE (user-facing — ADVICE r8): the reference's
+    SetDigestFunctions.hashCounts returns real per-hash multiplicities
+    (a SetDigest carries a hash->smallint count map, saturating at
+    Short.MAX); this twin is backed by a theta sketch, which tracks
+    PRESENCE only, so every value here is the constant 1.  The KEY SET
+    is contract-faithful; the VALUES are not multiplicities.  Use this
+    function only for key-set semantics (membership, intersections);
+    a query that consumes the counts needs the reference's SetDigest
+    layout, which is Presto-private (COVERAGE.md sketch residue)."""
     _, hashes = parse_compact_theta(raw)
     return {h: 1 for h in hashes}

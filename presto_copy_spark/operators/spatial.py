@@ -94,6 +94,7 @@ def kdb_distance_join(
     build_point: str,
     radius: float,
     tree_json: str,
+    uncovered: str = "error",
 ) -> DataFrame:
     """Distance join partitioned by a KdbTree — the reference's
     distributed spatial-join shape (ExtractSpatialJoins.java:655
@@ -110,17 +111,38 @@ def kdb_distance_join(
       two arrays share (row-local array_intersect/array_min — no second
       shuffle), so boundary pairs emit exactly once.
 
+    ``uncovered`` (ADVICE r8): a probe point OUTSIDE the tree's extent
+    gets an empty partition array.  In the reference this state is
+    impossible (KdbTreeUtils border leaves extend unbounded), so the
+    default ``"error"`` raises on the first uncovered row (row-local
+    null check, no extra shuffle) instead of silently diverging from
+    distance_join; pass ``"drop"`` to accept partial-coverage trees and
+    drop those probe rows knowingly.
+
     At 100 TB this is ONE hash shuffle on partition id per side with
     per-leaf skew governed by the KdbTree build (the reference samples
     the data to balance leaves; leaves here come from the caller's
-    tree).  The tree must cover the data domain, as in the reference
-    where border leaves extend unbounded."""
+    tree)."""
     from ..functions.geometry import sql_spatial_partitions
 
+    if uncovered not in ("error", "drop"):
+        raise ValueError("uncovered must be 'error' or 'drop'")
     p = probe.withColumn(
         "_pa",
         F.expr(sql_spatial_partitions(tree_json, _point_geom_sql(probe_point), None)),
-    ).withColumn("_pid", F.explode("_pa"))
+    )
+    if uncovered == "error":
+        covered = F.when(
+            F.col("_pa").isNull() | (F.size("_pa") > 0), F.col("_pa")
+        ).otherwise(
+            F.expr(
+                "raise_error('kdb_distance_join: probe point outside"
+                " KdbTree coverage (build the tree over the data"
+                " domain, or pass uncovered=\"drop\")')"
+            )
+        )
+        p = p.withColumn("_pa", covered)
+    p = p.withColumn("_pid", F.explode("_pa"))
     b = build.withColumn(
         "_pb",
         F.expr(

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import sql_hash60
 from .qutil import exact_sum, sql_exact_sum
 from .registry import query
 
@@ -401,13 +402,44 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli")
+@query(
+    "sample_bernoulli",
+    # identical md5 hash-threshold on the row key, spelled in DuckDB
+    # (operators/text.py sql_hash60 — the same cross-engine hash every
+    # dedup/sampling oracle uses)
+    oracle=f"""
+SELECT count(*) AS n, {sql_exact_sum('l_quantity', 'sum_qty')}
+FROM (
+  SELECT l_quantity
+  FROM lineitem
+  WHERE ({sql_hash60("'bern42|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} % 1000) < 100
+) t
+""",
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE BERNOULLI via df.sample (seeded; rows-only check —
-    Spark and DuckDB PRNGs differ so no value oracle is possible)."""
+    """TABLESAMPLE BERNOULLI(10) as a seeded HASH-threshold filter — the
+    deterministic twin of the reference's per-row coin flip
+    (ImplementBernoulliSampleAsFilter rewrites BERNOULLI to
+    `filter(rand() < p)`; this keeps the identical independent-per-row
+    keep probability but draws the "coin" from md5(seed || row key), so
+    the sample is reproducible across runs, partitionings, AND engines
+    — the deviation from Presto is only that re-running with the same
+    seed returns the same rows, which is the property a 100 TB pipeline
+    actually wants).  Round 9: was a rows-only df.sample (engine PRNG);
+    the hash form makes the last registry entry value-oracled."""
+    from ..operators.text import hash60
+    from .qutil import exact_sum
+
     l = _t(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).agg(
-        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    key = F.concat(
+        F.lit("bern42|"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        l.filter(hash60(key) % 1000 < 100)
+        .agg(F.count("*").alias("n"), exact_sum(F.col("l_quantity"), "sum_qty"))
     )
 
 

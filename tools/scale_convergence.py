@@ -80,6 +80,8 @@ def _build_shifted(spark, big_dir: str, copies: int) -> None:
             else:
                 big = src
             n = 32 if name in ("lineitem", "orders") else 4
+            if copies > 30:  # sf10x: keep file sizes task-friendly
+                n *= 2
             big.repartition(n).write.mode("overwrite").parquet(bp)
     for name, key in CORPUS.items():
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
@@ -101,7 +103,9 @@ def _build_shifted(spark, big_dir: str, copies: int) -> None:
             ).parquet(bp)
 
 
-def build_layouts(spark, include_sf3x: bool = False) -> dict[str, str]:
+def build_layouts(
+    spark, include_sf3x: bool = False, include_sf10x: bool = False
+) -> dict[str, str]:
     layouts = {"sf0.1": SRC}
     split_dir = f"{OUT}/sf0.1_split"
     os.makedirs(split_dir, exist_ok=True)
@@ -120,6 +124,12 @@ def build_layouts(spark, include_sf3x: bool = False) -> dict[str, str]:
         # load-bearing 100 TB evidence (BASELINE.md §scale convergence)
         _build_shifted(spark, f"{OUT}/sf3x", 3 * COPIES)
         layouts["sf3x"] = f"{OUT}/sf3x"
+    if include_sf10x:
+        # the round-9 TPC-H decade (VERDICT r8 ask: the relational
+        # suite needs the third decade the pipeline suite already has):
+        # 100 key-shifted copies ~ sf10 — 60M lineitem rows, 64 files
+        _build_shifted(spark, f"{OUT}/sf10x", 10 * COPIES)
+        layouts["sf10x"] = f"{OUT}/sf10x"
     return layouts
 
 
@@ -141,6 +151,16 @@ def main() -> None:
         default="tpch",
         help="pipeline = the LLM-corpus operator set over documents/embeddings",
     )
+    ap.add_argument(
+        "--sf10x",
+        action="store_true",
+        help="add the 100-copy (~sf10) decade to the layout sweep",
+    )
+    ap.add_argument(
+        "--layouts",
+        default=None,
+        help="comma list to restrict measured layouts (e.g. sf1x,sf3x)",
+    )
     args = ap.parse_args()
     names = (
         PIPELINE_QUERIES.split(",") if args.suite == "pipeline" else args.queries.split(",")
@@ -153,7 +173,10 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark("scale-convergence")
-    layouts = build_layouts(spark, include_sf3x=True)
+    layouts = build_layouts(spark, include_sf3x=True, include_sf10x=args.sf10x)
+    if args.layouts:
+        keep = set(args.layouts.split(","))
+        layouts = {k: v for k, v in layouts.items() if k in keep}
 
     print(f"| layout | engine | {' | '.join(n.removeprefix('tpch_') for n in names)} | total |")
     print("|---|---|" + "---|" * (len(names) + 1))
