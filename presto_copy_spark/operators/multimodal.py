@@ -82,11 +82,8 @@ def blob_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture (text bytes stand in for media bytes; metadata derived from
     doc stats).  Real pipelines read parquet with a binary column."""
     from ..catalog import load_table
-    from ..queries.qutil import spread_scan
 
-    # mapInPandas codec batches are CPU-bound: floor the scan
-    # parallelism (no-op once the table splits naturally).
-    d = spread_scan(spark, load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     mt = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -111,11 +108,8 @@ def bmp_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded with :func:`encode_bmp` inside mapInPandas — the bytes are
     produced and consumed executor-side, never on the driver."""
     from ..catalog import load_table
-    from ..queries.qutil import spread_scan
 
-    d = spread_scan(
-        spark, load_table(spark, sf_dir, "documents")
-    ).select("doc_id", "n_chars")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np

@@ -29,9 +29,11 @@ from .registry import query
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # JSON prop extraction / sessionization map work is CPU-bound:
-    # floor the scan parallelism (no-op once the table splits naturally).
-    return spread_scan(spark, load_table(spark, sf_dir, "events"))
+    # NOT spread here (see text.py._docs): the loader-level floor cost
+    # every cheap events query ~0.2 s in full-bench conditions;
+    # events_json_props (the one CPU-bound map) applies spread_scan
+    # itself.
+    return load_table(spark, sf_dir, "events")
 
 
 def _cents_sum(col: str = "value"):
@@ -305,12 +307,26 @@ def _summarize_deduped(deduped: DataFrame) -> DataFrame:
 
 @query(
     "events_streaming_dedup",
+    # The oracle pays the IDENTICAL pipeline (round 9 — the old form
+    # aggregated the original table directly, skipping the redelivery
+    # injection + dedup shuffle the engine pays, which made this row's
+    # denominator a near-no-op): inject the same every-5th redelivery,
+    # dedup (redeliveries are exact copies, so DISTINCT * is the same
+    # row set as the engine's event_id-keyed dropDuplicates), then
+    # aggregate.  Result is unchanged — dedup must restore the original
+    # stream bit-for-bit.
     oracle=f"""
+WITH redelivered AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 5 = 0
+),
+deduped AS (SELECT DISTINCT * FROM redelivered)
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        {SQL_CENTS_SUM} AS sum_value_cents
-FROM events
+FROM deduped
 GROUP BY event_type
 """,
 )
@@ -354,7 +370,7 @@ GROUP BY event_type
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column — JsonFunctions.java
     json_extract_scalar ≈ get_json_object."""
-    e = _events(spark, sf_dir)
+    e = spread_scan(spark, _events(spark, sf_dir))
     # Parse the JSON ONCE per row in a projection the partial agg
     # consumes: with the parse inlined into each aggregate input the
     # plan is only correct-speed if codegen subexpression elimination

@@ -52,9 +52,10 @@ from .registry import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Quality scoring / tokenization are CPU-bound: floor the scan
-    # parallelism (no-op once the table splits naturally).
-    return spread_scan(spark, load_table(spark, sf_dir, "documents"))
+    # NOT spread here (see text.py._docs): the loader-level floor lost
+    # more on cheap queries than it won on heavy ones in full-bench
+    # conditions; pii_scrub applies spread_scan itself.
+    return load_table(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -328,8 +329,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     email+phone per document is appended on BOTH engine and oracle
     sides before scrubbing — the operator under test is the regex
     detect/redact stage, which is a pure row-local projection (zero
-    shuffle; the regex compiles once per task, not per row)."""
-    d = _docs(spark, sf_dir)
+    shuffle; the regex compiles once per task, not per row).  The five
+    regex sweeps per doc are CPU-bound: the scan gets the spread_scan
+    parallelism floor (measured 0.26 -> 0.09 s at sf0.1 in full-bench
+    conditions; no-op once the table splits naturally)."""
+    d = spread_scan(spark, _docs(spark, sf_dir))
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),

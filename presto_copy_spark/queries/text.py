@@ -71,9 +71,14 @@ HAMMING_T = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shingling/regex sweeps are CPU-bound: floor the scan parallelism
-    # (no-op once the table splits naturally — qutil.spread_scan).
-    return spread_scan(spark, load_table(spark, sf_dir, "documents"))
+    # NOT spread here: a blanket parallelism floor on this loader was
+    # measured a net LOSS in full-bench conditions (round 9: +0.03-0.2 s
+    # per cheap query for the extra exchange vs wins only on the
+    # genuinely CPU-bound ones) — spread_scan is applied per-query
+    # where the map work dominates (text_quality; pii_scrub in
+    # pipeline.py).  Shingle pipelines already repartition in
+    # _shingle_index.
+    return load_table(spark, sf_dir, "documents")
 
 
 def _shingle_index(docs: DataFrame) -> DataFrame:
@@ -136,8 +141,12 @@ FROM (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents) t
 """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring (length / stopword / diversity)."""
-    d = _docs(spark, sf_dir)
+    """Per-document quality scoring (length / stopword / diversity).
+
+    CPU-bound map (tokenize + 4 metric folds per doc): the scan gets
+    the spread_scan parallelism floor (measured 0.15 -> 0.08 s at
+    sf0.1 in full-bench conditions; no-op once the table splits)."""
+    d = spread_scan(spark, _docs(spark, sf_dir))
     m = quality_metrics(F.col("text"))
     q = (
         F.when((m["n_tokens"] >= 40) & (m["distinct_ratio"] >= 0.2), "good")
