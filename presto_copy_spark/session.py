@@ -89,6 +89,14 @@ def get_spark(
         # --- cost-based optimization (≈ ReorderJoins + stats rules) ---
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # --- join strategy: hash over sort-merge (Presto posture) ---
+        # Presto's LookupJoinOperator is hash-based; it never sorts to
+        # join.  Spark's SMJ default pays an O(n log n) sort per side
+        # that a shuffled hash join skips (measured at the sf10x decade:
+        # q05 4.64->4.04 s, q18 6.26->5.52, no regressions).  SMJ still
+        # kicks in when the hash build can't fit or data is pre-sorted
+        # (the bucketed-merge plan test opts back in explicitly).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- runtime filtering (≈ DynamicFilterSourceOperator) ---
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", str(rtf).lower())
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
