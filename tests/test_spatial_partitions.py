@@ -138,3 +138,51 @@ def test_kdb_partitioned_join_matches_grid_join_and_plan(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "Python" not in plan  # pure Catalyst, no Arrow/Python stage
     assert "_pid" in plan  # the equi-join key IS the partition id
+
+
+def test_spatial_partitions_distance_validated_before_empty_check(spark):
+    """GeoFunctions.java:1212 validates the distance BEFORE the :1197
+    empty-geometry check — spatial_partitions(tree, empty, NaN) must
+    RAISE, not short-circuit to NULL (ADVICE r8)."""
+    import pytest
+
+    for bad, msg in [
+        ("CAST('NaN' AS DOUBLE)", "NaN"),
+        ("CAST('Infinity' AS DOUBLE)", "infinite"),
+        ("-1.0", "negative"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            _sp(spark, "POINT EMPTY", bad)
+    # and a VALID distance on an empty geometry still yields NULL
+    assert _sp(spark, "POINT EMPTY", 0.5) is None
+
+
+def test_kdb_join_uncovered_probe_raises_by_default(spark):
+    """A probe point outside the tree's coverage must RAISE under the
+    default uncovered='error' (the reference's trees make the state
+    impossible — border leaves extend unbounded) and silently DROP only
+    under the explicit uncovered='drop' opt-in (ADVICE r8)."""
+    import pytest
+
+    from presto_copy_spark.functions.geo import st_point
+    from presto_copy_spark.operators.spatial import kdb_distance_join
+    from pyspark.sql import functions as F
+
+    pts = [(0, 1.0, 1.0), (1, 50.0, 50.0)]  # id 1 is outside [0,10]x[0,5]
+    df = (
+        spark.createDataFrame(pts, "id long, x double, y double")
+        .withColumn("pt", st_point("x", "y"))
+        .select("id", "pt")
+    )
+    a = df.select(F.col("id").alias("aid"), F.col("pt").alias("pa"))
+    b = df.filter(F.col("id") == 0).select(
+        F.col("id").alias("bid"), F.col("pt").alias("pb")
+    )
+    with pytest.raises(Exception, match="outside KdbTree coverage"):
+        kdb_distance_join(a, b, "pa", "pb", 0.7, TREE).collect()
+    dropped = kdb_distance_join(
+        a, b, "pa", "pb", 0.7, TREE, uncovered="drop"
+    ).collect()
+    assert {(r.aid, r.bid) for r in dropped} == {(0, 0)}
+    with pytest.raises(ValueError, match="uncovered"):
+        kdb_distance_join(a, b, "pa", "pb", 0.7, TREE, uncovered="bogus")
