@@ -116,16 +116,25 @@ def docs_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sequence packing: concat-then-chunk at a fixed token budget.
+# Sequence packing: concat-then-chunk at a fixed token budget.  The
+# shard is DERIVED from the doc id (round 9 — the fixture-pinned
+# PACK_SHARDS=2 was the same anti-pattern as SemDeDup's old fixed K:
+# window-partition count frozen while the corpus grows).  shard =
+# floor(doc_id / PACK_DOCS_PER_SHARD) gives every writer a CONTIGUOUS
+# ~2500-doc range — partition size is bounded by construction at ANY
+# corpus scale, needs no corpus count (zero extra jobs, unlike a
+# derived-N 1-row agg), and matches how real multi-writer packers
+# split work (contiguous id ranges per writer).
 PACK_BUDGET = 256
-PACK_SHARDS = 2
+PACK_DOCS_PER_SHARD = 2500
 
 
 @query(
     "docs_pack_sequences",
     oracle=f"""
 WITH t AS (
-  SELECT source, doc_id, doc_id % {PACK_SHARDS} AS shard,
+  SELECT source, doc_id,
+         CAST(floor(doc_id / {PACK_DOCS_PER_SHARD}.0) AS BIGINT) AS shard,
          {sql_bpe_token_count('text')} AS n_tok
   FROM documents
 ),
@@ -151,15 +160,18 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     document boundaries, exactly like the real pretraining layout).
 
     The running position is a window cumsum partitioned by
-    (source, shard): each partition is one writer's worth of documents,
-    so window size is bounded by design — scale the corpus by raising
-    PACK_SHARDS, never by growing a partition."""
+    (source, shard): each partition is one writer's worth of documents.
+    The shard is floor(doc_id / PACK_DOCS_PER_SHARD) — a contiguous
+    ~2500-doc range per writer, so window-partition size is bounded by
+    CONSTRUCTION at any corpus scale (the round-9 fix for the
+    fixture-pinned 2-shard constant), row-locally and with no corpus
+    count."""
     d = _docs(spark, sf_dir)
     n_tok = bpe_token_count(F.col("text"))
     t = d.select(
         "source",
         "doc_id",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.floor(F.col("doc_id") / float(PACK_DOCS_PER_SHARD)).alias("shard"),
         n_tok.alias("n_tok"),
     )
     w = (
