@@ -3,10 +3,13 @@
 
 Round-8 protocol (amended in-round to THREE passes — see PASS_RUNS):
 spread-out passes of 3 measured runs per query; per-pass median; the
-recorded figure is the BEST (min) of the pass medians — a deliberately
-burst-robust estimator, applied IDENTICALLY to the DuckDB baseline by
-tools/refresh_baseline.py so both ratio columns draw from the same
-statistics.  NOTE for cross-round reading: r7-and-earlier figures were
+recorded figure is the BEST (min) of the pass medians, plus a single
+burst-retry pass for any query whose pass medians still disagree >30%
+(round 9).  The WHOLE protocol — three passes AND the >30%-disagreement
+retry pass — is applied IDENTICALLY to the DuckDB baseline by
+tools/refresh_baseline.py (ADVICE r9: the retry pass used to run on
+the Spark side only, a one-sided downward bias on the ratio), so both
+ratio columns draw from the same statistics.  NOTE for cross-round reading: r7-and-earlier figures were
 median-of-5 (a higher estimator); r8+ totals are not apples-to-apples
 with them — compare within a protocol generation, or use the
 median-of-pass-medians also recorded per query in "pass_medians".
@@ -231,10 +234,13 @@ def main() -> None:
         # diagnosability the round-7 drift lacked
         "pass_medians": pass_medians,
         # continuity estimator (ADVICE r8): median of the pass medians,
-        # comparable in spirit to the r7-and-earlier median-of-5 figures
+        # comparable in spirit to the r7-and-earlier median-of-5 figures.
+        # Only the first len(PASS_RUNS) passes enter (ADVICE r9): the
+        # burst-retry 4th pass would otherwise make this a mixed-sample
+        # statistic (4 medians for retried queries, 3 for the rest).
         "median_of_pass_medians_total": round(
             sum(
-                statistics.median(m)
+                statistics.median(m[: len(PASS_RUNS)])
                 for n, m in pass_medians.items()
                 if timings.get(n, -1) >= 0
             ),

@@ -36,17 +36,18 @@ def _pt(key):
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Fan a small dimension scan across all cores before CPU-heavy
-    row-local geometry.  The generated geometry expressions (macro-inlined
-    intersection/hull/union CASE trees) exceed the codegen size limit and
-    evaluate interpreted, so per-row cost is ~0.5-1 ms — compute-bound, not
-    IO-bound.  A 100 TB fact table splits into thousands of input tasks
-    naturally, but a KB-scale dimension parquet arrives as ONE split; one
-    tiny round-robin exchange (1000 rows) buys full-cluster parallelism on
-    the expensive map work (measured 0.7 s -> 0.05 s at sf0.1 on
-    local[32]).  Same trick Presto applies via its own table-scan split
-    enumeration (reference: presto-spi ConnectorSplitManager contract)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Fan a starved dimension scan across all cores before CPU-heavy
+    row-local geometry (the macro-inlined geometry CASE trees evaluate
+    interpreted, ~0.5-1 ms/row — compute-bound, not IO-bound).
+
+    Delegates to qutil.spread_scan, which is a structural NO-OP whenever
+    the scan already splits (ADVICE r9: the old local copy repartitioned
+    unconditionally, paying an exchange even on an already-parallel
+    production scan).  Same contract as Presto's split enumeration
+    (presto-spi ConnectorSplitManager)."""
+    from .qutil import spread_scan
+
+    return spread_scan(spark, df)
 
 
 # ---------------------------------------------------------------------------
