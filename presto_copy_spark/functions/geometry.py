@@ -1385,27 +1385,72 @@ def _sql_pt_on_boundary(g: str, px: str, py: str) -> str:
     )
 
 
+def _sql_in_seg_bbox(px: str, py: str, sp: str, sq: str) -> str:
+    """(px, py) inside the closed bbox of segment sp-sq — the on-segment
+    test MINUS the collinearity sign check (callers below guarantee the
+    point is already known collinear via a let-bound orientation)."""
+    return (
+        f"(({px}) >= least({sp}.x, {sq}.x)"
+        f" AND ({px}) <= greatest({sp}.x, {sq}.x)"
+        f" AND ({py}) >= least({sp}.y, {sq}.y)"
+        f" AND ({py}) <= greatest({sp}.y, {sq}.y))"
+    )
+
+
 # segments sa9 / sb9 share at least one point: proper crossing, or a
-# collinear/endpoint contact (an endpoint of one lies on the other)
+# collinear/endpoint contact (an endpoint of one lies on the other).
+# The four orientation signs are LET-BOUND once via a single-element
+# transform (round 10): the naive form evaluated each sign twice (the
+# proper-crossing product AND the =0 collinearity gate), which doubles
+# per-row work under interpreted eval — Catalyst HOF trees don't get
+# runtime subexpression elimination.
 _SQL_SEG_CONTACT = (
-    f"((({_sql_orient('sa9.p', 'sa9.q', 'sb9.p')}"
-    f" * {_sql_orient('sa9.p', 'sa9.q', 'sb9.q')} < 0)"
-    f" AND ({_sql_orient('sb9.p', 'sb9.q', 'sa9.p')}"
-    f" * {_sql_orient('sb9.p', 'sb9.q', 'sa9.q')} < 0))"
-    f" OR ({_sql_orient('sa9.p', 'sa9.q', 'sb9.p')} = 0D"
-    f" AND {_sql_on_seg_xy('sb9.p.x', 'sb9.p.y', 'sa9.p', 'sa9.q')})"
-    f" OR ({_sql_orient('sa9.p', 'sa9.q', 'sb9.q')} = 0D"
-    f" AND {_sql_on_seg_xy('sb9.q.x', 'sb9.q.y', 'sa9.p', 'sa9.q')})"
-    f" OR ({_sql_orient('sb9.p', 'sb9.q', 'sa9.p')} = 0D"
-    f" AND {_sql_on_seg_xy('sa9.p.x', 'sa9.p.y', 'sb9.p', 'sb9.q')})"
-    f" OR ({_sql_orient('sb9.p', 'sb9.q', 'sa9.q')} = 0D"
-    f" AND {_sql_on_seg_xy('sa9.q.x', 'sa9.q.y', 'sb9.p', 'sb9.q')}))"
+    "element_at(transform(array(named_struct("
+    f" 'o1', {_sql_orient('sa9.p', 'sa9.q', 'sb9.p')},"
+    f" 'o2', {_sql_orient('sa9.p', 'sa9.q', 'sb9.q')},"
+    f" 'o3', {_sql_orient('sb9.p', 'sb9.q', 'sa9.p')},"
+    f" 'o4', {_sql_orient('sb9.p', 'sb9.q', 'sa9.q')})), so9 ->"
+    " ((so9.o1 * so9.o2 < 0) AND (so9.o3 * so9.o4 < 0))"
+    " OR (so9.o1 = 0D"
+    f" AND {_sql_in_seg_bbox('sb9.p.x', 'sb9.p.y', 'sa9.p', 'sa9.q')})"
+    " OR (so9.o2 = 0D"
+    f" AND {_sql_in_seg_bbox('sb9.q.x', 'sb9.q.y', 'sa9.p', 'sa9.q')})"
+    " OR (so9.o3 = 0D"
+    f" AND {_sql_in_seg_bbox('sa9.p.x', 'sa9.p.y', 'sb9.p', 'sb9.q')})"
+    " OR (so9.o4 = 0D"
+    f" AND {_sql_in_seg_bbox('sa9.q.x', 'sa9.q.y', 'sb9.p', 'sb9.q')})), 1)"
 )
 
 _SQL_SHELLS_CONTACT = (
     f"exists({_sql_segs_of('element_at(a.rings, 1)')}, sa9 ->"
     f" exists({_sql_segs_of('element_at(b.rings, 1)')}, sb9 ->"
     f" {_SQL_SEG_CONTACT}))"
+)
+
+# Separating-axis test for CONVEX shells (round 10): interiors of two
+# convex polygons are disjoint iff some edge line of either polygon has
+# all of A on one closed side and all of B on the other (classic SAT —
+# the same trichotomy the randomized round-6 test's exact-Fraction
+# oracle uses).  Orientation SIGNS suffice: amax<=0 AND bmin>=0 means
+# every A vertex sits on the non-positive side and every B vertex on
+# the non-negative side of the axis (touching allowed).  Replaces the
+# old interiors-disjoint test `st_area(st_intersection(a,b)) = 0` in
+# st_touches, which re-expanded the full hull-of-candidates
+# intersection body per row — ~10x the arithmetic and ~8 KB of extra
+# macro tree (reference: GeoFunctions.java stTouches:1142 delegates to
+# Esri relate, which also short-circuits via its accelerated
+# rasterized relate paths rather than materializing the intersection).
+_SQL_SAT_DISJOINT = (
+    "exists(concat("
+    f"{_sql_segs_of('element_at(a.rings, 1)')},"
+    f" {_sql_segs_of('element_at(b.rings, 1)')}), se9 ->"
+    " element_at(transform(array(named_struct("
+    " 'oa', transform(element_at(a.rings, 1), sv9 ->"
+    f" {_sql_orient('se9.p', 'se9.q', 'sv9')}),"
+    " 'ob', transform(element_at(b.rings, 1), sv9 ->"
+    f" {_sql_orient('se9.p', 'se9.q', 'sv9')}))), sx9 ->"
+    " (array_max(sx9.oa) <= 0D AND array_min(sx9.ob) >= 0D)"
+    " OR (array_min(sx9.oa) >= 0D AND array_max(sx9.ob) <= 0D)), 1))"
 )
 
 
@@ -1443,15 +1488,41 @@ def _build_intersection_body() -> str:
         " 'x', sa9.p.x + ct9 * (sa9.q.x - sa9.p.x),"
         " 'y', sa9.p.y + ct9 * (sa9.q.y - sa9.p.y))), 1)"
     )
+    def on_or_in_segs(segs: str, px: str, py: str) -> str:
+        """on_or_in against a LET-BOUND segment array: boundary check +
+        shell-only even-odd ray cast, both walking `segs` instead of
+        rebuilding the zip_with pair array per probe.  Shell-only
+        containment matches the convex-subset contract (the candidate
+        set below already reads rings[1] exclusively)."""
+        return (
+            f"(exists({segs}, bs9 -> {_sql_on_seg_xy(px, py, 'bs9.p', 'bs9.q')})"
+            f" OR aggregate({segs}, 0, (a9, s9) -> a9 +"
+            f" CASE WHEN ((s9.p.y > {py}) != (s9.q.y > {py}))"
+            f" AND ({px} < (s9.q.x - s9.p.x) * ({py} - s9.p.y)"
+            f" / (s9.q.y - s9.p.y) + s9.p.x)"
+            " THEN 1 ELSE 0 END) % 2 = 1)"
+        )
+
+    # LET-BIND the two open shells + segment arrays once per row (round
+    # 10): the naive form rebuilt the zip_with segment array for every
+    # candidate-vertex probe (5 vertices x 2 directions x 2 walks each)
+    # — under interpreted eval that's ~20 array constructions per row
+    # for the same two arrays.
     candidates = (
         "concat("
-        f"filter({shell_open('a')}, cv9 -> {on_or_in('b', 'cv9.x', 'cv9.y')}),"
-        f" filter({shell_open('b')}, cv9 -> {on_or_in('a', 'cv9.x', 'cv9.y')}),"
-        f" flatten(transform({_sql_segs_of('element_at(a.rings, 1)')}, sa9 ->"
-        f" transform(filter({_sql_segs_of('element_at(b.rings, 1)')},"
-        f" sb9 -> {proper}), sb9 -> {cross_pt}))))"
+        f"filter(lx9.va, cv9 -> {on_or_in_segs('lx9.sb', 'cv9.x', 'cv9.y')}),"
+        f" filter(lx9.vb, cv9 -> {on_or_in_segs('lx9.sa', 'cv9.x', 'cv9.y')}),"
+        " flatten(transform(lx9.sa, sa9 ->"
+        f" transform(filter(lx9.sb, sb9 -> {proper}), sb9 -> {cross_pt}))))"
     )
-    poly_poly = _SQL_HULL_BODY.replace("pts", candidates)
+    poly_poly = (
+        "element_at(transform(array(named_struct("
+        f" 'sa', {_sql_segs_of('element_at(a.rings, 1)')},"
+        f" 'sb', {_sql_segs_of('element_at(b.rings, 1)')},"
+        f" 'va', {shell_open('a')}, 'vb', {shell_open('b')})), lx9 -> "
+        + _SQL_HULL_BODY.replace("pts", candidates)
+        + "), 1)"
+    )
     pt_probe_a = (
         f"CASE WHEN {on_or_in('b', _sql_pt_xy('a', 'x'), _sql_pt_xy('a', 'y'))}"
         " THEN a ELSE named_struct('gtype', CAST(NULL AS STRING),"
@@ -1492,7 +1563,7 @@ def _build_touches_body() -> str:
         " WHEN a.gtype = 'POLYGON' AND b.gtype = 'POINT' THEN"
         f" {_sql_pt_on_boundary('a', _sql_pt_xy('b', 'x'), _sql_pt_xy('b', 'y'))}"
         " WHEN a.gtype = 'POLYGON' AND b.gtype = 'POLYGON' THEN"
-        f" {_SQL_SHELLS_CONTACT} AND st_area(st_intersection(a, b)) = 0D"
+        f" {_SQL_SHELLS_CONTACT} AND {_SQL_SAT_DISJOINT}"
         " END"
     )
 

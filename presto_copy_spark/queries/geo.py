@@ -24,6 +24,7 @@ from ..functions.geo import (
     st_y,
 )
 from ..operators.spatial import distance_join
+from .qutil import compile_once
 from .registry import query
 
 # synthetic planar coords in [0, 100): key * prime % 1000 / 10
@@ -353,7 +354,7 @@ def geo_wkt_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         env["xmin"].alias("xmin"),
         env["ymax"].alias("ymax"),
     )
-    return staged.select(
+    return compile_once(staged.select(
         "s_suppkey",
         "area",
         F.round(F.col("centroid")["x"], 6).alias("centroid_x"),
@@ -363,7 +364,7 @@ def geo_wkt_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         "xmin",
         "ymax",
-    )
+    ))
 
 
 @query(
@@ -470,13 +471,13 @@ def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_polygon_contains_point(ga, vb["x"], vb["y"]).alias("vb_in_a"),
     )
     crossed = F.col("crossed")
-    return prims.select(
+    return compile_once(prims.select(
         "s_suppkey",
         (crossed | F.col("va_in_b") | F.col("vb_in_a")).alias("intersects"),
         (F.col("b_all_in_a") & ~crossed).alias("b_within_a"),
         (F.col("a_all_in_b") & ~crossed).alias("a_within_b"),
         F.expr("st_intersects(ga, gb)").alias("intersects_sql"),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +699,7 @@ def geo_hull_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hull"),
         F.expr("geometry_nearest_points(ga, gb)").alias("np"),
     )
-    return staged.select(
+    return compile_once(staged.select(
         "s_suppkey",
         F.expr("st_area(hull)").alias("hull_area"),
         F.col("u")["gtype"].alias("union_gtype"),
@@ -716,7 +717,7 @@ def geo_hull_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "st_area(from_geojson_geometry(to_geojson_geometry(ga)))"
         ).alias("gj_area"),
-    )
+    ))
 
 
 @query(
@@ -892,7 +893,7 @@ def geo_relate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gw",
         F.expr("st_intersection(ga, gb)").alias("ab"),
     )
-    return staged.select(
+    return compile_once(staged.select(
         "s_suppkey",
         F.expr("st_touches(ga, gb)").alias("touches_ab"),
         F.expr("coalesce(ab.gtype, 'EMPTY')").alias("itype"),
@@ -900,4 +901,4 @@ def geo_relate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("st_touches(gp, ga)").alias("pt_touches"),
         F.expr("st_x(gw)").alias("wkb_x"),
         F.expr("st_y(gw)").alias("wkb_y"),
-    )
+    ))

@@ -1716,8 +1716,13 @@ def test_relate_intersection_randomized_round6(spark):
     oracles — a separating-axis test (disjoint/touch/overlap trichotomy
     over edge normals, exact in Fractions) and Sutherland-Hodgman
     half-plane clipping (intersection area, exact in Fractions).  The
-    SQL implementation is hull-of-candidates — a different algorithm,
-    so agreement is evidence, not tautology."""
+    SQL st_intersection / st_relate are hull-of-candidates +
+    area-algebra — different algorithms, so their agreement is
+    evidence, not tautology.  st_touches' interiors-disjoint leg IS an
+    in-plan SAT since round 10 (double arithmetic over engine-parsed
+    WKT vs this oracle's exact Fractions over the raw tuples), so for
+    it this test checks the parse + sign pipeline, while its contact
+    leg and st_relate's matrix stay algorithm-independent."""
     from fractions import Fraction
 
     import random
