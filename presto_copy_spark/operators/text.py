@@ -50,8 +50,17 @@ def sql_tokens(e: str) -> str:
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Token count under the BPE-ish regex (regexp_extract_all)."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+    """Token count under the BPE-ish regex.
+
+    regexp_count (round 10, VERDICT r9 ask #7): the old
+    size(regexp_extract_all(...)) materialized a string PER TOKEN just
+    to take the array's length — at the sf3x corpus that allocation was
+    the whole residual gap on docs_pack_sequences (the only pipeline
+    row >3x).  regexp_count walks the same compiled Java pattern with
+    Matcher.find and counts in place — identical non-overlapping match
+    semantics (and identical to the oracle's len(regexp_extract_all)),
+    zero per-token allocation."""
+    return F.regexp_count(col, F.lit(BPE_RE))
 
 
 def sql_bpe_token_count(e: str) -> str:

@@ -40,6 +40,35 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
+    # ---- Round-10 rotation (VERDICT r9 ask #6: staleness — ~40 rows
+    # hadn't held a driver window since r1 under since-changed code).
+    # In: the five join-operator rows (r1-stale AND directly affected
+    # by the r9 hash-over-SMJ posture flip), one stale canary per
+    # family (agg/events/func/setop/multimodal), and re-proof slots for
+    # the two geo queries this round's compile_once + SAT rewrite
+    # touched.  Out (all r9-green, every family keeps at least one
+    # driver row, all still DuckDB-oracled on every pytest run):
+    # agg_kll_quantile_rollup, agg_theta_sketch_setops, agg_percentiles,
+    # agg_skew_kurt, docs_lm_quality, docs_temperature_mix,
+    # multimodal_audio_features, multimodal_frame_sample, sim_ivf_probe,
+    # subquery_in, sql_recursive_cte, try_cast_absorbs, distinct_limit,
+    # sort_limit_offset, setop_except_all, join_full_outer.
+    "join_inner",  # r1-stale; hash-over-SMJ posture re-proof
+    "join_left_outer",  # r1-stale; posture re-proof
+    "join_right_outer",  # r1-stale; posture re-proof
+    "join_semi",  # r1-stale; posture re-proof
+    "join_anti",  # r1-stale; posture re-proof
+    "agg_cube",  # r1-stale agg canary
+    "agg_rollup",  # r1-stale agg canary
+    "agg_variance_stddev",  # r1-stale agg canary
+    "events_stateful_profile",  # r1-stale; also a big bench row
+    "events_sliding",  # r1-stale events canary
+    "func_math",  # r1-stale func canary
+    "func_binary_hash",  # r1-stale func canary
+    "multimodal_meta_stats",  # r1-stale multimodal canary
+    "setop_intersect",  # r1-stale setop canary
+    "geo_wkt_polygon_ops",  # re-proof: compile_once landed r10
+    "geo_polygon_predicates",  # re-proof: compile_once landed r10
     # ---- Round-5 rotation (VERDICT r4 item 1): (a) the 9 registry
     # entries that had NEVER held a driver row — completing driver
     # coverage of every oracle-able entry — plus the round-5 query
@@ -50,11 +79,6 @@ DRIVER_PRIORITY: list[str] = [
     #
     # First-time driver rows (10):
     "dedup_semantic",  # SemDeDup — r4 pytest-oracled, never driver-run
-    "docs_lm_quality",  # bigram-LM CCNet-twin quality gate
-    "docs_temperature_mix",  # alpha source reweighting
-    "multimodal_audio_features",  # RIFF/WAVE PCM16 + signal features
-    "agg_kll_quantile_rollup",  # r6: oracled (KLL exact-mode filter)
-    "agg_theta_sketch_setops",  # r6: oracled (theta exact regime)
     "geo_hull_union",  # r5: OGC hull/union/nearest/interp/GeoJSON
     # ---- Round-9 rotation (VERDICT r8 ask #3): the four queries that
     # gained real oracles in round 8 (tolerance oracles for the approx
@@ -76,9 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "geo_relate_ops",  # NEW r6: st_touches / st_intersection / WKB
     "agg_khll_privacy",  # NEW r6: KHLL privacy SQL names end-to-end
     "docs_chunk_windows",  # NEW r6: context-window chunking
-    # Touched by the round-6 stage-collapse pass — re-prove green
-    # (docs_lm_quality / docs_temperature_mix / sim_ivf_probe already
-    # hold slots below):
+    # Touched by the round-6 stage-collapse pass — re-prove green:
     "ml_learn_classify",  # r6 rewrite: packed-centroid argmin
     # ---- Round-8 rotation (VERDICT r7 ask #10, executed): the TPC-H
     # family held SEVEN of 50 slots while lateral_view,
@@ -87,15 +109,12 @@ DRIVER_PRIORITY: list[str] = [
     # tpch_q01/q11/q15/q22 (driver-green r5-r7, family still held by
     # q02/q09/q21, all four still DuckDB-oracled on every pytest run).
     "lateral_view",  # first driver row (registered r3)
-    "sort_limit_offset",  # first driver row (registered r3)
-    "setop_except_all",  # first driver row for EXCEPT ALL semantics
     "subquery_scalar",  # first driver row (rotated out r5, never run)
     # Touched by round 5 — must re-prove green:
     "tpch_q02",  # one-shuffle agg+window fold
     "ml_kmeans",  # one-pass mean_update fold
     "sim_pq_adc",  # pq_code_sub_structs train fold + model checkpoint
     "sim_ivfadc",  # coarse+PQ train folds + model checkpoints
-    "sim_ivf_probe",  # packed-centroid probe selection
     # Family canaries:
     "tpch_q09",
     "tpch_q21",
@@ -105,23 +124,15 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_connected_components",
     "sim_topk_bruteforce",
     "sql_presto_aggregates",
-    "agg_percentiles",
-    "agg_skew_kurt",  # kurtosis rewrite landed r5 — regression-guard
     "geo_distance_join",
     "events_asof_join",
     "events_streaming_dedup",
     "func_i18n_color",
     "func_qdigest_quantile",
-    "join_full_outer",
     "subquery_exists_correlated",
-    "subquery_in",
     "docs_pack_sequences",
     "docs_filter_funnel",
     "pii_scrub",
-    "multimodal_frame_sample",
-    "sql_recursive_cte",
-    "try_cast_absorbs",
-    "distinct_limit",
     # ---- the 50-entry cut lands here ----
     # Rotated out round 8: tpch_q01, tpch_q11, tpch_q15, tpch_q22
     # (driver-green r5-r7; TPC-H family keeps q02/q09/q21 canaries;

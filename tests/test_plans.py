@@ -246,3 +246,53 @@ def test_pii_scrub_is_scan_project_only(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
     assert "RoundRobinPartitioning" in plan or "Exchange" not in plan, plan
+
+
+def test_compile_once_reexecutes_without_materializing(spark, sf_dir):
+    """qutil.compile_once (round 10): the prepared-plan cache must (a)
+    return the exact same rows as the raw plan, (b) collapse the
+    re-optimized tree to a LogicalRDD leaf, and (c) re-EXECUTE the
+    pipeline per action rather than materializing — nothing may be
+    cached/persisted, so an accumulator inside the pipeline counts
+    every row AGAIN on the second collect."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.queries.qutil import compile_once
+
+    raw = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", (F.col("s_suppkey") % 7).alias("m"))
+        .filter(F.col("s_suppkey") % 3 == 0)
+    )
+    compiled = compile_once(raw)
+    # (a) row parity
+    assert sorted(map(tuple, compiled.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+    # (b) the per-action plan is a leaf — no re-optimization surface
+    plan = compiled._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "Project" not in plan, plan
+    # (c) re-execution, not materialization: an in-pipeline accumulator
+    # counts every row again on the second action
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, "long")
+    fresh = compile_once(
+        load_table(spark, sf_dir, "supplier").select(
+            bump_udf(F.col("s_suppkey")).alias("v")
+        )
+    )
+    n = fresh.count()
+    first = acc.value
+    fresh.count()
+    assert first >= n > 0, (first, n)
+    assert acc.value == 2 * first, (
+        "compile_once must re-execute the pipeline per action",
+        acc.value,
+        first,
+    )
