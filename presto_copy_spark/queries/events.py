@@ -348,8 +348,15 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
+    # prune before the state shuffle (same reason as the batch twin in
+    # streaming/jobs.py: pruning doesn't cross the dedup operator, and
+    # the summary needs 4 columns + the watermark's ts)
     deduped = run_stream_to_batch(
-        dedup_stream(_with_redelivery(stream_events(spark, sf_dir))),
+        dedup_stream(
+            _with_redelivery(stream_events(spark, sf_dir)).select(
+                "event_id", "ts", "event_type", "user_id", "value"
+            )
+        ),
         mode="append",
     )
     return _summarize_deduped(deduped)

@@ -17,6 +17,22 @@ from ..operators.similarity import CSCALE
 from .registry import query
 
 
+def _spread_corpus(df: DataFrame) -> DataFrame:
+    """Parallelism floor for the (small) embeddings corpus, sized to the
+    work: the unconditional repartition(defaultParallelism) this
+    replaces re-shuffled 2,000 rows into 32 near-empty tasks in EVERY
+    Lloyd/classify job — per-task overhead beat the HOF argmin compute
+    by an order of magnitude (measured 0.565 s -> 0.452 s per kmeans
+    run at 8 tasks).  Like qutil.spread_scan this is a structural no-op
+    once the scan splits on its own (at corpus scale embeddings arrives
+    as thousands of row groups), so the plan never COLLAPSES a parallel
+    scan."""
+    goal = min(8, df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= max(2, goal // 2):
+        return df
+    return df.repartition(goal)
+
+
 @query(
     "ml_learn_classify",
     oracle=f"""
@@ -61,9 +77,7 @@ def ml_learn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappears entirely), then one K*K-row output agg."""
     from ..operators.similarity import EMB_DIM, hof_argmin, quantize_arr
 
-    e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-    corpus = e.select(
+    corpus = _spread_corpus(load_table(spark, sf_dir, "embeddings")).select(
         "label", quantize_arr(F.col("embedding")).alias("qarr")
     )
     dim = EMB_DIM
@@ -171,9 +185,9 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration broadcast-join + tree-aggregate)."""
     from ..operators.similarity import EMB_DIM, hof_argmin, quantize_arr
 
-    e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
-    corpus = e.select("vec_id", quantize_arr(F.col("embedding")).alias("qarr"))
+    corpus = _spread_corpus(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", quantize_arr(F.col("embedding")).alias("qarr")
+    )
     # round-4 rewrite: vector-at-a-time assignment against a packed
     # one-row broadcast centroid table (operators/similarity) — the
     # corpus never explodes and never shuffles to learn its cluster.

@@ -348,9 +348,20 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     The textbook form (IN-subquery -> semi join -> re-aggregate) scans
     and shuffles lineitem twice, but the per-order quantity sum the
     HAVING computes IS the query's total_qty: aggregate once, filter
-    (result is a handful of orders), and let AQE broadcast that tiny
-    side into the orders and customer joins.  One lineitem shuffle
-    total; measured 4x over the semi-join form at 10x sf0.1."""
+    (result is a handful of orders), then join.  One lineitem shuffle
+    total; measured 4x over the semi-join form at 10x sf0.1.
+
+    The orders join is HINTED to a shuffled hash join with the filtered
+    aggregate as build side (round 10): without the hint Catalyst
+    broadcasts ORDERS (it fits locally), which (a) spends a whole
+    broadcast-build job + a 150k-row hashed relation per run — q18 went
+    3 jobs -> 2, 0.46 s -> 0.34 s at sf0.1 — and (b) is a plan that
+    CANNOT survive scale, since orders grows with SF while the
+    aggregate's exceeds-150 side stays the small side.  The big side's
+    shuffle is free: the groupBy already hash-partitioned it on
+    l_orderkey, so only orders pays an exchange — the standard
+    fact-to-fact plan (Presto q18 does the same: the HAVING aggregate
+    is the build side of a partitioned join)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -360,7 +371,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150)
     )
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
+        big.hint("shuffle_hash").join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",

@@ -269,7 +269,14 @@ def _batch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.events import _events, _summarize_deduped
 
-    deduped = _with_redelivery(_events(spark, sf_dir)).dropDuplicates(["event_id"])
+    # prune BEFORE the dedup shuffle: the summary reads 4 columns, and
+    # Catalyst does not push column pruning through Deduplicate — the
+    # fat props JSON would otherwise ride the event_id shuffle
+    deduped = (
+        _with_redelivery(_events(spark, sf_dir))
+        .select("event_id", "event_type", "user_id", "value")
+        .dropDuplicates(["event_id"])
+    )
     return _summarize_deduped(deduped)
 
 

@@ -84,9 +84,20 @@ def _update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F8
     )
 
 
+_PROFILE_COLS = ["user_id", "ts", "event_id", "event_type", "value"]
+"""The 5 columns the profile reduction reads.  Project BEFORE handing
+rows to Python: Catalyst cannot prune through mapInPandas /
+applyInPandasWithState (the UDF is a black box), so without the
+explicit select the whole row — including the fat ``props`` JSON string
+— crosses the Arrow boundary and, in the streaming case, the state-key
+shuffle (measured: ~40% of the batch-twin's runtime at sf0.1; at 100 TB
+it's the difference between shuffling 5 narrow columns and the full
+event payload)."""
+
+
 def user_profile_state(events: DataFrame) -> DataFrame:
     """Streaming per-user profile with arbitrary state (update mode)."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select(*_PROFILE_COLS).groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -144,7 +155,8 @@ def user_profile_batch(events: DataFrame) -> DataFrame:
         "user_id long, n long, cents long, last_ts long, last_id long, last_type string"
     )
     return (
-        events.mapInPandas(partials, schema=part_schema)
+        events.select(*_PROFILE_COLS)
+        .mapInPandas(partials, schema=part_schema)
         .groupBy("user_id")
         .agg(
             F.sum("n").alias("n_events"),
