@@ -188,14 +188,21 @@ FROM scored GROUP BY lang, predicted
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic; agreement matrix vs the label."""
     d = _docs(spark, sf_dir)
-    tok = tokens(F.col("text"))
+    # Stage the whitespace split as its OWN column (round 10): inlining
+    # `tokens(text)` into every language's marker test re-ran the split
+    # once per EVALUATED branch of the when-chain — a document that
+    # falls through to 'und' split L times.  As a staged multi-reference
+    # column it splits exactly once per row (CollapseProject keeps
+    # non-cheap multi-referenced projections un-inlined).
+    staged = d.select("lang", tokens(F.col("text")).alias("tok"))
+    tok = F.col("tok")
     pred = None
     for lg, ms in _LANG_MARKERS.items():
         cond = F.size(F.filter(tok, lambda t: t.isin(*ms))) >= 1
         pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
     pred = pred.otherwise("und")
     return (
-        d.select("lang", pred.alias("predicted"))
+        staged.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
