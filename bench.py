@@ -196,6 +196,15 @@ def main() -> None:
         try:
             from tools.scale_convergence import PIPELINE_QUERIES, build_layouts
 
+            # shuffle partitions sized to the layout (session.py note):
+            # the local default is 8 for the sf0.1 headline; the 10x
+            # layout gets the full core count back for its CPU-heavy
+            # reduce stages (shingling/agg on 10x rows).
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
             big_dir = build_layouts(spark)["sf1x"]
             tpch = [n for n in sorted(registry.QUERIES) if n.startswith("tpch_")]
             pipeline = PIPELINE_QUERIES.split(",")
@@ -220,6 +229,11 @@ def main() -> None:
                 out[name] = min(meds)
         except Exception as e:
             print(f"bench: sf1x section failed: {e}", file=sys.stderr)
+        finally:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            except Exception:
+                pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

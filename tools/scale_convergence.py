@@ -172,7 +172,18 @@ def main() -> None:
     from presto_copy_spark.session import get_spark
 
     registry.load_all()
-    spark = get_spark("scale-convergence")
+    # shuffle partitions sized to the layouts measured here (1x-10x of
+    # the sf0.1 fixtures): the local-session default of 8 fits sf0.1;
+    # these sweeps get the full core count (session.py sizing note).
+    from presto_copy_spark.session import default_parallelism
+
+    spark = get_spark(
+        "scale-convergence",
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+            or default_parallelism()
+        ),
+    )
     layouts = build_layouts(spark, include_sf3x=True, include_sf10x=args.sf10x)
     if args.layouts:
         keep = set(args.layouts.split(","))
