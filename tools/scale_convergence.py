@@ -180,7 +180,7 @@ def main() -> None:
     spark = get_spark(
         "scale-convergence",
         shuffle_partitions=int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
             or default_parallelism()
         ),
     )
