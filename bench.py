@@ -53,6 +53,81 @@ import time
 # over the other 95 queries to poison a recorded figure.
 PASS_RUNS = (3, 3, 3)
 
+# ---- load-canary self-gate (round 11, VERDICT r10 ask #1) -------------------
+# The round-10 gate series proved the headline spread is the HOST, not
+# the code: an in-run sf1x canary inflated 12.5 -> 15.8 s monotonically
+# across byte-identical commits while co-tenant load-avg read 16-24.
+# Rather than normalize after the fact, the bench now refuses to start
+# measuring in a dirty window: a fixed, data-independent, CPU-bound
+# canary job (xxhash64 over 200M ids on all cores) is timed FIRST; if
+# it reads more than CANARY_BAND x the pinned clean-window reference,
+# sleep and retry (bounded).  If the window never clears, the run
+# proceeds anyway and BENCH_detail records canary_in_band=false so the
+# artifact is self-describing.  Reference-protocol analogue: benchto
+# prewarm + fixed run count (presto-benchto-benchmarks/.../tpch.yaml).
+# Clean-window pin (round 11, load-avg ~1): min-of-3 reads 0.17-0.22 s
+# across trials; the spread is 32-task scheduler noise, so the band is
+# 1.4x (trip at 0.28 s) — wide enough to never trip on a clean host,
+# and a co-tenant burst that matters (load-avg 16-24 in the r10 series)
+# inflates an all-cores job >=2x, far outside it.
+CANARY_REF_SEC = 0.20
+CANARY_BAND = 1.4
+CANARY_MAX_ATTEMPTS = 8
+CANARY_SLEEP_SEC = 45.0
+
+
+def _canary_job(spark):
+    return (
+        spark.range(0, 500_000_000, 1, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+    )
+
+
+def _canary_gate(spark) -> dict:
+    """Measure the canary; sleep/retry while the host is loaded.
+
+    Returns the gate record for BENCH_detail.  Disabled (single
+    measurement, no retry) when BENCH_CANARY=0 or no reference is
+    pinned."""
+    df = _canary_job(spark)
+    df.write.format("noop").mode("overwrite").save()  # JIT prewarm
+    enabled = (
+        os.environ.get("BENCH_CANARY", "1") == "1"
+        and CANARY_REF_SEC is not None
+    )
+    attempts = []
+    for attempt in range(CANARY_MAX_ATTEMPTS if enabled else 1):
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        sec = min(samples)
+        load1 = os.getloadavg()[0]
+        attempts.append({"sec": round(sec, 4), "load1": round(load1, 2)})
+        in_band = (
+            CANARY_REF_SEC is None or sec <= CANARY_REF_SEC * CANARY_BAND
+        )
+        if in_band or not enabled:
+            break
+        print(
+            f"bench: canary {sec:.3f}s > band"
+            f" ({CANARY_REF_SEC}*{CANARY_BAND}), load1={load1:.1f};"
+            f" sleeping {CANARY_SLEEP_SEC}s (attempt {attempt + 1})",
+            file=sys.stderr,
+        )
+        time.sleep(CANARY_SLEEP_SEC)
+    return {
+        "ref_sec": CANARY_REF_SEC,
+        "band": CANARY_BAND,
+        "attempts": attempts,
+        "final_sec": attempts[-1]["sec"],
+        "in_band": (
+            CANARY_REF_SEC is None
+            or attempts[-1]["sec"] <= CANARY_REF_SEC * CANARY_BAND
+        ),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,20 +179,38 @@ def main() -> None:
 
     # Build every DataFrame once (prepared-statement analogue) and keep
     # the refs alive across both passes so localCheckpoint'd model
-    # tables persist: the JVM still re-analyzes/optimizes/codegens the
-    # plan on every action, so measured time covers the whole engine;
-    # what's excluded is only the py4j client chatter of re-building
-    # Column trees from Python (~0.1-0.3 s/query, a client artifact
-    # DuckDB's in-process bindings don't pay).
+    # tables persist.  For most queries the JVM still re-analyzes/
+    # optimizes/codegens the plan on every action, so measured time
+    # covers the whole engine; what's excluded is only the py4j client
+    # chatter of re-building Column trees from Python (~0.1-0.3
+    # s/query, a client artifact DuckDB's in-process bindings don't
+    # pay).  EXCEPTION (ADVICE r10): the compile_once geo queries are
+    # plan-cached — their ~0.3 s/action Catalyst cost is excluded from
+    # the timed region while DuckDB pays parse+plan inside each timed
+    # fetchall(), and their pre-exchange stage (a ~1000-row supplier
+    # scan) is shuffle-reused across actions, so it is measured only at
+    # prewarm.  Every such query is auto-detected off its analyzed plan
+    # (LogicalRDD leaf) and recorded in BENCH_detail "plan_cached" so
+    # the ratio columns stay interpretable.
     dfs: dict[str, object] = {}
     broken: dict[str, str] = {}
+    plan_cached: list[str] = []
     for name in names:
         fn = BATCH_PARITY.get(name) or registry.QUERIES[name]
         try:
             dfs[name] = fn(spark, sf_dir)
+            # compile_once plans collapse to a LogicalRDD leaf — record
+            # them so readers know these rows exclude per-action
+            # Catalyst + pre-exchange scan cost (see note above)
+            if "LogicalRDD" in dfs[name]._jdf.queryExecution().analyzed().toString():
+                plan_cached.append(name)
         except Exception as e:  # a broken query shouldn't zero the whole bench
             print(f"bench: {name} failed to build: {e}", file=sys.stderr)
             broken[name] = str(e)
+
+    # gate the measurement window BEFORE any timing (VERDICT r10 ask #1)
+    canary = _canary_gate(spark)
+    print(f"bench: canary gate {json.dumps(canary)}", file=sys.stderr)
 
     pass_samples: dict[str, list[list[float]]] = {n: [] for n in dfs}
     for pass_i, runs in enumerate(PASS_RUNS):
@@ -263,6 +356,15 @@ def main() -> None:
         # queries that got the burst-retry 4th pass (>30% pass
         # disagreement after the main three)
         "burst_retried": retried,
+        # load-canary self-gate record (round 11): the fixed CPU-bound
+        # canary measured BEFORE the timed region, with sleep/retry
+        # while out of band — in_band=true means the artifact was
+        # recorded in a clean host window and needs no normalization
+        "canary": canary,
+        # compile_once (LogicalRDD-leaf) queries: per-action Catalyst
+        # re-planning and the pre-exchange prewarm-only stage are
+        # excluded for these rows (DuckDB pays parse+plan per run)
+        "plan_cached": plan_cached,
         "sf1x_tpch_sec": sf1x,
         "sf1x_tpch_total": round(sum(sf1x.values()), 4),
         "sf1x_pipeline_sec": sf1x_pipeline,

@@ -1441,10 +1441,17 @@ _SQL_SHELLS_CONTACT = (
 # Esri relate, which also short-circuits via its accelerated
 # rasterized relate paths rather than materializing the intersection).
 _SQL_SAT_DISJOINT = (
+    # A zero-length edge (duplicate consecutive ring vertex, legal WKT)
+    # is a degenerate axis: orient(p,p,v) = 0 for every v, so both
+    # orientation arrays are all-zero and 'amax<=0 AND bmin>=0' holds
+    # vacuously — overlapping interiors would be declared disjoint
+    # (ADVICE r10).  Such an edge spans no direction, so it can never
+    # be a separating axis; skip it.
     "exists(concat("
     f"{_sql_segs_of('element_at(a.rings, 1)')},"
     f" {_sql_segs_of('element_at(b.rings, 1)')}), se9 ->"
-    " element_at(transform(array(named_struct("
+    " NOT (se9.p.x = se9.q.x AND se9.p.y = se9.q.y)"
+    " AND element_at(transform(array(named_struct("
     " 'oa', transform(element_at(a.rings, 1), sv9 ->"
     f" {_sql_orient('se9.p', 'se9.q', 'sv9')}),"
     " 'ob', transform(element_at(b.rings, 1), sv9 ->"

@@ -27,6 +27,15 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 # BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# Spark-side twin with POSSESSIVE quantifiers (round 11): the three
+# alternatives match disjoint character classes, so no backtracking can
+# ever change a match — `[a-z]++` only drops java.util.regex's
+# backtracking bookkeeping (~10% on the documents corpus, measured via
+# regexp_count A/B; counts proven equal on the full corpus by the
+# DuckDB oracle on every run).  DuckDB's RE2-style engine doesn't parse
+# possessive quantifiers, so the oracle keeps BPE_RE — same language,
+# same counts.
+BPE_RE_SPARK = "[a-z]++|[0-9]++|[^a-z0-9\\s]"
 
 
 # ---- hashing --------------------------------------------------------------
@@ -52,15 +61,16 @@ def sql_tokens(e: str) -> str:
 def bpe_token_count(col: Column) -> Column:
     """Token count under the BPE-ish regex.
 
-    regexp_count (round 10, VERDICT r9 ask #7): the old
-    size(regexp_extract_all(...)) materialized a string PER TOKEN just
-    to take the array's length — at the sf3x corpus that allocation was
-    the whole residual gap on docs_pack_sequences (the only pipeline
-    row >3x).  regexp_count walks the same compiled Java pattern with
-    Matcher.find and counts in place — identical non-overlapping match
-    semantics (and identical to the oracle's len(regexp_extract_all)),
-    zero per-token allocation."""
-    return F.regexp_count(col, F.lit(BPE_RE))
+    CORRECTION of the round-10 note: Spark's regexp_count is
+    RuntimeReplaceable — the physical plan shows it rewrites to
+    size(regexp_extract_all(...)), so the per-token string allocation
+    the r10 change claimed to remove is still paid (verified via
+    .explain this round).  What DOES help is the possessive-quantifier
+    pattern (BPE_RE_SPARK): ~10% off the regex walk with provably
+    identical counts (disjoint alternatives, no backtracking).  The
+    remaining engine-vs-DuckDB gap on this path is parquet string
+    decode + the extract_all allocation, profiled in r10's sf3x run."""
+    return F.regexp_count(col, F.lit(BPE_RE_SPARK))
 
 
 def sql_bpe_token_count(e: str) -> str:

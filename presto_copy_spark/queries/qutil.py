@@ -109,10 +109,19 @@ def compile_once(df):
     caches prepared-statement plans.  This helper is the Spark twin:
     ``queryExecution().toRdd()`` resolves/optimizes/plans exactly once
     at build time, and the returned DataFrame wraps that RDD as a
-    ``LogicalRDD`` leaf.  NOTHING is materialized — the RDD has no
-    storage level, so every action re-executes the whole pipeline
-    (parquet scan included; verified by tests/test_plans.py) — only the
-    per-action Catalyst re-optimization of a static tree is skipped.
+    ``LogicalRDD`` leaf.  Nothing is persisted (the RDD has no storage
+    level), and every POST-exchange stage re-executes per action —
+    BUT stages BEFORE an exchange do not: pinning one RDD lets the
+    DAGScheduler reuse the shuffle map outputs across actions, so a
+    plan containing a repartition re-runs only from the shuffle read
+    onward (ADVICE r10; proven by the accumulator-before-repartition
+    leg of tests/test_plans.py::test_compile_once_reexecutes_*).  For
+    the geo call sites that means the pre-shuffle stage — a ~1000-row
+    supplier scan projecting 4 int columns — is paid once at prewarm;
+    bench.py records every plan-cached query in BENCH_detail
+    ("plan_cached") so the ratio columns stay interpretable.  An
+    exchange-free compile_once plan re-executes fully, parquet scan
+    included.
 
     Use ONLY on map-only scalar pipelines: freezing the physical plan
     forfeits AQE's runtime re-planning, which matters for join/agg

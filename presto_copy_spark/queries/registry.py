@@ -40,35 +40,45 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-10 rotation (VERDICT r9 ask #6: staleness — ~40 rows
-    # hadn't held a driver window since r1 under since-changed code).
-    # In: the five join-operator rows (r1-stale AND directly affected
-    # by the r9 hash-over-SMJ posture flip), one stale canary per
-    # family (agg/events/func/setop/multimodal), and re-proof slots for
-    # the two geo queries this round's compile_once + SAT rewrite
-    # touched.  Out (all r9-green, every family keeps at least one
-    # driver row, all still DuckDB-oracled on every pytest run):
-    # agg_kll_quantile_rollup, agg_theta_sketch_setops, agg_percentiles,
-    # agg_skew_kurt, docs_lm_quality, docs_temperature_mix,
-    # multimodal_audio_features, multimodal_frame_sample, sim_ivf_probe,
-    # subquery_in, sql_recursive_cte, try_cast_absorbs, distinct_limit,
-    # sort_limit_offset, setop_except_all, join_full_outer.
-    "join_inner",  # r1-stale; hash-over-SMJ posture re-proof
-    "join_left_outer",  # r1-stale; posture re-proof
-    "join_right_outer",  # r1-stale; posture re-proof
-    "join_semi",  # r1-stale; posture re-proof
-    "join_anti",  # r1-stale; posture re-proof
-    "agg_cube",  # r1-stale agg canary
-    "agg_rollup",  # r1-stale agg canary
-    "agg_variance_stddev",  # r1-stale agg canary
-    "events_stateful_profile",  # r1-stale; also a big bench row
-    "events_sliding",  # r1-stale events canary
-    "func_math",  # r1-stale func canary
-    "func_binary_hash",  # r1-stale func canary
-    "multimodal_meta_stats",  # r1-stale multimodal canary
-    "setop_intersect",  # r1-stale setop canary
-    "geo_wkt_polygon_ops",  # re-proof: compile_once landed r10
-    "geo_polygon_predicates",  # re-proof: compile_once landed r10
+    # ---- Round-11 rotation (VERDICT r10 ask #5: advance the window's
+    # median last-held round past r7).  In: the 16 rows rotated out in
+    # r10 (the stalest r5-r9 one-time rows), two r2-stale win siblings,
+    # and re-proof slots for everything this round touches (tpch_q18's
+    # r10 re-plan, text_lang_id / events_streaming_session /
+    # docs_pack_sequences perf passes, the geo SAT degenerate-axis
+    # fix).  Out (all r10 driver-green, every family keeps at least one
+    # driver row, all 158 still DuckDB-oracled on every pytest run):
+    # join_inner, join_left_outer, join_right_outer, join_semi,
+    # join_anti, agg_cube, agg_rollup, agg_variance_stddev, func_math,
+    # func_binary_hash, multimodal_meta_stats, setop_intersect,
+    # events_sliding, multimodal_features, agg_approx_distinct,
+    # agg_hll_sketch_merge, agg_approx_percentile,
+    # geo_kdb_partition_join, ml_learn_classify, lateral_view,
+    # subquery_scalar.
+    "agg_kll_quantile_rollup",  # r7-stale
+    "agg_theta_sketch_setops",  # r7-stale
+    "agg_percentiles",  # r3-stale
+    "agg_skew_kurt",  # r3-stale
+    "docs_lm_quality",  # r5-stale
+    "docs_temperature_mix",  # r5-stale
+    "multimodal_audio_features",  # r5-stale
+    "multimodal_frame_sample",  # r6-stale
+    "sim_ivf_probe",  # r5-stale
+    "subquery_in",  # r5-stale
+    "sql_recursive_cte",  # r5-stale
+    "try_cast_absorbs",  # r8-stale
+    "distinct_limit",  # r8-stale
+    "sort_limit_offset",  # r9-stale
+    "setop_except_all",  # r9-stale
+    "join_full_outer",  # r8-stale; joins family canary
+    "win_sliding_frame",  # r2-stale win sibling
+    "win_first_last_nth",  # r2-stale win sibling
+    "tpch_q18",  # re-proof: r10 shuffle-hash re-plan + r11 pin
+    "text_lang_id",  # re-proof: r11 perf pass
+    "events_streaming_session",  # re-proof: r11 perf pass
+    "events_stateful_profile",  # r10-green; big bench row, keep hot
+    "geo_wkt_polygon_ops",  # re-proof: SAT fix + plan-cache r11
+    "geo_polygon_predicates",  # re-proof: SAT fix + plan-cache r11
     # ---- Round-5 rotation (VERDICT r4 item 1): (a) the 9 registry
     # entries that had NEVER held a driver row — completing driver
     # coverage of every oracle-able entry — plus the round-5 query
@@ -88,28 +98,12 @@ DRIVER_PRIORITY: list[str] = [
     # still DuckDB-oracled on every pytest run): sample_systematic,
     # values_inline, unnest_explode, geo_polygon_predicates,
     # func_specialty.
-    "multimodal_features",  # first driver row under the r8 BMP oracle
-    "agg_approx_distinct",  # first driver row (3-rsd tolerance oracle)
-    "agg_hll_sketch_merge",  # first driver row (HLL union tolerance)
-    "agg_approx_percentile",  # first driver row (GK rank-exact oracle)
-    "geo_kdb_partition_join",  # NEW r9: KdbTree-partitioned join
-    # ---- Round-6 rotation: the two NEW round-6 queries take driver
-    # slots; geo_wkt_polygon_ops (r5-green, geo family still held by
-    # THREE driver rows) and agg_histogram_map (r3+r5-green) rotate out
-    # to tests/test_queries_vs_oracle.py like every prior rotation.
-    "geo_relate_ops",  # NEW r6: st_touches / st_intersection / WKB
+    # (r9 first-driver-row block — multimodal_features,
+    # agg_approx_distinct, agg_hll_sketch_merge, agg_approx_percentile,
+    # geo_kdb_partition_join — rotated out r11 after their r10 green.)
+    "geo_relate_ops",  # re-proof: SAT degenerate-axis fix r11
     "agg_khll_privacy",  # NEW r6: KHLL privacy SQL names end-to-end
-    "docs_chunk_windows",  # NEW r6: context-window chunking
-    # Touched by the round-6 stage-collapse pass — re-prove green:
-    "ml_learn_classify",  # r6 rewrite: packed-centroid argmin
-    # ---- Round-8 rotation (VERDICT r7 ask #10, executed): the TPC-H
-    # family held SEVEN of 50 slots while lateral_view,
-    # sort_limit_offset, setop_except_all and subquery_scalar had never
-    # held a driver row since r3/r4 — swap four in, rotate out
-    # tpch_q01/q11/q15/q22 (driver-green r5-r7, family still held by
-    # q02/q09/q21, all four still DuckDB-oracled on every pytest run).
-    "lateral_view",  # first driver row (registered r3)
-    "subquery_scalar",  # first driver row (rotated out r5, never run)
+    "docs_chunk_windows",  # re-proof: r11 perf pass
     # Touched by round 5 — must re-prove green:
     "tpch_q02",  # one-shuffle agg+window fold
     "ml_kmeans",  # one-pass mean_update fold

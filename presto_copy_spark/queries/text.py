@@ -198,7 +198,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.col("tok")
     pred = None
     for lg, ms in _LANG_MARKERS.items():
-        cond = F.size(F.filter(tok, lambda t: t.isin(*ms))) >= 1
+        # exists() short-circuits on the first marker hit and allocates
+        # nothing (round 11 — the old size(filter(...)) >= 1 built a
+        # filtered ARRAY per language just to test emptiness; ~20%
+        # measured).  A single-pass bitmask fold over a marker->lang
+        # map was ALSO measured and lost (0.18 vs 0.16 s): the per-token
+        # map lookup costs more than the when-chain's short-circuit
+        # saves.  Semantics unchanged: first language (declaration
+        # order) with any marker present, as in the oracle's CASE.
+        cond = F.exists(tok, lambda t: t.isin(*ms))
         pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
     pred = pred.otherwise("und")
     return (

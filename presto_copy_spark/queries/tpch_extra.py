@@ -496,34 +496,40 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late lines come from exactly ONE distinct supplier (NOT EXISTS other
     late supplier) and the order has >1 distinct suppliers overall
     (EXISTS other supplier).  Since only F-order lineitems matter on
-    both sides, ONE join + ONE groupBy(l_orderkey) computes everything:
-    the distinct-supplier cardinalities come from collect_set (bounded
-    at TPC-H's <=7 suppliers/order, so ObjectHashAggregate state is a
-    few ints per group) instead of countDistinct, which would plan an
-    Expand + a second shuffle round per distinct column.  Round 9:
-    folded the separate full-lineitem order_supp aggregation into the
-    same pass — one lineitem scan and one lineitem-sized shuffle total
-    (measured 0.99 s -> ~0.4 s at sf0.1, 4 jobs -> 3)."""
+    both sides, ONE join + ONE groupBy(l_orderkey) computes everything.
+    Round 11: the cardinality tests need only a THRESHOLD, not a count,
+    so min/max replace collect_set — `n_supp > 1` ⟺
+    `min(l_suppkey) <> max(l_suppkey)` and `n_late_supp == 1` ⟺
+    `any late AND min(late_supp) == max(late_supp)` — which drops the
+    ObjectHashAggregate (per-group set state, no whole-stage codegen)
+    for a plain codegen'd HashAggregate of four longs; measured
+    0.51 -> 0.37 s at sf0.1 with identical results.  (Round 9 had
+    folded the separate order_supp aggregation into the same pass —
+    one lineitem scan and one lineitem-sized shuffle total.)"""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
         .groupBy("l_orderkey")
         .agg(
-            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
-            F.size(
-                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
-            ).alias("n_late_supp"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            F.min(late_supp).alias("min_late"),
+            F.max(late_supp).alias("max_late"),
             F.count(F.when(F.col("is_late"), 1)).alias("n_late_lines"),
-            F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
         )
     )
-    qual = per_order.filter((F.col("n_late_supp") == 1) & (F.col("n_supp") > 1))
+    qual = per_order.filter(
+        (F.col("n_late_lines") > 0)
+        & (F.col("min_late") == F.col("max_late"))
+        & (F.col("min_supp") != F.col("max_supp"))
+    )
     return (
-        qual.join(F.broadcast(s), qual["late_supp"] == s["s_suppkey"])
+        qual.join(F.broadcast(s), qual["min_late"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )

@@ -1259,6 +1259,32 @@ def test_geometry_relate_round6(spark):
         )
         is False
     )
+    # degenerate axis (ADVICE r10): a duplicate consecutive ring vertex
+    # is a zero-length edge whose orient() is 0 for every vertex — if
+    # used as a SAT axis it vacuously separates, flipping st_touches to
+    # true on overlapping pairs.  Repeated vertex on each side in turn.
+    assert (
+        touch(
+            "POLYGON ((0 0, 2 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+        )
+        is False
+    )
+    assert (
+        touch(
+            "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+            "POLYGON ((1 1, 3 1, 3 3, 3 3, 1 3, 1 1))",
+        )
+        is False
+    )
+    # ...and the degenerate vertex must not break a TRUE touch
+    assert (
+        touch(
+            "POLYGON ((0 0, 1 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",
+        )
+        is True
+    )
     # point / linestring branches
     assert touch("POINT (1 0.5)", sq) is True
     assert touch("POINT (0.5 0.5)", sq) is False

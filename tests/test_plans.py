@@ -296,3 +296,34 @@ def test_compile_once_reexecutes_without_materializing(spark, sf_dir):
         acc.value,
         first,
     )
+    # (d) KNOWN LIMIT (ADVICE r10): stages BEFORE an exchange are NOT
+    # re-executed — pinning one RDD means the DAGScheduler reuses the
+    # shuffle map outputs across actions, so an accumulator placed
+    # before a repartition fires only on the first action.  This is the
+    # documented shuffle-stage-reuse behavior (compile_once docstring +
+    # bench.py "plan_cached" protocol note); if Spark's semantics ever
+    # change, this assertion flags the protocol note as stale.
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def bump2(x):
+        acc2.add(1)
+        return x
+
+    bump2_udf = F.udf(bump2, "long")
+    shuffled = compile_once(
+        load_table(spark, sf_dir, "supplier")
+        .select(bump2_udf(F.col("s_suppkey")).alias("v"))
+        .repartition(4)
+        .select((F.col("v") * 2).alias("w"))
+    )
+    n2 = shuffled.count()
+    pre_shuffle_first = acc2.value
+    shuffled.count()
+    assert pre_shuffle_first >= n2 > 0, (pre_shuffle_first, n2)
+    assert acc2.value == pre_shuffle_first, (
+        "shuffle map outputs are expected to be REUSED across actions on"
+        " a compile_once plan (documented protocol limit); a change here"
+        " means the docstring and bench protocol notes need updating",
+        acc2.value,
+        pre_shuffle_first,
+    )
