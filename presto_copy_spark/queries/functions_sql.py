@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .qutil import compile_once_scalar
 from .registry import query
 
 
@@ -61,7 +62,8 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions (StringFunctions.java): length/substr(1-based)/
     replace/reverse/split_part/strpos/concat/pad/trim/starts/ends/
     levenshtein/regexp family/LIKE."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["documents"],
@@ -88,6 +90,7 @@ SELECT doc_id,
        source RLIKE '^src[0-9]+$' AS rx
 FROM documents
 """,
+    )
     )
 
 
@@ -118,7 +121,8 @@ FROM lineitem WHERE l_orderkey % 500 = 0
 def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math functions (MathFunctions.java): rounding family, exp/log
     family, trig, sign, greatest/least, integer division."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["lineitem"],
@@ -143,6 +147,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS BIGINT) div 7 AS idiv
 FROM lineitem WHERE l_orderkey % 500 = 0
 """,
+    )
     )
 
 
@@ -170,7 +175,8 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datetime functions (DateTimeFunctions.java): extract family,
     date_trunc, interval arithmetic, date_diff, last_day, ISO dow,
     unix epoch, formatting."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["events"],
@@ -191,6 +197,7 @@ SELECT event_id,
        date_format(ts, 'yyyy-MM-dd HH:mm') AS fmt
 FROM events WHERE event_id % 20 = 0
 """,
+    )
     )
 
 
@@ -225,7 +232,8 @@ def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions (~55 Array*.java files): cardinality/element_at/
     slice/contains/sort/distinct/concat/transform/filter/aggregate/
     min/max/join/flatten/position + higher-order lambdas."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["orders"],
@@ -254,6 +262,7 @@ SELECT k,
 FROM t
 """,
     )
+    )
 
 
 @query(
@@ -277,7 +286,8 @@ def func_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map + JSON + conditional functions (Map*.java, JsonFunctions.java):
     map construction/keys/values/cardinality/element_at,
     json_extract_scalar ≈ get_json_object, coalesce/nullif/case/if."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["events"],
@@ -296,6 +306,7 @@ SELECT event_id,
 FROM events WHERE event_id % 25 = 0
 """,
     )
+    )
 
 
 @query(
@@ -313,7 +324,8 @@ FROM documents WHERE doc_id % 10 = 0
 def func_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary/crypto functions (VarbinaryFunctions.java): md5, sha256,
     hex, base64 round-trip."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["documents"],
@@ -326,6 +338,7 @@ SELECT doc_id,
        decode(unbase64(base64(encode(source, 'UTF-8'))), 'UTF-8') AS rt
 FROM documents WHERE doc_id % 10 = 0
 """,
+    )
     )
 
 
@@ -351,7 +364,8 @@ def func_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter extraction via parse_url (oracle reconstructs the parts
     arithmetically — DuckDB has no URL parser, which is the point:
     this surface is engine-side)."""
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["documents"],
@@ -372,6 +386,7 @@ SELECT doc_id,
        parse_url(url, 'QUERY', 'q') AS q_param
 FROM u
 """,
+    )
     )
 
 
@@ -460,7 +475,8 @@ def func_presto_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.compat import register_sql_udfs
 
     register_sql_udfs(spark)
-    return _sql(
+    return compile_once_scalar(
+        _sql(
         spark,
         sf_dir,
         ["documents"],
@@ -515,6 +531,7 @@ SELECT doc_id,
        url_decode(url_encode('a b&c')) AS ud
 FROM t
 """,
+    )
     )
 
 
@@ -630,9 +647,11 @@ FROM (SELECT *, ip_prefix(ip, p) AS prefix FROM _specialty_t)
 """
         )
     )
-    return out.withColumn(
+    return compile_once_scalar(
+        out.withColumn(
         "ff_digit", find_first(F.col("digits"), lambda x: x > 4)
     ).drop("digits")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -697,7 +716,8 @@ def func_i18n_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = F.concat(F.lit("é"), F.col("lang"))  # precomposed
     circled = F.concat(F.lit("①"), F.col("lang"))  # ① -> NFKC '1'
     tk1 = F.element_at(tokens(F.col("text")), 1)
-    return d.select(
+    return compile_once_scalar(
+        d.select(
         "doc_id",
         normalize_string(decomp, "NFC").alias("nfc"),
         F.length(normalize_string(comp, "NFD")).alias("nfd_len"),
@@ -709,6 +729,7 @@ def func_i18n_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         color("#ff8800").alias("colorint"),
         render_color(F.col("lang"), color("#ff8800")).alias("rendered"),
         bar((F.col("doc_id") % 11) / 10.0, 10).alias("bar10"),
+    )
     )
 
 
@@ -792,7 +813,7 @@ def func_tier2_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strings (both sides — the oracle uses array_to_string).
         return F.array_join(F.transform(col, lambda e: e.cast("string")), ",")
 
-    return d.select(
+    return compile_once_scalar(d.select(
         "doc_id",
         _joined(array_sort_desc(remove_nulls(arr))).alias("sd"),
         _joined(array_top_n(arr, 2)).alias("top2"),
@@ -806,4 +827,4 @@ def func_tier2_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace_first(F.col("source"), "rc", "__").alias("rf"),
         trail(F.col("source"), 3).alias("tr"),
         key_sampling_percent(F.col("lang")).alias("ksp"),
-    )
+    ))

@@ -24,7 +24,7 @@ from ..functions.geo import (
     st_y,
 )
 from ..operators.spatial import distance_join
-from .qutil import compile_once
+from .qutil import compile_once, compile_once_scalar
 from .registry import query
 
 # synthetic planar coords in [0, 100): key * prime % 1000 / 10
@@ -76,13 +76,13 @@ def geo_point_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pt(F.col("c_custkey"))
     center = st_point(F.lit(50.0), F.lit(50.0))
     region = st_envelope_struct(F.lit(20.0), F.lit(30.0), F.lit(60.0), F.lit(70.0))
-    return c.select(
+    return compile_once_scalar(c.select(
         "c_custkey",
         st_x(p).alias("x"),
         st_y(p).alias("y"),
         st_distance(p, center).alias("dist_center"),
         st_contains(region, p).alias("in_region"),
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import blob_table_from_documents, sample_frames
+from .qutil import compile_once_scalar
 from .registry import query
 
 _SQL_MEDIA = """
@@ -71,11 +72,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per 1000 ms offset (JVM-side explode;
     frame decode stubbed to a byte slice, hex-encoded for comparison)."""
     m = blob_table_from_documents(spark, sf_dir)
-    return sample_frames(m, every_ms=1000).select(
+    return compile_once_scalar(sample_frames(m, every_ms=1000).select(
         "media_id",
         F.col("offset_ms").cast("long").alias("offset_ms"),
         F.hex(F.col("frame_stub")).alias("frame_hex"),
-    )
+    ))
 
 
 @query(
@@ -125,7 +126,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import bmp_closed_form_media, image_features
 
     media = bmp_closed_form_media(spark, sf_dir)
-    return image_features(media)
+    return compile_once_scalar(image_features(media))
 
 
 @query(
@@ -163,4 +164,4 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_features, wav_media_from_documents
 
     media = wav_media_from_documents(spark, sf_dir)
-    return audio_features(media)
+    return compile_once_scalar(audio_features(media))

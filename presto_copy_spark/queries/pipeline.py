@@ -48,6 +48,7 @@ from ..operators.text import (
     tokens,
 )
 from .qutil import spread_scan
+from .qutil import compile_once_scalar
 from .registry import query
 
 
@@ -783,7 +784,7 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_chunks"),
     )
-    return sized.select(
+    return compile_once_scalar(sized.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
         "tk",
@@ -810,4 +811,4 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             )
         ).alias("fp"),
-    )
+    ))

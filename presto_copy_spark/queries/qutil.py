@@ -138,3 +138,27 @@ def compile_once(df):
         spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False),
         spark,
     )
+
+
+def compile_once_scalar(df):
+    """compile_once restricted to EXCHANGE-FREE plans (round 11).
+
+    The shuffle-map-output reuse documented on compile_once means a
+    frozen plan containing an exchange re-executes only from the
+    shuffle read onward — fine for the four geo call sites whose
+    pre-exchange stage is a documented ~1000-row scan, but wrong to
+    apply broadly.  This guard makes the honesty invariant mechanical:
+    it freezes the plan only when the physical plan has NO Exchange, so
+    every action re-executes the ENTIRE pipeline, parquet scan
+    included; only per-action Catalyst re-planning of a static scalar
+    tree is skipped (the prepared-statement analogue — Presto caches
+    prepared plans, presto-main QueryPreparer).  Raises on plans with
+    an exchange rather than silently degrading the protocol."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise ValueError(
+            "compile_once_scalar requires an exchange-free plan; use"
+            " compile_once (with its documented pre-exchange reuse"
+            " caveat) only for the audited geo call sites"
+        )
+    return compile_once(df)

@@ -271,11 +271,21 @@ def _batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # prune BEFORE the dedup shuffle: the summary reads 4 columns, and
     # Catalyst does not push column pruning through Deduplicate — the
-    # fat props JSON would otherwise ride the event_id shuffle
+    # fat props JSON would otherwise ride the event_id shuffle.
+    # distinct() over dropDuplicates(["event_id"]) (round 11): a broker
+    # redelivery is an IDENTICAL payload (see _with_redelivery) and
+    # event_id is the stream's unique key, so whole-row distinct is
+    # row-for-row equal — and it plans as a pure grouping HashAggregate,
+    # where dropDuplicates plans first()-aggregates over string columns
+    # that force SortAggregate (sort + non-codegen agg on both sides of
+    # the exchange; measured 0.34 -> 0.22 s at sf0.1).  The real
+    # streaming path keeps keying on event_id (dropDuplicates-
+    # WithinWatermark) — there the key choice is about STATE SIZE, not
+    # plan shape, and the parity test proves the two agree row-for-row.
     deduped = (
         _with_redelivery(_events(spark, sf_dir))
         .select("event_id", "event_type", "user_id", "value")
-        .dropDuplicates(["event_id"])
+        .distinct()
     )
     return _summarize_deduped(deduped)
 
