@@ -763,6 +763,87 @@ def test_remote_project_against_loopback_function_server(spark):
     )
 
 
+def test_remote_project_pipelined_overlaps_inflight_batches(spark):
+    """RemoteProjectOperator is ASYNC — it keeps multiple pages in
+    flight at the function server (RemoteProjectOperator.java
+    isBlocked()/processingPage futures).  remote_project_pipelined
+    reproduces that: with a slow endpoint (25 ms/request) and a
+    sliding window of 4, the loopback server must OBSERVE overlapping
+    requests (max concurrent >= 2), and results still come back
+    row-for-row correct and in order."""
+    import json
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from presto_copy_spark.operators.remote_udf import remote_project_pipelined
+
+    lock = threading.Lock()
+    gauge = {"now": 0, "max": 0, "requests": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            with lock:
+                gauge["now"] += 1
+                gauge["requests"] += 1
+                gauge["max"] = max(gauge["max"], gauge["now"])
+            try:
+                body = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                )
+                time.sleep(0.025)  # slow function server
+                rows = [[v * 3] for (v,) in body["rows"]]
+                out = json.dumps({"rows": rows}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+            finally:
+                with lock:
+                    gauge["now"] -= 1
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # ONE partition, 16 chunks of 4 rows: any observed overlap is
+        # the operator's window, not Spark task parallelism.
+        df = spark.createDataFrame(
+            [(i,) for i in range(64)], "v long"
+        ).coalesce(1)
+        out = remote_project_pipelined(
+            df,
+            f"http://127.0.0.1:{port}/",
+            "triple",
+            ["v"],
+            "v3 long",
+            batch_rows=4,
+            max_inflight=4,
+        )
+        got = [r.v3 for r in out.collect()]
+        assert got == [i * 3 for i in range(64)]  # order preserved
+        assert gauge["requests"] == 16
+        assert gauge["max"] >= 2, f"no overlap observed: {gauge}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remote_project_pipelined(
+            spark.createDataFrame([(1,)], "v long"),
+            "http://127.0.0.1:9/",
+            "f",
+            ["v"],
+            "x long",
+            max_inflight=0,
+        )
+
+
 def test_ogc_closures_round5(spark):
     """Round-5 OGC closures (GeoFunctions.java stConvexHull /
     geometryUnion / geometryNearestPoints / lineInterpolatePoint /
