@@ -1930,17 +1930,28 @@ def test_relate_intersection_randomized_round6(spark):
         )
         return abs(area2) / 2
 
-    def wkt(p):
+    def wkt(p, dup_at=None):
+        # dup_at: duplicate the vertex at that index — a zero-length
+        # edge, legal WKT, same geometry (ADVICE r10's degenerate-axis
+        # class, here randomized end-to-end: the engine parses the
+        # dup-vertex ring while the exact oracles see the clean tuples)
         ring = list(p) + [p[0]]
+        if dup_at is not None:
+            ring.insert(dup_at % len(p), ring[dup_at % len(p)])
         return "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
 
     cases = []
+    n_dup = 0
     while len(cases) < 150:
         pa = convex_poly(rng.randint(-5, 5), rng.randint(-5, 5), rng.randint(2, 8))
         # bias toward contact/overlap: B near A
         pb = convex_poly(rng.randint(-8, 12), rng.randint(-8, 12), rng.randint(2, 8))
         if pa and pb:
-            cases.append((len(cases), wkt(pa), wkt(pb), pa, pb))
+            da = rng.randrange(len(pa)) if rng.random() < 0.3 else None
+            db = rng.randrange(len(pb)) if rng.random() < 0.3 else None
+            n_dup += (da is not None) + (db is not None)
+            cases.append((len(cases), wkt(pa, da), wkt(pb, db), pa, pb))
+    assert n_dup >= 30, n_dup  # the degenerate class must be exercised
     df = spark.createDataFrame(
         [(i, wa, wb) for i, wa, wb, _, _ in cases], "i int, wa string, wb string"
     )
