@@ -274,12 +274,97 @@ def jdbc_table(
 
 
 def jdbc_write(spark, df, url: str, table: str, driver: str | None = None,
-               mode: str = "overwrite"):
+               mode: str = "overwrite", column_types: str | None = None):
     """JDBC TableWriter twin (each partition opens its own connection
-    and inserts its rows — no driver funnel)."""
+    and inserts its rows — no driver funnel).  ``column_types``
+    overrides remote DDL types (e.g. ``"label VARCHAR(24)"`` — Spark
+    maps StringType to CLOB on Derby, which is neither indexable nor
+    IN-comparable)."""
     w = df.write.mode(mode).format("jdbc").option("url", url).option(
         "dbtable", table
     )
     if driver:
         w = w.option("driver", driver)
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
     w.save()
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, bool) or v is None:
+        raise ValueError(f"unsupported index-join key literal: {v!r}")
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported index-join key type: {type(v).__name__}")
+
+
+def index_join(
+    spark,
+    probe: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    probe_key: str | None = None,
+    driver: str | None = None,
+    max_keys: int = 100_000,
+    keys_per_lookup: int = 500,
+    how: str = "inner",
+) -> DataFrame:
+    """Index join against a JDBC connector table
+    (presto-main/.../operator/index/IndexJoinOperator.java +
+    IndexLookupSourceFactory: instead of scanning the whole indexed
+    table, Presto drives the join from the probe side and asks the
+    connector's INDEX for exactly the probe keys).
+
+    Spark-first shape: the probe side's DISTINCT keys are gathered
+    (bounded by ``max_keys`` — index joins are only sensible when the
+    probe key set is small relative to the indexed table; past the
+    bound a plain scan-and-shuffle join wins and this raises), chunked
+    into ``keys_per_lookup``-sized IN-lists, and issued as ONE REMOTE
+    QUERY PER SPARK PARTITION via ``spark.read.jdbc(predicates=...)``
+    — each executor task runs its own `WHERE key IN (...)` against the
+    remote engine, which answers each from its index; no full-table
+    fetch exists anywhere in the plan.  The fetched slice (at most
+    ``max_keys`` rows) is then broadcast-hash-joined back to the
+    probe, so the probe side never shuffles.
+
+    The driver-side key gather is the documented scale bound, not an
+    accident: Presto's own index join requires the probe key set to
+    fit per-batch index lookups (IndexJoinOperator pages); at 100 TB
+    the probe here is a filtered/aggregated small side while the
+    INDEXED side may be arbitrarily large — that asymmetry is the
+    operator's contract."""
+    from pyspark.sql import functions as F
+
+    probe_key = probe_key or key
+    keys = [
+        r[0]
+        for r in probe.select(probe_key).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"index_join probe exceeds max_keys={max_keys}; use a"
+            " scan-side join (jdbc_table + join) for large probes"
+        )
+    if not keys:
+        fetched = jdbc_table(spark, url, table, driver=driver).limit(0)
+    else:
+        lits = [_sql_literal(k) for k in sorted(keys, key=str)]
+        chunks = [
+            lits[i : i + keys_per_lookup]
+            for i in range(0, len(lits), keys_per_lookup)
+        ]
+        # ANSI-quote the key: Spark's JDBC writer creates quoted
+        # (case-sensitive) column names, and predicates are passed
+        # verbatim into the remote WHERE clause
+        qkey = '"' + key.replace('"', '""') + '"'
+        predicates = [f"{qkey} IN ({', '.join(c)})" for c in chunks]
+        props = {"driver": driver} if driver else {}
+        fetched = spark.read.jdbc(
+            url, table, predicates=predicates, properties=props
+        )
+    return probe.join(
+        F.broadcast(fetched), probe[probe_key] == fetched[key], how
+    )
