@@ -72,7 +72,10 @@ PASS_RUNS = (3, 3, 3)
 # inflates an all-cores job >=2x, far outside it.
 CANARY_REF_SEC = 0.20
 CANARY_BAND = 1.4
-CANARY_MAX_ATTEMPTS = 8
+# 12 x 45 s = 9 min max wait: the r10 co-tenant bursts ran minutes-long,
+# and a dirty-window full bench wastes ~17 min producing an artifact
+# that needs an argument — waiting is the cheaper failure mode.
+CANARY_MAX_ATTEMPTS = 12
 CANARY_SLEEP_SEC = 45.0
 
 
