@@ -69,7 +69,14 @@ def bpe_token_count(col: Column) -> Column:
     pattern (BPE_RE_SPARK): ~10% off the regex walk with provably
     identical counts (disjoint alternatives, no backtracking).  The
     remaining engine-vs-DuckDB gap on this path is parquet string
-    decode + the extract_all allocation, profiled in r10's sf3x run."""
+    decode + the extract_all allocation, profiled in r10's sf3x run.
+
+    Round-11 measured-worse alternative, for the record: the count
+    decomposes exactly as letter_runs + digit_runs + punct_chars, where
+    punct needs NO regex (length/translate arithmetic) and the two run
+    counts are single-class patterns — verified equal on the full
+    corpus, but 2.2x SLOWER warm (0.29 vs 0.13 s at sf0.1): five
+    translate/length string passes lose to one fused regex walk."""
     return F.regexp_count(col, F.lit(BPE_RE_SPARK))
 
 
