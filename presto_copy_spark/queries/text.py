@@ -306,6 +306,109 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sub-document (line-level) exact dedup — Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" / RefinedWeb: duplicated
+# SPANS are removed corpus-wide keeping the first occurrence, at a
+# granularity below whole documents (dedup_exact) and orthogonal to
+# near-dup similarity (minhash/simhash).  The fixture text is a flat
+# token stream with no newlines, so a "line" is a fixed LINE_TOKENS
+# chunk — the operator under test is the plumbing (explode units -> ONE
+# hash shuffle -> broadcast dup set back -> keep-first), not the
+# boundary heuristic.
+LINE_TOKENS = 10
+# first-occurrence key: doc_id * 2^31 + line_idx.  Bounds documented:
+# line_idx < 2^31 means docs up to ~21B tokens, doc_id < 2^32 keeps the
+# key in int64 — both far above any real corpus's per-writer ranges.
+_OCC = 2**31
+
+
+@query(
+    "dedup_lines",
+    oracle=f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM all_docs),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(tk[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ') AS line
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(tk) / {LINE_TOKENS}.0) AS BIGINT) - 1)) AS g(i)
+),
+occ AS (
+  SELECT doc_id, {sql_hash60('line')} AS h,
+         doc_id * {_OCC} + line_idx AS okey
+  FROM lines
+),
+dups AS (
+  SELECT h, min(okey) AS first_occ FROM occ GROUP BY 1 HAVING count(*) > 1
+)
+SELECT o.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN d.h IS NOT NULL AND o.okey > d.first_occ
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       CAST(count(*) - sum(CASE WHEN d.h IS NOT NULL AND o.okey > d.first_occ
+                                THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
+FROM occ o LEFT JOIN dups d ON o.h = d.h
+GROUP BY 1
+HAVING sum(CASE WHEN d.h IS NOT NULL AND o.okey > d.first_occ
+                THEN 1 ELSE 0 END) > 0
+""",
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup, keep-first (Lee et al. 2022 / RefinedWeb
+    sub-document dedup; the fixture has no natural exact dups, so the
+    same shifted every-7th-doc union as dedup_exact plants them).
+
+    Scale shape: the tokenize/chunk/md5 map work runs ONCE (the dup
+    test is a partition-only window over the hash, not a self-join —
+    a broadcast-dup-set formulation was measured 4x slower at sf0.1
+    because the unshared occurrence pipeline re-ran the whole line
+    build on both sides), and the only corpus-wide shuffles carry
+    (hash60, occ-key, doc_id) LONGS — never line text: once on the
+    hash for the global first-occurrence window, once on doc_id for
+    the map-side-combined per-doc counts."""
+    d = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    dup = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    tok = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(tok) / float(LINE_TOKENS)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(tok, i * LINE_TOKENS + 1, LINE_TOKENS)
+        ),
+    )
+    occ = (
+        d.unionByName(dup)
+        .select("doc_id", F.posexplode(lines_arr).alias("line_idx", "line"))
+        .select(
+            "doc_id",
+            hash60(F.col("line")).alias("h"),
+            (F.col("doc_id") * _OCC + F.col("line_idx")).alias("okey"),
+        )
+    )
+    w = Window.partitionBy("h")
+    removable = (F.count(F.lit(1)).over(w) > 1) & (
+        F.col("okey") > F.min("okey").over(w)
+    )
+    return (
+        occ.select("doc_id", removable.cast("int").alias("rm"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rm").cast("long").alias("n_dup_lines"),
+            (F.count(F.lit(1)) - F.sum("rm")).cast("long").alias("kept_lines"),
+        )
+        .filter(F.col("n_dup_lines") > 0)
+    )
+
+
 _SQL_SIZES = "SELECT doc_id, count(*) AS n FROM sh GROUP BY 1"
 
 # Document-frequency cap on shingles before the pair join: a shingle in d
