@@ -126,8 +126,11 @@ DRIVER_PRIORITY: list[str] = [
     "subquery_exists_correlated",
     "docs_pack_sequences",
     "docs_filter_funnel",
-    "pii_scrub",
+    "dedup_lines",  # r11 new operator: first-time driver row
     # ---- the 50-entry cut lands here ----
+    # Rotated out round 11 (late): pii_scrub (r10 driver-green; docs/
+    # pipeline family keeps four sibling rows in-window) makes room for
+    # dedup_lines' first driver row; still DuckDB-oracled every pytest.
     # Rotated out round 8: tpch_q01, tpch_q11, tpch_q15, tpch_q22
     # (driver-green r5-r7; TPC-H family keeps q02/q09/q21 canaries;
     # all four stay DuckDB-oracled on every pytest run).
