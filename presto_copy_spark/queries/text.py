@@ -313,9 +313,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # granularity below whole documents (dedup_exact) and orthogonal to
 # near-dup similarity (minhash/simhash).  The fixture text is a flat
 # token stream with no newlines, so a "line" is a fixed LINE_TOKENS
-# chunk — the operator under test is the plumbing (explode units -> ONE
-# hash shuffle -> broadcast dup set back -> keep-first), not the
-# boundary heuristic.
+# chunk — the operator under test is the plumbing (explode units -> one
+# hash-partition first-occurrence pass over long-only rows -> per-doc
+# counts), not the boundary heuristic.
 LINE_TOKENS = 10
 # first-occurrence key: doc_id * 2^31 + line_idx.  Bounds documented:
 # line_idx < 2^31 means docs up to ~21B tokens, doc_id < 2^32 keeps the

@@ -291,11 +291,26 @@ def jdbc_write(spark, df, url: str, table: str, driver: str | None = None,
 
 
 def _sql_literal(v) -> str:
+    """Render an index-join probe key as an ANSI SQL literal.
+
+    Strings are quote-doubled, which is only safe on backends that use
+    ANSI string escaping (Derby, Postgres, SQL Server).  On backends
+    with backslash escapes (MySQL's default sql_mode) a key ending in a
+    backslash would break out of the literal, so backslashes and
+    control characters are rejected outright rather than risking the
+    probe side injecting SQL into the remote WHERE clause."""
     if isinstance(v, bool) or v is None:
         raise ValueError(f"unsupported index-join key literal: {v!r}")
     if isinstance(v, (int, float)):
         return str(v)
     if isinstance(v, str):
+        if "\\" in v or any(ord(c) < 0x20 or ord(c) == 0x7F for c in v):
+            raise ValueError(
+                "index-join string key contains a backslash or control"
+                f" character ({v!r}); only ANSI-escaping backends are"
+                " supported and such keys cannot be rendered safely —"
+                " use a scan-side join (jdbc_table + join) instead"
+            )
         return "'" + v.replace("'", "''") + "'"
     raise ValueError(f"unsupported index-join key type: {type(v).__name__}")
 
@@ -335,13 +350,25 @@ def index_join(
     fit per-batch index lookups (IndexJoinOperator pages); at 100 TB
     the probe here is a filtered/aggregated small side while the
     INDEXED side may be arbitrarily large — that asymmetry is the
-    operator's contract."""
+    operator's contract.
+
+    Dialect bound: key identifiers are ANSI double-quoted and string
+    literals ANSI quote-doubled, so the remote must be an
+    ANSI-quoting/ANSI-escaping backend (Derby, Postgres); MySQL
+    backticks / backslash escapes are not supported.  NULL probe keys
+    never match the index (SQL null semantics), so they are dropped
+    before the key gather; under ``how='left'`` the broadcast join
+    still preserves null-key probe rows with null build columns."""
     from pyspark.sql import functions as F
 
     probe_key = probe_key or key
     keys = [
         r[0]
-        for r in probe.select(probe_key).distinct().limit(max_keys + 1).collect()
+        for r in probe.select(probe_key)
+        .where(F.col(probe_key).isNotNull())
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
     ]
     if len(keys) > max_keys:
         raise ValueError(

@@ -402,3 +402,30 @@ def test_jdbc_index_join_derby(spark, tmp_path):
             spark, spark.range(0, 50).selectExpr("id AS pk"),
             url, "dim", key="k", probe_key="pk", driver=drv, max_keys=10,
         )
+
+    # NULL probe keys: dropped from the key gather (SQL null never
+    # matches an index lookup) — inner join drops the row, left join
+    # preserves it with null build columns
+    nprobe = spark.createDataFrame(
+        [(3, "hit"), (None, "nullkey")], "pk long, tag string"
+    )
+    ninner = index_join(
+        spark, nprobe, url, "dim", key="k", probe_key="pk", driver=drv
+    )
+    assert sorted(r.tag for r in ninner.collect()) == ["hit"]
+    nleft = index_join(
+        spark, nprobe, url, "dim", key="k", probe_key="pk",
+        driver=drv, how="left",
+    )
+    rows = {(r.tag, r.payload) for r in nleft.collect()}
+    assert ("nullkey", None) in rows and ("hit", 21) in rows
+
+    # backslash / control-char string keys cannot be rendered safely as
+    # ANSI literals -> typed refusal, nothing reaches the remote engine
+    for bad in ("tail\\", "a\\' OR 1=1 --", "ctl\x01"):
+        badprobe = spark.createDataFrame([(bad,)], "lbl string")
+        with pytest.raises(ValueError, match="backslash or control"):
+            index_join(
+                spark, badprobe, url, "dim", key="label",
+                probe_key="lbl", driver=drv,
+            )
