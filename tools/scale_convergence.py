@@ -137,7 +137,10 @@ PIPELINE_QUERIES = (
     "dedup_minhash_lsh,dedup_simhash,text_repetition,docs_vocab_coverage,"
     "docs_filter_funnel,docs_pack_sequences,sim_pq_adc,sim_topk_bruteforce,"
     # round-4 additions: the composed ANN and the learned-cluster dedup
-    "sim_ivfadc,dedup_semantic"
+    "sim_ivfadc,dedup_semantic,"
+    # round-12: sub-document line dedup (added late r11 with sf0.1
+    # evidence only; VERDICT r11 ask #2 — the decade row)
+    "dedup_lines"
 )
 
 
