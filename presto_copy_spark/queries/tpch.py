@@ -99,8 +99,14 @@ def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < TS("1998-03-15"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > TS("1998-03-15"))
+    # orders is 97% unfiltered here: without the hint its pruned-column
+    # size sneaks under the auto-broadcast threshold at mid scales, and
+    # the plan single-thread-builds a fact-table hash relation (round-12
+    # floor decomposition: the whole mid-TPC-H sf1x gap was this class).
+    # Shuffled hash join, building on the ~3% shipdate-filtered lineitem
+    # side, wins at every decade and is the only feasible 100 TB shape.
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.hint("shuffle_hash").join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(exact_sum(_revenue(), "revenue"))
@@ -285,8 +291,12 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= TS("1996-01-01")) & (F.col("l_shipdate") < TS("1997-01-01"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # full orders must not broadcast (round-12 re-plan: the auto-chosen
+    # broadcast build halved throughput at sf0.1 AND sf1x — 0.30/0.93 s
+    # -> 0.17/0.43 s — and cannot exist at 100 TB); build on the
+    # year-filtered lineitem side
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.hint("shuffle_hash").join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

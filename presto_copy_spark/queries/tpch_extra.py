@@ -140,7 +140,12 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     j = (
+        # the supplier probe keeps only the two nations' lineitems, so
+        # the stream entering the orders join is far smaller than full
+        # orders — shuffled hash join building on it (full orders must
+        # not broadcast; round-12 floor decomposition)
         l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .hint("shuffle_hash")
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
@@ -238,8 +243,14 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
     j = (
+        # the %red% part probe keeps ~6% of lineitem, so the stream
+        # entering the orders join is far smaller than full orders —
+        # shuffled hash join building on it (full orders must not
+        # broadcast; round-12 floor decomposition measured the broadcast
+        # build at 2x the shuffle at sf1x)
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .hint("shuffle_hash")
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
     )

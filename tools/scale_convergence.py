@@ -52,6 +52,10 @@ SHARED = ["nation", "region"]
 # LSH bucket 10x and square the candidate pairs, which is an adversarial
 # duplicate structure, not a bigger corpus.
 CORPUS = {"documents": "doc_id", "embeddings": "vec_id"}
+# events scales like the fact tables: copy i shifts event_id AND
+# user_id, so per-user sessionization/dedup/window workloads grow
+# linearly in users (verbatim copies would multiply per-user state).
+EVENTS_KEYS = ["event_id", "user_id"]
 
 
 def _build_shifted(spark, big_dir: str, copies: int) -> None:
@@ -101,6 +105,29 @@ def _build_shifted(spark, big_dir: str, copies: int) -> None:
             big.repartition(8 if copies <= 10 else 16).write.mode(
                 "overwrite"
             ).parquet(bp)
+    bp = f"{big_dir}/events.parquet"
+    if not os.path.exists(f"{bp}/_SUCCESS"):
+        from presto_copy_spark.catalog import load_table
+
+        # through load_table: the fixture is TIMESTAMP(NANOS), which the
+        # plain reader rejects; the shifted copy lands as micros, which
+        # both engines scan natively
+        src = load_table(spark, SRC, "events")
+        parts = [
+            src.select(
+                *[
+                    (F.col(c) + i * OFF).alias(c) if c in EVENTS_KEYS else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            for i in range(copies)
+        ]
+        big = parts[0]
+        for c in parts[1:]:
+            big = big.unionByName(c)
+        big.repartition(8 if copies <= 10 else 16).write.mode(
+            "overwrite"
+        ).parquet(bp)
 
 
 def build_layouts(
@@ -206,7 +233,7 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             spark_t[q] = statistics.median(samples)
         con = duckdb.connect()
-        for t in list(KEYED) + SHARED + list(CORPUS):
+        for t in list(KEYED) + SHARED + list(CORPUS) + ["events"]:
             p = f"{ldir}/{t}.parquet"
             glob = p if os.path.isfile(p) else f"{p}/*.parquet"
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
