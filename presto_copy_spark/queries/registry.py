@@ -40,77 +40,56 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-11 rotation (VERDICT r10 ask #5: advance the window's
-    # median last-held round past r7).  In: the 16 rows rotated out in
-    # r10 (the stalest r5-r9 one-time rows), two r2-stale win siblings,
-    # and re-proof slots for everything this round touches (tpch_q18's
-    # r10 re-plan, text_lang_id / events_streaming_session /
-    # docs_pack_sequences perf passes, the geo SAT degenerate-axis
-    # fix).  Out (all r10 driver-green, every family keeps at least one
-    # driver row, all 158 still DuckDB-oracled on every pytest run):
-    # join_inner, join_left_outer, join_right_outer, join_semi,
-    # join_anti, agg_cube, agg_rollup, agg_variance_stddev, func_math,
-    # func_binary_hash, multimodal_meta_stats, setop_intersect,
-    # events_sliding, multimodal_features, agg_approx_distinct,
-    # agg_hll_sketch_merge, agg_approx_percentile,
-    # geo_kdb_partition_join, ml_learn_classify, lateral_view,
-    # subquery_scalar.
-    "agg_kll_quantile_rollup",  # r7-stale
-    "agg_theta_sketch_setops",  # r7-stale
-    "agg_percentiles",  # r3-stale
-    "agg_skew_kurt",  # r3-stale
-    "docs_lm_quality",  # r5-stale
-    "docs_temperature_mix",  # r5-stale
-    "multimodal_audio_features",  # r5-stale
-    "multimodal_frame_sample",  # r6-stale
-    "sim_ivf_probe",  # r5-stale
-    "subquery_in",  # r5-stale
-    "sql_recursive_cte",  # r5-stale
-    "try_cast_absorbs",  # r8-stale
-    "distinct_limit",  # r8-stale
-    "sort_limit_offset",  # r9-stale
-    "setop_except_all",  # r9-stale
-    "join_full_outer",  # r8-stale; joins family canary
-    "win_sliding_frame",  # r2-stale win sibling
-    "win_first_last_nth",  # r2-stale win sibling
-    "tpch_q18",  # re-proof: r10 shuffle-hash re-plan + r11 pin
-    "text_lang_id",  # re-proof: r11 perf pass
-    "events_streaming_session",  # re-proof: r11 perf pass
-    "events_stateful_profile",  # r10-green; big bench row, keep hot
-    "geo_wkt_polygon_ops",  # re-proof: SAT fix + plan-cache r11
-    "geo_polygon_predicates",  # re-proof: SAT fix + plan-cache r11
-    # ---- Round-5 rotation (VERDICT r4 item 1): (a) the 9 registry
-    # entries that had NEVER held a driver row — completing driver
-    # coverage of every oracle-able entry — plus the round-5 query
-    # geo_hull_union; (b) a re-proof slot for EVERY query this round's
-    # perf/structure pass touched; (c) one canary per family.
-    # Everything rotated out stays DuckDB-oracle-verified on every
-    # pytest run (tests/test_queries_vs_oracle.py).
-    #
-    # First-time driver rows (10):
-    "dedup_semantic",  # SemDeDup — r4 pytest-oracled, never driver-run
-    "geo_hull_union",  # r5: OGC hull/union/nearest/interp/GeoJSON
-    # ---- Round-9 rotation (VERDICT r8 ask #3): the four queries that
-    # gained real oracles in round 8 (tolerance oracles for the approx
-    # family; closed-form BMP round-trip for multimodal_features) plus
-    # the NEW geo_kdb_partition_join take their first driver rows.
-    # Rotated out (all r8 driver-green, families keep sibling rows,
-    # still DuckDB-oracled on every pytest run): sample_systematic,
-    # values_inline, unnest_explode, geo_polygon_predicates,
-    # func_specialty.
-    # (r9 first-driver-row block — multimodal_features,
-    # agg_approx_distinct, agg_hll_sketch_merge, agg_approx_percentile,
-    # geo_kdb_partition_join — rotated out r11 after their r10 green.)
-    "geo_relate_ops",  # re-proof: SAT degenerate-axis fix r11
-    "agg_khll_privacy",  # NEW r6: KHLL privacy SQL names end-to-end
-    "docs_chunk_windows",  # re-proof: r11 perf pass
-    # Touched by round 5 — must re-prove green:
-    "tpch_q02",  # one-shuffle agg+window fold
-    "ml_kmeans",  # one-pass mean_update fold
-    "sim_pq_adc",  # pq_code_sub_structs train fold + model checkpoint
-    "sim_ivfadc",  # coarse+PQ train folds + model checkpoints
-    # Family canaries:
-    "tpch_q09",
+    # ---- Round-12 rotation (VERDICT r11 ask #6: advance the window's
+    # median last-held round past r9).  In: the 13 stalest rows — all
+    # rotated out in r11 after their r10 green (the join family,
+    # cube/rollup/variance aggs, func_math/binary_hash, lateral_view,
+    # subquery_scalar, setop_intersect) — plus first-time driver row
+    # dedup_urls (round-12 URL canonicalize + URL-level dedup) and
+    # re-proof slots for the three queries this round re-planned
+    # (tpch_q03/q07/q12: orders de-broadcast -> shuffled hash join).
+    # Out (all r11 driver-green, every family keeps >=1 window row,
+    # all still DuckDB-oracled on every pytest run):
+    # agg_kll_quantile_rollup, agg_theta_sketch_setops,
+    # agg_percentiles, agg_skew_kurt, docs_lm_quality,
+    # docs_temperature_mix, multimodal_frame_sample, sim_ivf_probe,
+    # subquery_in, sql_recursive_cte, distinct_limit, setop_except_all,
+    # join_full_outer, win_sliding_frame, win_first_last_nth,
+    # events_streaming_session, geo_hull_union.
+    "join_inner",  # r10-vintage joins family
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_anti",
+    "agg_cube",  # r10-vintage grouping-sets family
+    "agg_rollup",
+    "agg_variance_stddev",
+    "func_math",  # r10-vintage scalar families
+    "func_binary_hash",
+    "lateral_view",  # r10-vintage §2.8
+    "subquery_scalar",
+    "setop_intersect",
+    "dedup_urls",  # NEW r12: URL canonicalize + URL-level dedup
+    "tpch_q03",  # re-proof: r12 orders de-broadcast re-plan
+    "tpch_q07",  # re-proof: r12 orders de-broadcast re-plan
+    "tpch_q12",  # re-proof: r12 orders de-broadcast re-plan
+    "multimodal_audio_features",  # multimodal family canary
+    "try_cast_absorbs",  # §2.2 TRY representative
+    "sort_limit_offset",  # §2.6 representative
+    "tpch_q18",  # pinned perf row (r10 re-plan, r12 floor-final)
+    "text_lang_id",  # text-analysis family canary
+    "events_stateful_profile",
+    "geo_wkt_polygon_ops",
+    "geo_polygon_predicates",
+    "dedup_semantic",
+    "geo_relate_ops",
+    "agg_khll_privacy",
+    "docs_chunk_windows",
+    "tpch_q02",
+    "ml_kmeans",
+    "sim_pq_adc",
+    "sim_ivfadc",
+    "tpch_q09",  # re-proof: r12 orders de-broadcast re-plan
     "tpch_q21",
     "win_topn_row_number",
     "dedup_exact",
@@ -126,23 +105,12 @@ DRIVER_PRIORITY: list[str] = [
     "subquery_exists_correlated",
     "docs_pack_sequences",
     "docs_filter_funnel",
-    "dedup_lines",  # r11 new operator: first-time driver row
+    "dedup_lines",
     # ---- the 50-entry cut lands here ----
-    # Rotated out round 11 (late): pii_scrub (r10 driver-green; docs/
-    # pipeline family keeps four sibling rows in-window) makes room for
-    # dedup_lines' first driver row; still DuckDB-oracled every pytest.
-    # Rotated out round 8: tpch_q01, tpch_q11, tpch_q15, tpch_q22
-    # (driver-green r5-r7; TPC-H family keeps q02/q09/q21 canaries;
-    # all four stay DuckDB-oracled on every pytest run).
-    # Rotated out round 6: geo_wkt_polygon_ops, agg_histogram_map,
-    # text_quality, docs_mix_sample (all driver-green in r5, families
-    # still held by sibling driver rows + pytest oracles).
-    # Rotated out round 5 (all r2 ∪ r3 ∪ r4 driver-green, still
-    # pytest-oracled): tpch_q03, tpch_q13, tpch_q18, text_repetition,
-    # text_bpe_tokens, text_lang_id, text_token_stats,
-    # sim_quantized_cosine, events_json_props, docs_decontaminate,
-    # docs_vocab_coverage, case_when_buckets, setop_except,
-    # setop_intersect_all, subquery_scalar, plus the r4 rotation list.
+    # (Rotation ledgers for rounds 5-11 live in git history of this
+    # block; every name above and every rotated-out name stays
+    # DuckDB-value-oracled on each pytest run via
+    # tests/test_queries_vs_oracle.py.)
 ]
 
 

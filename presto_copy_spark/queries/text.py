@@ -30,7 +30,7 @@ no Presto counterpart — they're the §"beyond the reference" surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -860,4 +860,180 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("node").cast("long").alias("member_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup — RefinedWeb stage 1 (Penedo et
+# al. 2023): canonicalize every document URL (case-fold scheme/host,
+# strip www., default ports, fragments, and tracking parameters, sort
+# the surviving query string, trim trailing slashes), then deduplicate
+# corpus-wide at URL granularity keeping the first occurrence.  The
+# fixture has no URL column, so URLs are DERIVED deterministically from
+# doc_id (mixed-case schemes/hosts, optional :80/:443, shuffled
+# parameter order, utm_* noise, fragments) — both engines rebuild the
+# identical raw URLs, so the oracle replays the full pipeline.
+# Reference surface twin: §2.9 UrlFunctions.java (url_extract_*); the
+# canonicalize/dedup composition has no Presto counterpart (north-star
+# pipeline stage).
+_URL_MOD_PATH = 120  # canonical-path cardinality: drives planted dup rate
+
+
+def _raw_url_col() -> Column:
+    """Deterministic messy URL per doc (Spark side).
+
+    The CANONICAL identity of a doc's URL is a function of
+    ``doc_id % {_URL_MOD_PATH}`` only (path slot + v parameter), while
+    every piece of removable mess — scheme/host case, ``www.``,
+    default port, parameter order, trailing slash, utm value,
+    fragment — is keyed on the COPY INDEX ``g = doc_id // mod``, which
+    varies WITHIN each canonical group: every multi-member group
+    therefore exercises the canonicalizer's merges, not just verbatim
+    equality."""
+    d = F.col("doc_id")
+    g = F.floor(d / F.lit(_URL_MOD_PATH)).cast("long")
+    https = d % 2 == 1  # scheme FAMILY is canonical -> in-group constant
+    scheme = (
+        F.when(~https & (g % 2 == 0), "HTTP")
+        .when(~https, "http")
+        .when(https & (g % 2 == 0), "HTTPS")
+        .otherwise("https")
+    )
+    www = F.when(g % 3 == 0, "WWW.").when(g % 3 == 1, "www.").otherwise("")
+    host = F.when(g % 2 == 0, "Docs.Example.COM").otherwise("docs.example.com")
+    port = F.when(
+        g % 5 == 0, F.when(https, ":443").otherwise(":80")
+    ).otherwise("")
+    path = F.concat(F.lit("/p/"), (d % _URL_MOD_PATH).cast("string"))
+    slash = F.when(g % 2 == 0, "/").otherwise("")
+    v = (d % 2).cast("string")
+    t = g.cast("string")
+    query = (
+        F.when(g % 2 == 0, F.concat(F.lit("?v="), v, F.lit("&utm_source=s"), t))
+        .otherwise(F.concat(F.lit("?utm_source=s"), t, F.lit("&v="), v))
+    )
+    frag = F.when(g % 3 == 0, F.concat(F.lit("#sec"), (d % 7).cast("string"))).otherwise("")
+    return F.concat(scheme, F.lit("://"), www, host, port, path, slash, query, frag)
+
+
+_SQL_RAW_URL = f"""
+concat(
+  CASE WHEN doc_id % 2 = 0
+       THEN CASE WHEN (doc_id // {_URL_MOD_PATH}) % 2 = 0 THEN 'HTTP' ELSE 'http' END
+       ELSE CASE WHEN (doc_id // {_URL_MOD_PATH}) % 2 = 0 THEN 'HTTPS' ELSE 'https' END END,
+  '://',
+  CASE (doc_id // {_URL_MOD_PATH}) % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END,
+  CASE WHEN (doc_id // {_URL_MOD_PATH}) % 2 = 0 THEN 'Docs.Example.COM' ELSE 'docs.example.com' END,
+  CASE WHEN (doc_id // {_URL_MOD_PATH}) % 5 = 0
+       THEN CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE ':80' END
+       ELSE '' END,
+  '/p/', CAST(doc_id % {_URL_MOD_PATH} AS VARCHAR),
+  CASE WHEN (doc_id // {_URL_MOD_PATH}) % 2 = 0 THEN '/' ELSE '' END,
+  CASE WHEN (doc_id // {_URL_MOD_PATH}) % 2 = 0
+    THEN concat('?v=', CAST(doc_id % 2 AS VARCHAR),
+                '&utm_source=s', CAST(doc_id // {_URL_MOD_PATH} AS VARCHAR))
+    ELSE concat('?utm_source=s', CAST(doc_id // {_URL_MOD_PATH} AS VARCHAR),
+                '&v=', CAST(doc_id % 2 AS VARCHAR)) END,
+  CASE WHEN (doc_id // {_URL_MOD_PATH}) % 3 = 0
+       THEN concat('#sec', CAST(doc_id % 7 AS VARCHAR)) ELSE '' END
+)"""
+
+
+def canonicalize_url(u: Column) -> Column:
+    """Canonical URL form, pure Catalyst expressions (zero-shuffle,
+    whole-stage-codegen map work): strip fragment; lowercase the
+    scheme://host[:port] prefix; drop ``www.`` and default ports; trim
+    trailing path slashes; drop ``utm_*`` tracking parameters and the
+    empty query; sort surviving query parameters so parameter order
+    cannot defeat dedup."""
+    u = F.regexp_replace(u, "#.*$", "")
+    pre = F.lower(F.regexp_extract(u, "^[a-zA-Z]+://[^/?]*", 0))
+    rest = F.substring(u, F.length(pre) + 1, F.lit(1 << 30))
+    pre = F.regexp_replace(pre, "^(http://[^/]*):80$", "$1")
+    pre = F.regexp_replace(pre, "^(https://[^/]*):443$", "$1")
+    pre = F.regexp_replace(pre, "://www\\.", "://")
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    q = F.substring(rest, F.length(path) + 2, F.lit(1 << 30))
+    path = F.regexp_replace(path, "/+$", "")
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        pre, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise("")
+    )
+
+
+_SQL_CANON = """
+concat(pre3, path2, CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END)
+"""
+
+
+@query(
+    "dedup_urls",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_SQL_RAW_URL} AS u FROM documents
+),
+defrag AS (SELECT doc_id, u AS u_raw, regexp_replace(u, '#.*$', '') AS u
+           FROM raw),
+parts AS (
+  SELECT doc_id, u_raw, u,
+         lower(regexp_extract(u, '^[a-zA-Z]+://[^/?]*', 0)) AS pre,
+         substr(u, length(regexp_extract(u, '^[a-zA-Z]+://[^/?]*', 0)) + 1) AS rest
+  FROM defrag
+),
+norm AS (
+  SELECT doc_id, u_raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(pre, '^(http://[^/]*):80$', '\\1'),
+             '^(https://[^/]*):443$', '\\1'),
+           '://www\\.', '://') AS pre3,
+         regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path2,
+         array_to_string(
+           list_sort(
+             list_filter(string_split(substr(rest, length(regexp_extract(rest, '^[^?]*', 0)) + 2), '&'),
+                         x -> NOT starts_with(x, 'utm_') AND x <> '')),
+           '&') AS q2
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, u_raw, {_SQL_CANON.strip()} AS curl FROM norm
+)
+SELECT curl, min(doc_id) AS canonical_doc,
+       count(*) AS n_copies,
+       CAST(count(DISTINCT u_raw) AS BIGINT) AS n_raw_forms
+FROM canon
+GROUP BY curl
+HAVING count(*) > 1
+""",
+)
+def dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization (RefinedWeb stage 1).
+
+    Scale shape: the derive+canonicalize pass is zero-exchange map work
+    inside one whole-stage-codegen span (string/regex/array Catalyst
+    expressions, no Python); the ONLY corpus-wide shuffle is the
+    groupBy on the canonical URL (short strings; at web scale group on
+    ``hash60(curl)`` + ``min(curl)`` for a long-keyed exchange — same
+    plan, same oracle).  ``n_raw_forms > 1`` groups prove the
+    canonicalizer actually merged distinct raw spellings rather than
+    counting verbatim copies."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    raw = d.select("doc_id", _raw_url_col().alias("u"))
+    canon = raw.select("doc_id", "u", canonicalize_url(F.col("u")).alias("curl"))
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("u").cast("long").alias("n_raw_forms"),
+        )
+        .filter(F.col("n_copies") > 1)
     )

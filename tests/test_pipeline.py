@@ -318,3 +318,25 @@ def test_dedup_lines_planted_skew(spark, sf_dir):
     synth_rows = {doc: (n, dup) for doc, n, dup in got_window if doc >= 10_000_000}
     assert len(synth_rows) == n_hot - 1
     assert all(v == (2, 1) for v in synth_rows.values())
+
+
+def test_url_canonicalizer_edge_cases(spark):
+    """canonicalize_url literal-case contract (RefinedWeb stage-1
+    normalizer): fragment/default-port/www/tracking-param stripping,
+    query-parameter sorting, trailing-slash trim, case folding of the
+    scheme://host prefix ONLY (paths stay case-sensitive), non-default
+    ports preserved."""
+    from presto_copy_spark.queries.text import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/B/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/B?a=1&b=2"),
+        ("https://Site.org:443/p", "https://site.org/p"),
+        ("https://site.org:8443/p?x=1", "https://site.org:8443/p?x=1"),
+        ("http://a.b/p", "http://a.b/p"),
+        ("http://a.b/p/?utm_source=o&utm_medium=m", "http://a.b/p"),
+        ("https://www.a.b:443/q/?z=9&a=1#s", "https://a.b/q?a=1&z=9"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    assert got == [want for _, want in cases]

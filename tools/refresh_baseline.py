@@ -35,6 +35,22 @@ def main() -> None:
     from presto_copy_spark.queries import registry
 
     registry.load_all()
+
+    # Same clean-window certification as bench.py (VERDICT r11 ask #5):
+    # the round-11 +5% denominator drift showed the DuckDB table could
+    # be refreshed in a window the Spark numerator would refuse to
+    # measure in.  Symmetric protocol: run the identical Spark canary
+    # before timing anything, and record its trace in the refresh note.
+    from bench import _canary_gate
+    from presto_copy_spark.session import get_spark
+
+    gate = _canary_gate(get_spark("refresh-baseline-canary"))
+    print(
+        f"canary: final {gate['final_sec']}s in_band={gate['in_band']}"
+        f" attempts={len(gate['attempts'])}",
+        file=sys.stderr,
+    )
+
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
@@ -95,10 +111,21 @@ def main() -> None:
     )
     table = "\n".join(lines)
 
+    note = (
+        f"Refresh note: {time.strftime('%Y-%m-%d %H:%M')} local — canary"
+        f" {gate['final_sec']} s (ref {gate['ref_sec']}, band"
+        f" {gate['band']}x, in_band={gate['in_band']},"
+        f" attempts={len(gate['attempts'])}); numbers below measured"
+        " only in this certified window.\n\n"
+    )
     src = open(BASELINE).read()
     start = src.index("| query | duckdb sec |")
     end = src.index("\n\n", src.index("total (bench headline subset"))
-    open(BASELINE, "w").write(src[:start] + table + src[end:])
+    head = src[:start]
+    m = re.search(r"Refresh note: [^\n]*\n\n$", head, re.DOTALL)
+    if m:
+        head = head[: m.start()]
+    open(BASELINE, "w").write(head + note + table + src[end:])
     print("BASELINE.md table refreshed", file=sys.stderr)
 
 
