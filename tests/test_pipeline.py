@@ -340,3 +340,28 @@ def test_url_canonicalizer_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_dedup_urls_staged_matches_column_form(spark, sf_dir):
+    """The staged normalizer inside dedup_urls must stay semantically
+    identical to the reusable canonicalize_url Column (the staging is a
+    pure CollapseProject-era performance shape, not a semantic fork)."""
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.queries.text import _raw_url_col, canonicalize_url
+    from presto_copy_spark.queries import registry
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select("doc_id", _raw_url_col().alias("u"))
+    col_form = (
+        raw.select("doc_id", "u", canonicalize_url(F.col("u")).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("u").cast("long").alias("n_raw_forms"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    a = sorted(map(tuple, col_form.collect()))
+    b = sorted(map(tuple, registry.QUERIES["dedup_urls"](spark, sf_dir).collect()))
+    assert a == b and a

@@ -166,8 +166,9 @@ PIPELINE_QUERIES = (
     # round-4 additions: the composed ANN and the learned-cluster dedup
     "sim_ivfadc,dedup_semantic,"
     # round-12: sub-document line dedup (added late r11 with sf0.1
-    # evidence only; VERDICT r11 ask #2 — the decade row)
-    "dedup_lines"
+    # evidence only; VERDICT r11 ask #2 — the decade row) and URL-level
+    # dedup (new r12)
+    "dedup_lines,dedup_urls"
 )
 
 
