@@ -85,7 +85,8 @@ DRIVER_PRIORITY: list[str] = [
     "geo_relate_ops",
     "agg_khll_privacy",
     "docs_chunk_windows",
-    "tpch_q02",
+    "tpch_q17",  # re-proof: r12 threshold-pushdown rewrite (swapped for
+    # r11-green floor-final tpch_q02; TPC-H keeps 7 window rows)
     "ml_kmeans",
     "sim_pq_adc",
     "sim_ivfadc",
