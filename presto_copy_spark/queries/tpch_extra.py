@@ -320,15 +320,20 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-customer count is pushed BELOW the join: aggregating orders
     first shrinks the join's build side from |orders| rows to
     |customers-with-orders| (map-side combine does most of the work
-    before the one shuffle), and AQE can then broadcast the aggregated
-    side at small scale — the left join itself never shuffles customer
-    twice.  count(o_orderkey) over the left join == the pre-aggregated
-    count with 0 for no-match customers."""
+    before the one shuffle).  count(o_orderkey) over the left join ==
+    the pre-aggregated count with 0 for no-match customers.
+
+    The counts side is HINTED to a shuffled hash join (round 12): the
+    aggregate is |customers|-sized, so letting it sneak under the
+    broadcast threshold single-thread-builds a hash relation that
+    scales with the customer table — same class as the q03/q07/q09/q12
+    orders fix.  Same-window A/B: 0.321 -> 0.220 s sf0.1,
+    0.490 -> 0.468 s sf1x, 1.483 -> 1.277 s sf10x."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
     o_counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     per_cust = c.join(
-        o_counts, c["c_custkey"] == o_counts["o_custkey"], "left"
+        o_counts.hint("shuffle_hash"), c["c_custkey"] == o_counts["o_custkey"], "left"
     ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
