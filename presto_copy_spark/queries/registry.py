@@ -93,7 +93,9 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q09",  # re-proof: r12 orders de-broadcast re-plan
     "tpch_q21",
     "win_topn_row_number",
-    "dedup_exact",
+    "dedup_keep_best",  # NEW r12: quality-aware canonical selection
+    # (first driver row; swapped for r11-green dedup_exact, whose
+    # keep-first rule is this operator's degenerate case)
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "sim_topk_bruteforce",

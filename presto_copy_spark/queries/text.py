@@ -1095,3 +1095,83 @@ def dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection — keep the BEST copy of each
+# duplicate cluster, not the first.  Real pipelines (RefinedWeb,
+# FineWeb) dedup near-identical documents by a cluster key and keep the
+# member with the highest quality score (longest/cleanest extraction);
+# keep-first (dedup_exact) is the degenerate case.  Cluster key here: a
+# prefix fingerprint (hash60 of the first PREFIX_K tokens) — the crude
+# truncation-robust near-dup key; score: token count, doc_id breaking
+# ties toward the older doc.  Planted dups are TRUNCATED copies (first
+# TRUNC_TOKENS tokens) of every 5th doc, so the winner is decided by
+# quality, not insertion order, and every planted copy must LOSE.
+PREFIX_K = 15
+TRUNC_TOKENS = 20
+# combined argmax key: n_tokens * 2^33 - doc_id keeps both fields in
+# int64 (doc_id < 2^33, n_tokens < 2^30) and orders by score DESC then
+# doc_id ASC in a single max()
+_KB_SCALE = 2**33
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(({sql_tokens('text')})[1:{TRUNC_TOKENS}], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+scored AS (
+  SELECT doc_id,
+         {sql_hash60(f"array_to_string(({sql_tokens('text')})[1:{PREFIX_K}], ' ')")} AS fp,
+         len({sql_tokens('text')}) AS n_tokens
+  FROM all_docs
+)
+SELECT fp,
+       arg_max(doc_id, n_tokens * {_KB_SCALE} - doc_id) AS kept_doc,
+       arg_max(n_tokens, n_tokens * {_KB_SCALE} - doc_id) AS kept_n_tokens,
+       count(*) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM scored
+GROUP BY fp
+HAVING count(*) > 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact/near dedup: cluster on a prefix fingerprint,
+    keep the highest-quality member (argmax token count, ties to the
+    smaller doc_id via a single packed int64 key).
+
+    Scale shape: one tokenize/score/hash map pass, then ONE shuffle on
+    the cluster fingerprint carrying (fp, doc_id, n_tokens) longs —
+    ``max_by`` partial-aggregates map-side, so hyper-duplicated
+    clusters cost their partials, never a window buffer.  This is the
+    keep-first plan of dedup_exact with the keep rule generalized to
+    an argmax — at 100 TB the two are byte-identical in shuffle shape."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    trunc = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, TRUNC_TOKENS))
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), trunc.alias("text")
+    )
+    tok = tokens(F.col("text"))
+    scored = d.unionByName(dup).select(
+        "doc_id",
+        hash60(F.concat_ws(" ", F.slice(tok, 1, PREFIX_K))).alias("fp"),
+        F.size(tok).cast("long").alias("n_tokens"),
+    )
+    key = F.col("n_tokens") * _KB_SCALE - F.col("doc_id")
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.max_by("doc_id", key).alias("kept_doc"),
+            F.max_by("n_tokens", key).alias("kept_n_tokens"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
