@@ -1152,18 +1152,30 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_by`` partial-aggregates map-side, so hyper-duplicated
     clusters cost their partials, never a window buffer.  This is the
     keep-first plan of dedup_exact with the keep rule generalized to
-    an argmax — at 100 TB the two are byte-identical in shuffle shape."""
+    an argmax — at 100 TB the two are byte-identical in shuffle shape.
+
+    The planted truncated copies are scored WITHOUT a second tokenize
+    pass (round 12, measured 0.296 -> 0.226 s at sf0.1): with
+    PREFIX_K <= TRUNC_TOKENS and whitespace-clean tokens, the
+    truncation's prefix fingerprint equals the original's and its
+    token count is ``least(n_tokens, TRUNC_TOKENS)`` — the oracle
+    keeps the literal re-tokenizing spec and the hash oracle proves
+    the shortcut exact."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    trunc = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, TRUNC_TOKENS))
-    dup = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), trunc.alias("text")
-    )
     tok = tokens(F.col("text"))
-    scored = d.unionByName(dup).select(
+    scored0 = d.select(
         "doc_id",
         hash60(F.concat_ws(" ", F.slice(tok, 1, PREFIX_K))).alias("fp"),
         F.size(tok).cast("long").alias("n_tokens"),
     )
+    dup = scored0.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "fp",
+        F.least(F.col("n_tokens"), F.lit(TRUNC_TOKENS).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    scored = scored0.unionByName(dup)
     key = F.col("n_tokens") * _KB_SCALE - F.col("doc_id")
     return (
         scored.groupBy("fp")

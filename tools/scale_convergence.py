@@ -136,8 +136,15 @@ def build_layouts(
     layouts = {"sf0.1": SRC}
     split_dir = f"{OUT}/sf0.1_split"
     os.makedirs(split_dir, exist_ok=True)
-    for name in list(KEYED) + SHARED + list(CORPUS):
-        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+    from presto_copy_spark.catalog import load_table
+
+    for name in list(KEYED) + SHARED + list(CORPUS) + ["events"]:
+        # events through load_table (TIMESTAMP(NANOS) fixture)
+        src = (
+            load_table(spark, SRC, name)
+            if name == "events"
+            else spark.read.parquet(f"{SRC}/{name}.parquet")
+        )
         sp = f"{split_dir}/{name}.parquet"
         if not os.path.exists(f"{sp}/_SUCCESS"):
             n = 32 if name in ("lineitem", "orders") else 4
