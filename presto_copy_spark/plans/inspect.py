@@ -36,6 +36,8 @@ __all__ = [
     "has_window_group_limit",
     "wholestage_codegen_spans",
     "has_exchange",
+    "join_build_sides",
+    "broadcast_builds_containing",
 ]
 
 
@@ -100,3 +102,59 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 def has_exchange(df: DataFrame) -> bool:
     return "Exchange" in plan_string(df, "simple")
+
+
+def _jvm_children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def join_build_sides(df: DataFrame) -> list[dict]:
+    """Every hash-ish join in the (pre-AQE) physical plan with the
+    treeString of its BUILD-side subtree.
+
+    Returns [{"node": "BroadcastHashJoin", "side": "BuildRight",
+    "build_tree": "..."}]. Walks queryExecution().sparkPlan() via the
+    JVM tree, so build-side identity is exact (which subtree feeds the
+    hash relation), not a regex over the flattened explain output.
+
+    This exists to make the round-12 fact-broadcast defect class
+    mechanically assertable: a pruned-column FACT table can sneak under
+    spark.sql.autoBroadcastJoinThreshold at mid scales and get single-
+    thread broadcast-built (BASELINE.md §r12 floor decomposition). The
+    shuffle_hash hints that forbid it are honored by the STATIC planner
+    — so asserting on sparkPlan is exactly the surface where dropping a
+    hint reverts the plan (at test SF every fact fits the threshold,
+    making the regression maximally visible)."""
+    out: list[dict] = []
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        kids = _jvm_children(node)
+        name = node.nodeName()
+        if name in (
+            "BroadcastHashJoin",
+            "BroadcastNestedLoopJoin",
+            "ShuffledHashJoin",
+        ):
+            side = node.buildSide().toString()
+            build = kids[0] if side == "BuildLeft" else kids[1]
+            out.append(
+                {"node": name, "side": side, "build_tree": build.treeString()}
+            )
+        stack.extend(kids)
+    return out
+
+
+def broadcast_builds_containing(df: DataFrame, *needles: str) -> list[str]:
+    """Node names of broadcast joins whose BUILD side scans/contains any
+    of the given substrings (e.g. "orders." for the fact scan, or
+    "HashAggregate" for an aggregate build). Empty list == the plan
+    never broadcast-builds that relation — the 100 TB-safe shape."""
+    hits: list[str] = []
+    for j in join_build_sides(df):
+        if j["node"].startswith("Broadcast") and any(
+            n in j["build_tree"] for n in needles
+        ):
+            hits.append(f'{j["node"]}({j["side"]})')
+    return hits

@@ -13,9 +13,11 @@ from pyspark.sql import functions as F
 
 from presto_copy_spark.catalog import load_table
 from presto_copy_spark.plans.inspect import (
+    broadcast_builds_containing,
     has_broadcast_join,
     has_sort_merge_join,
     has_window_group_limit,
+    join_build_sides,
     partial_final_agg_count,
     plan_string,
     pushed_filters,
@@ -46,6 +48,74 @@ def test_projection_pruning_two_columns(spark, sf_dir):
 def test_q03_broadcasts_dimension(spark, sf_dir):
     """tpch_q03: customer-side join should be broadcast, not shuffled."""
     assert has_broadcast_join(registry.QUERIES["tpch_q03"](spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-12 re-plan pins (VERDICT r12 ask #2): the fact-broadcast defect
+# class — a pruned-column FACT table or fact-sized aggregate sneaking
+# under the auto-broadcast threshold and getting single-thread built —
+# must stay mechanically impossible in the queries round 12 re-planned.
+# At test SF every relation fits the 10 MB threshold, so if a
+# shuffle_hash hint is dropped the static planner immediately reverts
+# to the broadcast build and these go red.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "qname", ["tpch_q03", "tpch_q07", "tpch_q09", "tpch_q12", "tpch_q18"]
+)
+def test_orders_never_broadcast_built(spark, sf_dir, qname):
+    """q03/q07/q09/q12/q18: the orders join must be a shuffled hash
+    join — NO broadcast join may build a hash relation containing the
+    orders scan (orders grows with SF; its broadcast cannot exist at
+    100 TB — tpch.py:102, :294, :365; tpch_extra.py q07/q09)."""
+    df = registry.QUERIES[qname](spark, sf_dir)
+    hits = broadcast_builds_containing(df, "orders.parquet")
+    assert hits == [], f"{qname} broadcast-builds orders: {hits}"
+    assert any(
+        j["node"] == "ShuffledHashJoin" and "orders.parquet" not in j["build_tree"]
+        for j in join_build_sides(df)
+    ), f"{qname} lost its shuffled-hash orders join"
+
+
+def test_q18_aggregate_build_not_broadcast(spark, sf_dir):
+    """q18's HAVING aggregate (per-orderkey sums over ALL of lineitem)
+    is fact-sized pre-filter; it must never be a broadcast build either
+    (the r12 experiment measured the broadcast variant scale-inverted —
+    BASELINE.md §q18)."""
+    df = registry.QUERIES["tpch_q18"](spark, sf_dir)
+    assert broadcast_builds_containing(df, "lineitem.parquet") == []
+
+
+def test_q13_counts_aggregate_not_broadcast(spark, sf_dir):
+    """q13: the per-custkey order-counts aggregate is |customer|-sized
+    and scales with SF — it must build via shuffled hash join
+    (tpch_extra.py:336), never broadcast."""
+    df = registry.QUERIES["tpch_q13"](spark, sf_dir)
+    hits = broadcast_builds_containing(df, "orders.parquet", "HashAggregate")
+    assert hits == [], hits
+    assert any(j["node"] == "ShuffledHashJoin" for j in join_build_sides(df))
+
+
+def test_q17_threshold_pushdown_pinned(spark, sf_dir):
+    """q17 (r12 threshold pushdown, tpch_extra.py:443): the per-partkey
+    quantity aggregate must be computed over Brand#1-RESTRICTED
+    lineitem — every broadcast build that touches lineitem must also
+    contain the part-scan restriction inside it. If the pushdown
+    reverts (aggregate all of lineitem, join the brand filter in
+    afterwards — the r12 fact-broadcast class), the aggregate's build
+    tree loses the part scan and this goes red. The restricted
+    aggregate itself stays threshold-auto-governed deliberately: while
+    small, broadcasting it avoids shuffling the fact side at all; once
+    it outgrows the threshold Spark shuffles it (the sf10x A/B decade
+    measured exactly that shape at −72%)."""
+    df = registry.QUERIES["tpch_q17"](spark, sf_dir)
+    for j in join_build_sides(df):
+        if j["node"].startswith("Broadcast") and "lineitem.parquet" in j["build_tree"]:
+            assert "part.parquet" in j["build_tree"], (
+                "q17 broadcast-builds an UNRESTRICTED lineitem aggregate",
+                j["build_tree"][:500],
+            )
+    key_broadcasts = broadcast_builds_containing(df, "part.parquet")
+    assert key_broadcasts, "q17 lost its broadcast partkey restriction"
 
 
 def test_q05_all_dims_broadcast(spark, sf_dir):
