@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from . import qutil
 from .qutil import scaled_long, spread_scan
 from .registry import query
 
@@ -376,19 +377,20 @@ GROUP BY event_type
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column — JsonFunctions.java
-    json_extract_scalar ≈ get_json_object."""
+    json_extract_scalar ≈ get_json_object.
+
+    Round 13: the r12 decade sweep showed this row NOT converging
+    (0.35 -> 3.54 s across sf0.1 -> sf10x, 21x DuckDB) because every
+    JVM JSON path is a full Jackson parse (~6 us/row/core).  The
+    extraction now goes through qutil.json_topkey_int — a guarded
+    string-level fast path (Presto JsonExtract.java:60 plays the same
+    trick with a streaming scanner) with get_json_object fallback for
+    any document the guard can't prove flat.  Same decade: 3.54 ->
+    ~0.7 s."""
     e = spread_scan(spark, _events(spark, sf_dir))
-    # Parse the JSON ONCE per row in a projection the partial agg
-    # consumes: with the parse inlined into each aggregate input the
-    # plan is only correct-speed if codegen subexpression elimination
-    # fires, and that guarantee doesn't survive plan changes.  Measured
-    # floor at sf0.1 (100k rows): ~0.2 s is the parse itself (~2 us/row
-    # — get_json_object, from_json and variant_get all within noise),
-    # i.e. this query runs at its execution floor; at corpus scale the
-    # parse is the whole cost and stays one-per-row by construction.
-    k = F.get_json_object("props", "$.k").cast("long")
+    ek = qutil.json_topkey_int(e.select("event_type", "props"), "props", "k", "k")
     return (
-        e.select("event_type", k.alias("k"))
+        ek.select("event_type", F.col("k").cast("long").alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -94,6 +94,48 @@ def spread_scan(spark, df):
     return df.repartition(goal)
 
 
+def json_topkey_int(df, src: str, key: str, out: str):
+    """Extract top-level integer ``key`` from JSON-string column ``src``
+    into string column ``out`` — with a guarded string-level fast path.
+
+    Spark's get_json_object/from_json/variant all pay a full Jackson
+    parse per row (~6 us/row/core measured at 10M rows — 2.8/2.2/1.9 s
+    respectively vs 0.16 s for DuckDB's yyjson).  Presto avoids the same
+    trap with a streaming scanner (presto-main JsonExtract.java:60 —
+    "without using the library" for the scalar path).  The Spark twin is
+    a single anchored regex that BOTH proves the document is flat and
+    extracts the value:
+
+        ^\\{[^{\\[\\\\]*"key"[ \\t]*:[ \\t]*(-?[0-9]+)[ \\t]*[,}][^{\\[\\\\]*$
+
+    It matches only when (a) the whole document is one object with no
+    nested {/[ and no backslash escape anywhere — in valid JSON that
+    means every '"key"' occurrence IS a top-level key token (a quote
+    inside a string value would need an escape), and (b) the value is an
+    integer terminated by ',' or '}' (so "93.5" can never half-match as
+    93).  Any non-match — nesting, escapes, floats, missing key — falls
+    back to get_json_object, so semantics on VALID json are identical;
+    only malformed input may differ (there the engines already disagree:
+    DuckDB errors, Spark returns NULL).  Measured 0.57 s vs 2.47 s on
+    the 10M-row events decade — 4.4x, within 3.5x of the DuckDB parse.
+
+    Emitted as two projections: referencing the regex twice inside one
+    WHEN duplicated the match in codegen (1.05 s); a separate projection
+    guarantees one evaluation (0.57 s)."""
+    import re as _re
+
+    k = _re.escape(key)
+    pat = (
+        r"^\{[^{\[\\]*\"" + k + r"\"[ \t]*:[ \t]*(-?[0-9]+)[ \t]*[,}][^{\[\\]*$"
+    )
+    raw = F.regexp_extract(F.col(src), pat, 1)
+    with_raw = df.withColumn(out, raw)
+    slow = F.get_json_object(F.col(src), "$." + key)
+    return with_raw.withColumn(
+        out, F.when(F.col(out) != "", F.col(out)).otherwise(slow)
+    )
+
+
 # ---- prepared-plan cache ----------------------------------------------------
 def compile_once(df):
     """Pre-optimize the plan ONCE and return a DataFrame rooted at the

@@ -40,80 +40,77 @@ def query(name: str, oracle: str | None = None):
 # queries. Everything after slot 50 is still verified by
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-12 rotation (VERDICT r11 ask #6: advance the window's
-    # median last-held round past r9).  In: the 13 stalest rows — all
-    # rotated out in r11 after their r10 green (the join family,
-    # cube/rollup/variance aggs, func_math/binary_hash, lateral_view,
-    # subquery_scalar, setop_intersect) — plus first-time driver row
-    # dedup_urls (round-12 URL canonicalize + URL-level dedup) and
-    # re-proof slots for the three queries this round re-planned
-    # (tpch_q03/q07/q12: orders de-broadcast -> shuffled hash join).
-    # Out (all r11 driver-green, every family keeps >=1 window row,
-    # all still DuckDB-oracled on every pytest run):
-    # agg_kll_quantile_rollup, agg_theta_sketch_setops,
-    # agg_percentiles, agg_skew_kurt, docs_lm_quality,
-    # docs_temperature_mix, multimodal_frame_sample, sim_ivf_probe,
-    # subquery_in, sql_recursive_cte, distinct_limit, setop_except_all,
-    # join_full_outer, win_sliding_frame, win_first_last_nth,
-    # events_streaming_session, geo_hull_union.
-    "join_inner",  # r10-vintage joins family
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_anti",
-    "agg_cube",  # r10-vintage grouping-sets family
-    "agg_rollup",
-    "agg_variance_stddev",
-    "func_math",  # r10-vintage scalar families
-    "func_binary_hash",
-    "lateral_view",  # r10-vintage §2.8
-    "subquery_scalar",
-    "setop_intersect",
-    "dedup_urls",  # NEW r12: URL canonicalize + URL-level dedup
-    "tpch_q03",  # re-proof: r12 orders de-broadcast re-plan
-    "tpch_q07",  # re-proof: r12 orders de-broadcast re-plan
-    "tpch_q12",  # re-proof: r12 orders de-broadcast re-plan
-    "multimodal_audio_features",  # multimodal family canary
-    "try_cast_absorbs",  # §2.2 TRY representative
-    "sort_limit_offset",  # §2.6 representative
-    "tpch_q18",  # pinned perf row (r10 re-plan, r12 floor-final)
-    "text_lang_id",  # text-analysis family canary
-    "events_stateful_profile",
-    "geo_wkt_polygon_ops",
-    "geo_polygon_predicates",
-    "dedup_semantic",
-    "geo_relate_ops",
-    "agg_khll_privacy",
-    "docs_chunk_windows",
-    "tpch_q17",  # re-proof: r12 threshold-pushdown rewrite (swapped for
-    # r11-green floor-final tpch_q02; TPC-H keeps 7 window rows)
-    "ml_kmeans",
-    "sim_pq_adc",
-    "sim_ivfadc",
-    "tpch_q09",  # re-proof: r12 orders de-broadcast re-plan
-    "tpch_q21",
-    "win_topn_row_number",
-    "dedup_keep_best",  # NEW r12: quality-aware canonical selection
-    # (first driver row; swapped for r11-green dedup_exact, whose
-    # keep-first rule is this operator's degenerate case)
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "sim_topk_bruteforce",
-    "sql_presto_aggregates",
-    "geo_distance_join",
-    "events_asof_join",
-    "events_streaming_dedup",
-    "func_i18n_color",
-    "func_qdigest_quantile",
-    "subquery_exists_correlated",
-    "docs_pack_sequences",
-    "docs_filter_funnel",
-    "dedup_lines",
+    # ---- Round-13 rotation (VERDICT r12 ask #4: retire the r1/r2-
+    # vintage tail).  In: ALL 39 rows whose last driver check was
+    # round 1 or 2 — after this window no registry row's last driver
+    # check predates r3 — plus re-proof slots for the three events
+    # queries round 13 re-planned (events_json_props JSON fast path,
+    # events_stateful_profile JVM twin, events_streaming_dedup one-
+    # shuffle twin), sample_bernoulli (stalest seeded row, r5), and one
+    # representative each for the families the r1/r2 tail doesn't
+    # touch (joins, geo, spatial-join, multimodal, docs-pipeline,
+    # unnest).  Out (all r12 driver-green): the entire r12 window —
+    # §2.2 TRY, §2.6 sort/limit, subquery and sketch families rotate
+    # back next round; all 161 stay DuckDB-value-oracled on every
+    # pytest run via tests/test_queries_vs_oracle.py.
+    # -- r01 vintage --
+    "agg_arbitrary",
+    "agg_array_collect",
+    "agg_bool_bit",
+    "agg_checksum",
+    "agg_distinct_mixed",
+    "agg_geometric_mean",
+    "agg_global",
+    "events_hourly_top_type",
+    "events_streaming_tumbling",
+    "func_datetime",
+    "func_presto_compat",
+    "func_url",
+    "setop_union_all",
+    "setop_union_distinct",
+    # -- r02 vintage --
+    "agg_decimal_exact",
+    "agg_entropy",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_ann_lsh_neardup",
+    "sim_norm_histogram",
+    "sql_presto_datetime",
+    "sql_presto_try_unnest",
+    "sql_presto_view",
+    "text_fingerprint",
+    "text_top_bigrams",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q08",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q19",
+    "win_lag_lead",
+    "win_ntile",
+    "win_range_frame",
+    "win_ranks",
+    "win_running_sum",
+    "win_share_of_partition",
+    # -- round-13 re-proof slots --
+    "events_json_props",  # r13 re-plan: guarded JSON fast path
+    "events_stateful_profile",  # r13 re-plan: JVM max_by twin
+    "events_streaming_dedup",  # r13 re-plan: one-shuffle twin
+    # -- staleness + family representatives --
+    "sample_bernoulli",  # stalest seeded row (r5)
+    "join_full_outer",  # joins family (r11)
+    "geo_bing_tiles",  # geo functions family (r03)
+    "geo_kdb_partition_join",  # spatial-join family (r9)
+    "multimodal_frame_sample",  # multimodal family (r11)
+    "docs_decontaminate",  # docs-pipeline family (r04)
+    "unnest_with_ordinality",  # §2.8 unnest (r03)
+    "agg_corr_covar",  # reserve slot (r03; swap for the round-13
+    # incremental-dedup operator once it lands)
     # ---- the 50-entry cut lands here ----
-    # (Rotation ledgers for rounds 5-11 live in git history of this
-    # block; every name above and every rotated-out name stays
-    # DuckDB-value-oracled on each pytest run via
-    # tests/test_queries_vs_oracle.py.)
+    # (Rotation ledgers for rounds 5-12 live in git history of this
+    # block.)
 ]
 
 

@@ -107,61 +107,35 @@ def user_profile_state(events: DataFrame) -> DataFrame:
 
 
 def user_profile_batch(events: DataFrame) -> DataFrame:
-    """Batch-parity twin of :func:`user_profile_state`: the same
-    reduction as the streaming state update, run as PARTIAL
-    aggregation — one vectorized ``mapInPandas`` pass emits per-batch
-    per-user partial states (a pandas groupby over the whole Arrow
-    batch, not a Python call per user), and a JVM ``groupBy`` merges
-    partials with sum/sum/max_by.  This is exactly what the state store
-    does across micro-batches, expressed as map-side combine: no
-    pre-shuffle of raw events, only tiny partials cross the wire.
+    """Batch-parity twin of :func:`user_profile_state`: the state
+    store's per-user reduction (count, cents sum, latest event type by
+    (ts, event_id)) expressed as ONE JVM partial+final aggregation —
+    sum/sum/max_by with map-side combine, all codegen, nothing crosses
+    the Arrow boundary.
 
-    (A per-group ``applyInPandas`` form was measured 2.8s at sf0.1 —
-    1,500 user groups x ~1.5ms pandas call overhead; this form is one
-    vectorized pass, ~0.4s.)"""
+    History of this plan (each step measured on the 10M-row decade
+    layout): a per-group ``applyInPandas`` cost 2.8 s at sf0.1 alone
+    (per-group Python call overhead); a vectorized ``mapInPandas``
+    partials pass + JVM merge fixed sf0.1 (~0.4 s) but the r13 decade
+    sweep showed it NOT converging — 4.94 s at sf10x, 4.1x DuckDB,
+    because the whole input still pays one Arrow encode/decode round
+    trip that scales with rows.  The pure-JVM form is 1.24 s on the
+    same layout (1.03x DuckDB): max_by(type, struct(ts, event_id)) IS
+    the state update's "keep latest" merge, and Spark's partial
+    aggregation is exactly the per-batch partial-state the old pandas
+    stage hand-rolled.  cents via qutil.scaled_long — the same
+    arithmetic HALF_UP the rest of the engine (and the oracles) use."""
     from pyspark.sql import functions as F  # noqa: N812
 
-    def partials(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
+    from ..queries.qutil import scaled_long
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            c = pdf.assign(
-                _us=pdf["ts"].astype("int64"),
-                # elementwise round matches _reduce's per-chunk rounding
-                _cents=pdf["value"].astype(float).mul(100).round().astype("int64"),
-            )
-            g = c.groupby("user_id", sort=False)
-            agg = g.agg(n=("_us", "size"), cents=("_cents", "sum")).reset_index()
-            last = (
-                c.sort_values(["_us", "event_id"])
-                .groupby("user_id", sort=False)
-                .tail(1)[["user_id", "_us", "event_id", "event_type"]]
-            )
-            m = agg.merge(last, on="user_id")
-            yield pd.DataFrame(
-                {
-                    "user_id": m["user_id"],
-                    "n": m["n"].astype("int64"),
-                    "cents": m["cents"],
-                    "last_ts": m["_us"],
-                    "last_id": m["event_id"].astype("int64"),
-                    "last_type": m["event_type"].astype(str),
-                }
-            )
-
-    part_schema = (
-        "user_id long, n long, cents long, last_ts long, last_id long, last_type string"
-    )
     return (
         events.select(*_PROFILE_COLS)
-        .mapInPandas(partials, schema=part_schema)
         .groupBy("user_id")
         .agg(
-            F.sum("n").alias("n_events"),
-            F.sum("cents").alias("sum_value_cents"),
-            F.max_by("last_type", F.struct("last_ts", "last_id")).alias(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(scaled_long(F.col("value"), 100)).alias("sum_value_cents"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias(
                 "last_event_type"
             ),
         )

@@ -231,8 +231,15 @@ def main() -> None:
     print("|---|---|" + "---|" * (len(names) + 1))
     for lname, ldir in layouts.items():
         spark_t, duck_t = {}, {}
+        # streaming rows: measure the batch-parity twin, exactly as the
+        # bench headline does (the twin is the plan price; the streaming
+        # machinery premium is measured separately in bench.py) — the
+        # REAL streaming path re-plans per micro-batch and checkpoint-
+        # WALs, which is a different quantity than the decade curve.
+        from presto_copy_spark.streaming.jobs import BATCH_PARITY
+
         for q in names:
-            df = registry.QUERIES[q](spark, ldir)
+            df = (BATCH_PARITY.get(q) or registry.QUERIES[q])(spark, ldir)
             df.write.format("noop").mode("overwrite").save()
             samples = []
             for _ in range(args.runs):
