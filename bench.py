@@ -71,7 +71,16 @@ PASS_RUNS = (3, 3, 3)
 # and a co-tenant burst that matters (load-avg 16-24 in the r10 series)
 # inflates an all-cores job >=2x, far outside it.
 CANARY_REF_SEC = 0.20
-CANARY_BAND = 1.4
+# Band is env-overridable (round 13, VERDICT r12 "wrong #2"): the 1.4x
+# admission band is right for ROUTINE runs (never trips on a clean
+# host), but round-over-round per-query comparisons of committed
+# artifacts were +/-35% noise because both record runs sat at opposite
+# edges of it.  ARTIFACT-OF-RECORD runs use BENCH_CANARY_BAND=1.2 so
+# any two record artifacts are certified within a 20% window of the
+# same pinned reference, and every recorded headline now carries its
+# canary.final_sec next to the ratio (BASELINE.md gate-state
+# convention) so readers can normalize residual drift.
+CANARY_BAND = float(os.environ.get("BENCH_CANARY_BAND", "1.4"))
 # 12 x 45 s = 9 min max wait: the r10 co-tenant bursts ran minutes-long,
 # and a dirty-window full bench wastes ~17 min producing an artifact
 # that needs an argument — waiting is the cheaper failure mode.

@@ -100,14 +100,16 @@ DRIVER_PRIORITY: list[str] = [
     "events_streaming_dedup",  # r13 re-plan: one-shuffle twin
     # -- staleness + family representatives --
     "sample_bernoulli",  # stalest seeded row (r5)
-    "join_full_outer",  # joins family (r11)
+    "dedup_exact_substring",  # NEW r13: variable-offset ExactSubstr
+    # (first driver row; takes the join-family slot — all five join
+    # rows were r12-green two weeks fresher than anything else here)
     "geo_bing_tiles",  # geo functions family (r03)
     "geo_kdb_partition_join",  # spatial-join family (r9)
     "multimodal_frame_sample",  # multimodal family (r11)
     "docs_decontaminate",  # docs-pipeline family (r04)
     "unnest_with_ordinality",  # §2.8 unnest (r03)
-    "agg_corr_covar",  # reserve slot (r03; swap for the round-13
-    # incremental-dedup operator once it lands)
+    "dedup_incremental",  # NEW r13: cross-snapshot dedup (new crawl
+    # vs frozen prior corpus) — first driver row
     # ---- the 50-entry cut lands here ----
     # (Rotation ledgers for rounds 5-12 live in git history of this
     # block.)

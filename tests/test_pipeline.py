@@ -365,3 +365,56 @@ def test_dedup_urls_staged_matches_column_form(spark, sf_dir):
     a = sorted(map(tuple, col_form.collect()))
     b = sorted(map(tuple, registry.QUERIES["dedup_urls"](spark, sf_dir).collect()))
     assert a == b and a
+
+
+def test_exact_substring_catches_offset_dup_that_chunking_misses(spark, sf_dir):
+    """dedup_exact_substring's reason to exist (round 13): a duplicated
+    span re-entering the corpus at a token offset misaligned with
+    dedup_lines' fixed LINE_TOKENS grid is invisible to chunk hashing
+    but must be reported as a maximal span by the sliding-gram
+    operator.  Uses the operator's own planted re-entry (tokens 8..67
+    of every 13th doc behind a 3-token preamble -> offset shift 4 mod
+    10, never chunk-aligned)."""
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.queries.text import (
+        _ES_OFF,
+        _ES_PRE,
+        LINE_TOKENS,
+        MIN_SPAN,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = (
+        d.filter((F.col("doc_id") % 13 == 0) & (F.size(tokens(F.col("text"))) >= 67))
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+    assert src, "fixture has no 13-multiple doc with >= 67 tokens"
+    doc_id, text = src[0]["doc_id"], src[0]["text"]
+    toks = text.split()
+    planted = _ES_PRE + " " + " ".join(toks[7:67])  # tokens 8..67, 1-based
+
+    def chunks(t: str) -> set[str]:
+        tk = t.split()
+        return {
+            " ".join(tk[i : i + LINE_TOKENS])
+            for i in range(0, len(tk), LINE_TOKENS)
+        }
+
+    # fixed-width chunk hashing shares NOTHING between the two docs
+    assert chunks(text) & chunks(planted) == set()
+
+    spans = {
+        r["doc_id"]: r["span_tokens"]
+        for r in registry.QUERIES["dedup_exact_substring"](spark, sf_dir)
+        .filter(F.col("doc_id").isin(doc_id, doc_id + _ES_OFF))
+        .collect()
+    }
+    # ...while the sliding-gram operator reports the full 60-token span
+    # in BOTH the original and the offset re-entry
+    assert spans.get(doc_id, 0) >= MIN_SPAN, spans
+    assert spans.get(doc_id + _ES_OFF, 0) >= MIN_SPAN, spans
+    assert spans[doc_id + _ES_OFF] == 60

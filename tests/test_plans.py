@@ -118,6 +118,20 @@ def test_q17_threshold_pushdown_pinned(spark, sf_dir):
     assert key_broadcasts, "q17 lost its broadcast partkey restriction"
 
 
+def test_dedup_incremental_prior_never_broadcast(spark, sf_dir):
+    """dedup_incremental (round 13): both cross-snapshot joins probe a
+    corpus-sized prior side (fingerprints, then bands) — neither may
+    ever be a broadcast build (the prior corpus scales with the whole
+    dataset; at 100 TB it's a persisted bucketed table). Same defect
+    class as the orders pins above: at test SF everything fits the
+    threshold, so a dropped hint reverts to broadcast and goes red
+    here."""
+    df = registry.QUERIES["dedup_incremental"](spark, sf_dir)
+    hits = broadcast_builds_containing(df, "documents.parquet")
+    assert hits == [], hits
+    assert any(j["node"] == "ShuffledHashJoin" for j in join_build_sides(df))
+
+
 def test_q05_all_dims_broadcast(spark, sf_dir):
     """Five-way star join: every dimension join is broadcast — zero
     shuffled joins (REPLICATED distribution for all dims)."""

@@ -90,12 +90,28 @@ def main() -> None:
         return statistics.median(samples)
 
     def njobs(name, sf_dir):
+        # Count inside a dedicated job group and require two identical
+        # reads (ADVICE r12): the old before/after diff over the GLOBAL
+        # job list could under-count when retained-job eviction dropped
+        # ids between the two snapshots, or drift when AQE re-plans
+        # change the job count run-to-run — either silently inflates
+        # the printed s/job floor in this evidence tool.
         df = fn_for(name)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        before = set(tracker.getJobIdsForGroup(None) or [])
-        df.write.format("noop").mode("overwrite").save()
-        after = set(tracker.getJobIdsForGroup(None) or [])
-        return len(after - before)
+        counts = []
+        for i in range(2):
+            group = f"floor-njobs-{name}-{i}"
+            spark.sparkContext.setJobGroup(group, "floor_decomposition njobs")
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            finally:
+                spark.sparkContext.setJobGroup(None, None)
+            counts.append(len(tracker.getJobIdsForGroup(group) or []))
+        assert counts[0] == counts[1], (
+            f"njobs({name}) unstable across identical runs: {counts}"
+            " — AQE or eviction interfered; rerun in a quiet session"
+        )
+        return counts[0]
 
     def duck_times(sf_dir, names, runs=5):
         con = duckdb.connect()

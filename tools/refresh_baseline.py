@@ -125,6 +125,13 @@ def main() -> None:
     m = re.search(r"Refresh note: [^\n]*\n\n$", head, re.DOTALL)
     if m:
         head = head[: m.start()]
+    # keep the prose count in sync with the actual row count (ADVICE
+    # r12: the "All N oracle queries" line drifted every round)
+    head = re.sub(
+        r"All \d+ oracle queries, seconds:",
+        f"All {len(timings)} oracle queries, seconds:",
+        head,
+    )
     open(BASELINE, "w").write(head + note + table + src[end:])
     print("BASELINE.md table refreshed", file=sys.stderr)
 

@@ -175,7 +175,9 @@ PIPELINE_QUERIES = (
     # round-12: sub-document line dedup (added late r11 with sf0.1
     # evidence only; VERDICT r11 ask #2 — the decade row) and URL-level
     # dedup (new r12)
-    "dedup_lines,dedup_urls"
+    "dedup_lines,dedup_urls,"
+    # round-13: incremental cross-snapshot dedup
+    "dedup_incremental"
 )
 
 
