@@ -449,3 +449,39 @@ def test_merge_sketches_skip_null_entries(spark):
         ).collect()[0].v
         is None
     )
+
+
+def test_json_topkey_int_fastpath_agrees_with_slow_path(spark):
+    """qutil.json_topkey_int (round 13): the guarded regex fast path
+    must agree with get_json_object on every VALID document class —
+    flat hits take the fast lane, and anything the guard can't prove
+    flat (nesting, arrays, escapes, floats, missing key, null) must
+    fall back, not misparse."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.queries.qutil import json_topkey_int
+
+    docs = [
+        '{"k": 93}',                       # fast lane
+        '{"a": 1, "k": -7, "b": "x"}',     # fast lane, other keys
+        '{"k":93}',                        # no spaces
+        '{"k": 93.5}',                     # float -> must NOT half-match as 93
+        '{"k": "93"}',                     # string value -> fallback
+        '{"o": {"k": 5}}',                 # nested: inner k is NOT $.k
+        '{"a": [1,2], "k": 4}',            # array present -> fallback lane
+        '{"a": "he said \\"k\\": 9", "k": 6}',  # escaped quote trap
+        '{"kk": 1, "k": 2, "ak": 3}',      # key-substring traps
+        '{"a": 1}',                        # missing key
+        None,                              # null doc
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    out = json_topkey_int(df, "props", "k", "fast")
+    # the helper's contract is the extracted STRING (callers cast);
+    # string equality is also the strictest form of agreement
+    both = out.select(
+        "props",
+        "fast",
+        F.get_json_object("props", "$.k").alias("slow"),
+    ).collect()
+    for r in both:
+        assert r["fast"] == r["slow"], (r["props"], r["fast"], r["slow"])
