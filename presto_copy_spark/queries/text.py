@@ -1250,6 +1250,29 @@ def _sql_inc_bands(sig: str) -> str:
     )
 
 
+def inc_snapshots(spark: SparkSession, sf_dir: str):
+    """(prior, new) snapshot pair — shared by dedup_incremental and the
+    persisted-index probe (operators/incremental.py) so both paths
+    label the identical corpus split."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    prior = d.filter(F.col("doc_id") % 3 == 0)
+    newc = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .unionByName(
+            prior.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + _INC_EXACT_OFF).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            prior.filter(F.col("doc_id") % 33 == 0).select(
+                (F.col("doc_id") + _INC_NEAR_OFF).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_INC_TAIL)).alias("text"),
+            )
+        )
+    )
+    return prior, newc
+
+
 @query(
     "dedup_incremental",
     oracle=f"""
@@ -1315,22 +1338,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per-outcome (kept / dropped_exact / dropped_near) doc count
     and doc_id checksum."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    prior = d.filter(F.col("doc_id") % 3 == 0)
-    newc = (
-        d.filter(F.col("doc_id") % 3 != 0)
-        .unionByName(
-            prior.filter(F.col("doc_id") % 21 == 0).select(
-                (F.col("doc_id") + _INC_EXACT_OFF).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            prior.filter(F.col("doc_id") % 33 == 0).select(
-                (F.col("doc_id") + _INC_NEAR_OFF).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(_INC_TAIL)).alias("text"),
-            )
-        )
-    )
+    prior, newc = inc_snapshots(spark, sf_dir)
     pfp = prior.select(hash60(F.col("text")).alias("fp")).distinct()
     nf = newc.select("doc_id", "text", hash60(F.col("text")).alias("fp"))
     # exact flag via left join (prior fps are distinct -> no fanout)

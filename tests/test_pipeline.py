@@ -418,3 +418,59 @@ def test_exact_substring_catches_offset_dup_that_chunking_misses(spark, sf_dir):
     assert spans.get(doc_id, 0) >= MIN_SPAN, spans
     assert spans.get(doc_id + _ES_OFF, 0) >= MIN_SPAN, spans
     assert spans[doc_id + _ES_OFF] == 60
+
+
+def test_persisted_prior_index_matches_inline_and_saves_exchanges(spark, sf_dir):
+    """operators/incremental.py (round 13): probing a persisted
+    BUCKETED prior index must (a) label the new snapshot bit-identically
+    to the inline dedup_incremental, and (b) actually exploit the
+    layout — bucketed scans feed the probe joins in place
+    (SelectedBucketsCount, no broadcast of the prior side) and the plan
+    carries strictly fewer exchanges than the identical probe against
+    unbucketed copies of the same tables."""
+    from presto_copy_spark.operators.incremental import (
+        dedup_against_prior,
+        persist_prior_index,
+    )
+    from presto_copy_spark.plans.inspect import plan_string
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.queries.text import inc_snapshots
+
+    prior, newc = inc_snapshots(spark, sf_dir)
+    try:
+        persist_prior_index(spark, prior, "t_prior_idx", n_buckets=4)
+        out = dedup_against_prior(spark, newc, "t_prior_idx")
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(
+            map(
+                tuple,
+                registry.QUERIES["dedup_incremental"](spark, sf_dir).collect(),
+            )
+        )
+        assert got == want and len(got) == 3, (got, want)
+
+        plan = plan_string(out, "simple")
+        assert "SelectedBucketsCount" in plan, plan[:1500]
+        assert "BroadcastHashJoin" not in plan.split("SelectedBucketsCount")[0]
+
+        # unbucketed control: same data, same probe, plain tables
+        spark.table("t_prior_idx_fp").write.mode("overwrite").saveAsTable(
+            "t_prior_flat_fp"
+        )
+        spark.table("t_prior_idx_bands").write.mode("overwrite").saveAsTable(
+            "t_prior_flat_bands"
+        )
+        control = dedup_against_prior(spark, newc, "t_prior_flat")
+        n_bucketed = plan_string(out, "simple").count("Exchange")
+        n_flat = plan_string(control, "simple").count("Exchange")
+        assert n_bucketed < n_flat, (n_bucketed, n_flat)
+        # values agree regardless of layout
+        assert sorted(map(tuple, control.collect())) == want
+    finally:
+        for t in (
+            "t_prior_idx_fp",
+            "t_prior_idx_bands",
+            "t_prior_flat_fp",
+            "t_prior_flat_bands",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
