@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["persist_prior_index", "dedup_against_prior"]
+__all__ = [
+    "persist_prior_index",
+    "dedup_against_prior",
+    "stream_dedup_against_prior",
+]
 
 N_BUCKETS = 32
 
@@ -129,4 +133,28 @@ def dedup_against_prior(
     return labeled.groupBy("outcome").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def stream_dedup_against_prior(
+    new_stream: DataFrame, spark: SparkSession, prefix: str
+) -> DataFrame:
+    """Streaming ingest form of the exact stage: an arriving crawl dump
+    (readStream of (doc_id, text) files) is deduped against the FROZEN
+    persisted index via a STREAM-STATIC left-anti join — Structured
+    Streaming executes the static side as an ordinary batch relation
+    per micro-batch, so the bucketed fp table is probed in place and
+    only the micro-batch's rows are hashed.  This is the continuous
+    version of ``dedup_against_prior``'s stage 1: at 100 TB the prior
+    index refreshes once per corpus generation while dumps stream in
+    (near-dup banding stays in the per-dump batch pass — a streaming
+    band probe would need watermarked aggregation state for no
+    benefit, since band verification is dump-local anyway)."""
+    from .text import hash60
+
+    pfp = spark.table(f"{prefix}_fp")
+    return (
+        new_stream.withColumn("fp", hash60(F.col("text")))
+        .join(pfp, "fp", "left_anti")
+        .drop("fp")
     )

@@ -474,3 +474,47 @@ def test_persisted_prior_index_matches_inline_and_saves_exchanges(spark, sf_dir)
             "t_prior_flat_bands",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_dedup_against_prior_index(spark, sf_dir, tmp_path):
+    """stream_dedup_against_prior (round 13): a crawl dump arriving as
+    a file STREAM, exact-deduped against the persisted prior index via
+    a stream-static left-anti join under AvailableNow, must keep
+    exactly the docs the batch anti-join keeps — every planted exact
+    re-crawl dropped, everything else preserved."""
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.operators.incremental import (
+        persist_prior_index,
+        stream_dedup_against_prior,
+    )
+    from presto_copy_spark.operators.text import hash60
+    from presto_copy_spark.queries.text import _INC_EXACT_OFF, inc_snapshots
+    from presto_copy_spark.streaming.jobs import run_stream_to_batch
+
+    prior, newc = inc_snapshots(spark, sf_dir)
+    try:
+        persist_prior_index(spark, prior, "t_sd_idx", n_buckets=4)
+        dump = str(tmp_path / "new_dump")
+        newc.write.parquet(dump)
+        schema = spark.read.parquet(dump).schema
+        stream = spark.readStream.schema(schema).format("parquet").load(dump)
+        out = run_stream_to_batch(
+            stream_dedup_against_prior(stream, spark, "t_sd_idx"),
+            mode="append",
+        )
+        got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        pfp = spark.table("t_sd_idx_fp")
+        want = sorted(
+            r["doc_id"]
+            for r in newc.withColumn("fp", hash60(F.col("text")))
+            .join(pfp, "fp", "left_anti")
+            .select("doc_id")
+            .collect()
+        )
+        assert got == want and got
+        # the planted exact re-crawls are all gone from the stream output
+        assert not [i for i in got if _INC_EXACT_OFF <= i < _INC_EXACT_OFF * 4 // 3]
+    finally:
+        for t in ("t_sd_idx_fp", "t_sd_idx_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
