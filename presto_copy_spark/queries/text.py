@@ -1475,9 +1475,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_ES_PRE + " "), F.array_join(F.slice(tk0, 8, 60), " ")
         ).alias("text"),
     )
-    toks = d.unionByName(planted).select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    )
+    return exact_substring_spans(spark, d.unionByName(planted))
+
+
+def exact_substring_spans(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The span pipeline of dedup_exact_substring over an arbitrary
+    (doc_id, text) corpus — factored out so property tests can drive it
+    with synthetic corpora at controlled offsets."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     gram_expr = (
         f"IF(size(tk) > {K_SUB - 1},"
         f" transform(sequence(1, size(tk) - {K_SUB - 1}),"

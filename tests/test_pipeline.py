@@ -518,3 +518,41 @@ def test_stream_dedup_against_prior_index(spark, sf_dir, tmp_path):
     finally:
         for t in ("t_sd_idx_fp", "t_sd_idx_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exact_substring_span_property_offset_sweep(spark):
+    """Property (round 13): a shared 100-token span planted at ANY
+    offset must be reported with exact boundaries in both docs, and a
+    corpus with no cross-doc K_SUB-gram overlap must report nothing.
+    Offsets sweep 0..K_SUB+1 to cover chunk-aligned, sub-gram and
+    super-gram shifts."""
+    from presto_copy_spark.queries.text import (
+        K_SUB,
+        MIN_SPAN,
+        exact_substring_spans,
+    )
+
+    span = [f"s{i}" for i in range(100)]  # the shared 100-token span
+    rows = [(0, " ".join([f"a{i}" for i in range(50)] + span + [f"b{i}" for i in range(30)]))]
+    offsets = [0, 1, 3, 9, 10, K_SUB, K_SUB + 1]
+    for j, off in enumerate(offsets, start=1):
+        junk = [f"j{j}_{i}" for i in range(off)]
+        tail = [f"t{j}_{i}" for i in range(5)]
+        rows.append((j, " ".join(junk + span + tail)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in exact_substring_spans(spark, df).collect()
+    }
+    want = {(0, 51, 150, 100)}
+    for j, off in enumerate(offsets, start=1):
+        want.add((j, off + 1, off + 100, 100))
+    assert got == want, (sorted(got), sorted(want))
+
+    # negative control: unique-token corpus -> zero spans
+    neg = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{k}" for k in range(120))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert exact_substring_spans(spark, neg).count() == 0
+    assert MIN_SPAN <= 100
