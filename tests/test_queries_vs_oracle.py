@@ -24,6 +24,18 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 DRIVER_WINDOW = [n for n in registry.DRIVER_PRIORITY if n in registry.QUERIES][:50]
 
 
+def test_driver_priority_is_exactly_the_window():
+    """The window slice above silently DROPS unknown names, so a typo
+    in DRIVER_PRIORITY would shrink the checked window without any
+    failure.  Pin it: exactly 50 entries, all registered, no dups."""
+    pr = registry.DRIVER_PRIORITY
+    assert len(pr) == 50, len(pr)
+    missing = [n for n in pr if n not in registry.QUERIES]
+    assert not missing, missing
+    assert len(set(pr)) == 50, "duplicate names in DRIVER_PRIORITY"
+    assert list(registry.QUERIES)[:50] == pr
+
+
 @pytest.mark.parametrize("name", DRIVER_WINDOW)
 def test_driver_window_columns_are_hashable(spark, sf_dir, name):
     """Driver contract guard (VERDICT r2 item 1): the driver's pandas
