@@ -185,8 +185,10 @@ def main() -> None:
     # to the batch source (verified equal row-for-row in
     # tests/test_operators.py::test_streaming_batch_parity_twins).  The
     # streaming machinery premium (state store, checkpoint WAL, query
-    # start/stop — fixed cost, amortized to noise on a long-lived
-    # stream) is measured once per query and reported separately below.
+    # start/stop) is measured once per query and reported separately
+    # below — fixed ~1-2 s at any SF for the JVM-state operators;
+    # per-key-growing for the applyInPandasWithState row (see
+    # streaming/jobs.py premium-scaling note, round 13).
     from presto_copy_spark.streaming.jobs import BATCH_PARITY
 
     # Build every DataFrame once (prepared-statement analogue) and keep

@@ -41,13 +41,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # the file source streams a *directory*; glob down to the one fixture
-    df = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # multi-file layout (the key-shifted scale fixtures, or any real
+        # deployment): the directory IS the stream source
+        df = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # single-FILE fixture: the file source streams a *directory*,
+        # so stream the parent globbed down to the one file
+        df = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -228,11 +234,21 @@ def run_stream_to_batch(
 # The streaming queries' DuckDB oracles are batch SQL, so the
 # apples-to-apples price of the OPERATOR is the identical DataFrame plan
 # bound to the batch source.  The streaming machinery premium (state
-# store commits, checkpoint WAL, microbatch planning, query start/stop —
-# a fixed ~1s/run at any SF, amortized to noise on a long-lived stream)
+# store commits, checkpoint WAL, microbatch planning, query start/stop)
 # is measured separately by bench.py and reported under
 # "streaming_machinery_sec".  Correctness (queries()) always runs the
 # real streaming path.
+#
+# Premium scaling, measured at the key-shifted decades (round 13,
+# BASELINE.md §r13 streaming premium): for every JVM-state operator
+# (dedup, tumbling, session, and stateful.user_profile_stream_agg) the
+# premium is a FIXED ~1-2 s at any SF — amortized to noise on a
+# long-lived stream.  The applyInPandasWithState form
+# (user_profile_state) is the exception: its premium is one pandas
+# call per updated KEY per micro-batch and GROWS with the key count
+# (2.6 / 9.5 / 30.0 s at 1.5k/15k/45k users) — it stays as the
+# arbitrary-state CAPABILITY surface, with user_profile_stream_agg as
+# the scale path whenever the update is expressible declaratively.
 # ---------------------------------------------------------------------------
 
 

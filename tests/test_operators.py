@@ -2215,3 +2215,57 @@ SELECT merge_khll(collect_list(k)) AS k FROM s
         )
     ).collect()[0].k
     assert sorted(r2) == keys
+
+
+def test_user_profile_stream_agg_parity(spark, sf_dir):
+    """user_profile_stream_agg (round 13, the scale path): the built-in
+    streaming aggregation must emit the same final per-user profile as
+    BOTH the custom-state form (applyInPandasWithState) and the batch
+    twin — three independent formulations, one result.  The JVM form's
+    machinery premium is flat across decades where the per-key pandas
+    form's grows (streaming/jobs.py premium-scaling note)."""
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.streaming.jobs import run_stream_to_batch, stream_events
+    from presto_copy_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_state,
+        user_profile_stream_agg,
+    )
+
+    cols = ["user_id", "n_events", "sum_value_cents", "last_event_type"]
+    # collect each streamed result BEFORE starting the next stream:
+    # run_stream_to_batch reaps prior sink dirs on entry (documented
+    # tmpfs hygiene), so a lazily-held result would read a deleted dir
+    a = sorted(
+        map(
+            tuple,
+            run_stream_to_batch(
+                user_profile_stream_agg(stream_events(spark, sf_dir)),
+                mode="update",
+                keys=["user_id"],
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            run_stream_to_batch(
+                user_profile_state(stream_events(spark, sf_dir)),
+                mode="update",
+                keys=["user_id"],
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            user_profile_batch(load_table(spark, sf_dir, "events"))
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert a == b == c and a
