@@ -34,11 +34,13 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver's CORRECTNESS check verifies only the FIRST 50 registry
-# entries (dict insertion order). Curate that budget explicitly so the 50
-# checked entries span every SURVEY §2 family: all 22 TPC-H shapes, all 9
-# window queries, the dedup/similarity suites, and this round's new
-# queries. Everything after slot 50 is still verified by
-# tests/test_queries_vs_oracle.py against the same DuckDB oracle.
+# entries (dict insertion order). Curate that budget explicitly, rotating
+# by staleness (oldest driver check first) while keeping the round's new
+# operators, re-proof slots for anything re-planned, and at least one
+# representative per SURVEY §2 family across consecutive windows.
+# Everything after slot 50 is still verified by
+# tests/test_queries_vs_oracle.py against the same DuckDB oracle on every
+# pytest run.
 DRIVER_PRIORITY: list[str] = [
     # ---- Round-13 rotation (VERDICT r12 ask #4: retire the r1/r2-
     # vintage tail).  In: ALL 39 rows whose last driver check was
