@@ -111,13 +111,23 @@ def json_topkey_int(df, src: str, key: str, out: str):
     It matches only when (a) the whole document is one object with no
     nested {/[ and no backslash escape anywhere — in valid JSON that
     means every '"key"' occurrence IS a top-level key token (a quote
-    inside a string value would need an escape), and (b) the value is an
-    integer terminated by ',' or '}' (so "93.5" can never half-match as
-    93).  Any non-match — nesting, escapes, floats, missing key — falls
-    back to get_json_object, so semantics on VALID json are identical;
-    only malformed input may differ (there the engines already disagree:
-    DuckDB errors, Spark returns NULL).  Measured 0.57 s vs 2.47 s on
-    the 10M-row events decade — 4.4x, within 3.5x of the DuckDB parse.
+    inside a string value would need an escape), (b) the value is a
+    canonical integer terminated by ',' or '}' (so "93.5" can never
+    half-match as 93, and the leading-zero non-JSON form "007" falls
+    back instead of fast-returning "007" where Jackson returns NULL),
+    and (c) the '"key"' token occurs EXACTLY ONCE — both flanks carry a
+    (?!"key") per-char guard, so a duplicate-key document ('{"k":1,
+    "k":2}', valid but ambiguous JSON: the old greedy prefix returned
+    the rightmost value where Jackson's streaming $.key returns the
+    first) falls back to get_json_object rather than diverging (ADVICE
+    r13).  Any non-match — nesting, escapes, floats, dup keys, missing
+    key — falls back, so semantics agree with get_json_object on every
+    document the fast lane admits; only malformed input may differ
+    between ENGINES (DuckDB errors, Spark returns NULL).  Measured
+    0.57 s vs 2.47 s on the 10M-row events decade — 4.4x, within 3.5x
+    of the DuckDB parse; the exactly-once guard re-measured at the same
+    decade: see BASELINE.md §r14 (kept only because the paired delta
+    was immaterial).
 
     Emitted as two projections: referencing the regex twice inside one
     WHEN duplicated the match in codegen (1.05 s); a separate projection
@@ -125,8 +135,11 @@ def json_topkey_int(df, src: str, key: str, out: str):
     import re as _re
 
     k = _re.escape(key)
+    tok = '"' + k + '"'
+    flank = r"(?:(?!" + tok + r")[^{\[\\])*"
     pat = (
-        r"^\{[^{\[\\]*\"" + k + r"\"[ \t]*:[ \t]*(-?[0-9]+)[ \t]*[,}][^{\[\\]*$"
+        r"^\{" + flank + tok
+        + r"[ \t]*:[ \t]*(-?(?:0|[1-9][0-9]*))[ \t]*[,}]" + flank + r"$"
     )
     raw = F.regexp_extract(F.col(src), pat, 1)
     with_raw = df.withColumn(out, raw)

@@ -53,8 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     # touch (joins, geo, spatial-join, multimodal, docs-pipeline,
     # unnest).  Out (all r12 driver-green): the entire r12 window —
     # §2.2 TRY, §2.6 sort/limit, subquery and sketch families rotate
-    # back next round; all 161 stay DuckDB-value-oracled on every
-    # pytest run via tests/test_queries_vs_oracle.py.
+    # back next round; the whole registry stays DuckDB-value-oracled
+    # on every pytest run via tests/test_queries_vs_oracle.py.
     # -- r01 vintage --
     "agg_arbitrary",
     "agg_array_collect",

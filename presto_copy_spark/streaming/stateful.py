@@ -59,9 +59,17 @@ def _reduce(pdf, n, cents, last_ts, last_id, last_type):
     """One chunk of the per-user profile reduction (shared by the
     streaming state update and its batch-parity twin).  Chunks arrive in
     arbitrary order: track the max (ts, event_id) explicitly rather than
-    trusting the final chunk's tail."""
+    trusting the final chunk's tail.
+
+    Cents round HALF_UP away from zero via sign-aware floor(|x|+0.5) —
+    the SAME arithmetic as qutil.scaled_long and the DuckDB oracle's
+    round(), NOT pandas/numpy round() (banker's half-to-even, which
+    diverges on exact-.5 cents, e.g. 0.125 -> 12.5; ADVICE r13)."""
+    import numpy as np
+
     n += len(pdf)
-    cents += int(round(pdf["value"].astype(float).mul(100)).sum())
+    s = pdf["value"].astype(float).to_numpy() * 100.0
+    cents += int(np.where(s >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)).sum())
     if len(pdf):
         c = pdf.assign(_us=pdf["ts"].astype("int64"))
         top = c.sort_values(["_us", "event_id"]).iloc[-1]

@@ -473,6 +473,18 @@ def test_json_topkey_int_fastpath_agrees_with_slow_path(spark):
         '{"kk": 1, "k": 2, "ak": 3}',      # key-substring traps
         '{"a": 1}',                        # missing key
         None,                              # null doc
+        # ADVICE r13: classes the old guard admitted but misparsed —
+        '{"k": 1, "k": 2}',                # dup key: Jackson returns the
+        #   first (1); the old greedy prefix fast-returned the last (2);
+        #   the exactly-once flank guard now forces the fallback lane
+        '{"k": 1, "b": 5, "k": 2}',        # dup key, separated
+        '{"k": 007}',                      # leading zero: not valid JSON,
+        #   Jackson -> NULL; old fast lane returned "007"
+        '{"k": -007}',                     # signed leading zero
+        '{"k": 0}',                        # canonical zero stays fast
+        '{"a": "k", "k": 8}',              # key token as a STRING VALUE:
+        #   flank guard can't prove uniqueness -> fallback lane (slower,
+        #   never wrong)
     ]
     df = spark.createDataFrame([(d,) for d in docs], "props string")
     out = json_topkey_int(df, "props", "k", "fast")

@@ -2269,3 +2269,68 @@ def test_user_profile_stream_agg_parity(spark, sf_dir):
         )
     )
     assert a == b == c and a
+
+
+def test_user_profile_tie_cents_parity(spark, tmp_path):
+    """Values whose cents land on an exact .5 in float (0.125 -> 12.5,
+    -0.625 -> -62.5) must round HALF_UP away from zero on ALL THREE
+    profile paths — the events fixture has no tie values, so the
+    three-way parity test above could not catch _reduce using pandas
+    round() (banker's half-to-even: 12.5 -> 12, -62.5 -> -62) while
+    its twins and the DuckDB oracle round half away from zero
+    (ADVICE r13, medium)."""
+    import datetime as dt
+
+    from presto_copy_spark.streaming.jobs import run_stream_to_batch, stream_events
+    from presto_copy_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_state,
+        user_profile_stream_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a", 0.125),                          # 12.5 -> 13
+        (1, t0 + dt.timedelta(seconds=1), 11, "b", 2.0),  # 200
+        (2, t0, 20, "c", -0.625),                         # -62.5 -> -63
+        (2, t0 + dt.timedelta(seconds=1), 21, "d", 1.0),  # 100
+    ]
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    events = spark.createDataFrame(rows, schema)
+    events.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    expected = [(1, 2, 213, "b"), (2, 2, 37, "d")]
+    cols = ["user_id", "n_events", "sum_value_cents", "last_event_type"]
+    batch = sorted(map(tuple, user_profile_batch(events).select(*cols).collect()))
+    assert batch == expected
+    # collect each streamed result before starting the next (sink reap)
+    agg = sorted(
+        map(
+            tuple,
+            run_stream_to_batch(
+                user_profile_stream_agg(stream_events(spark, sf)),
+                mode="update",
+                keys=["user_id"],
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert agg == expected
+    state = sorted(
+        map(
+            tuple,
+            run_stream_to_batch(
+                user_profile_state(stream_events(spark, sf)),
+                mode="update",
+                keys=["user_id"],
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert state == expected

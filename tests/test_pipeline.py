@@ -417,7 +417,12 @@ def test_exact_substring_catches_offset_dup_that_chunking_misses(spark, sf_dir):
     # in BOTH the original and the offset re-entry
     assert spans.get(doc_id, 0) >= MIN_SPAN, spans
     assert spans.get(doc_id + _ES_OFF, 0) >= MIN_SPAN, spans
-    assert spans[doc_id + _ES_OFF] == 60
+    # >= not ==: if the chosen source doc ever gains a verbatim fixture
+    # duplicate at another %13==0 id, the shared _ES_PRE preamble makes
+    # the preamble-spanning grams duplicate too, extending the island a
+    # few tokens past the planted 60 for a reason unrelated to the
+    # operator under test (ADVICE r13).
+    assert spans[doc_id + _ES_OFF] >= 60
 
 
 def test_persisted_prior_index_matches_inline_and_saves_exchanges(spark, sf_dir):
