@@ -37,9 +37,82 @@ __all__ = [
     "persist_prior_index",
     "dedup_against_prior",
     "stream_dedup_against_prior",
+    "build_fp_bloom",
+    "bloom_might_contain",
 ]
 
 N_BUCKETS = 32
+
+# ---- broadcast Bloom pre-filter over the prior fingerprints ---------------
+# (round 14, VERDICT r13 ask #7).  Spark's own BloomFilterAggregate /
+# might_contain pair is not SQL-registered in this build (it is
+# injected only by the runtime-filter rule), so the filter is built
+# from BUILT-INS: k=3 positions from three independent xxhash64 draws
+# (seed column varies; no combining arithmetic, so ANSI overflow
+# checking never trips), bit words OR-folded with bit_or into one
+# packed array<long> row.  Everything — build and probe — stays inside whole-stage
+# codegen; the filter for a billion-fp prior at 16 bits/key is 2 GB,
+# but per-dump probes only ever broadcast the PRIOR-GENERATION build,
+# and at the fixture scales it is KBs.  fpp ≈ (1-e^(-3/16))^3 ≈ 0.5%.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 3
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    """Bit-array size: next power of two >= 16 * n_keys (pow2 so the
+    position reduction is a mask, not a modulo)."""
+    m = 64
+    while m < BLOOM_BITS_PER_KEY * max(1, n_keys):
+        m <<= 1
+    return m
+
+
+def _bloom_positions(fp, m_bits: int) -> list:
+    return [
+        F.xxhash64(fp, F.lit(i)).bitwiseAND(F.lit(m_bits - 1))
+        for i in range(BLOOM_K)
+    ]
+
+
+def build_fp_bloom(fps: DataFrame, m_bits: int) -> DataFrame:
+    """Fold a fingerprint column into ONE row {m_bits, bits:
+    array<long>}: explode each fp's k bit positions, OR-fold per
+    64-bit word (map-side combined, the shuffle carries at most
+    m_bits/64 rows), pack the sparse words into a dense array."""
+    pos = fps.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("fp"), m_bits))
+        ).alias("p")
+    )
+    words = pos.select(
+        F.shiftright("p", 6).cast("int").alias("w"),
+        F.expr("shiftleft(1L, CAST(p & 63 AS INT))").alias("mask"),
+    ).groupBy("w").agg(F.bit_or("mask").alias("word"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("wm")
+    ).select(
+        F.lit(m_bits).alias("m_bits"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_bits // 64 - 1)),
+            lambda i: F.coalesce(F.element_at("wm", i), F.lit(0).cast("long")),
+        ).alias("bits"),
+    )
+
+
+def bloom_might_contain(fp, bits, m_bits: int):
+    """Membership test against the packed words — false positives
+    possible (bounded by fpp), false negatives impossible."""
+    cond = None
+    for p in _bloom_positions(fp, m_bits):
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        )
+        word = F.element_at(bits, (F.shiftright(p, 6) + 1).cast("int"))
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return cond
 
 
 def _band_key_col(prof: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
@@ -82,16 +155,36 @@ def persist_prior_index(
     create_bucketed_table(
         spark, f"{prefix}_bands", bands, ["band_key"], n_buckets, ["band_key"]
     )
+    # broadcast Bloom over the prior fps (round 14): built ONCE here at
+    # persist time, so every probe — batch or streaming — can split the
+    # incoming dump in-scan into definite-keeps (the overwhelming mass
+    # of a real crawl; no shuffle, no join) and candidates (only they
+    # pay the bucketed merge-join).  The count() sizing the bit array
+    # is a persist-time driver scalar, same bounded class as the
+    # ANALYZE stats write.
+    m_bits = _bloom_m_bits(spark.table(f"{prefix}_fp").count())
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bloom")
+    build_fp_bloom(spark.table(f"{prefix}_fp"), m_bits).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{prefix}_bloom")
 
 
 def dedup_against_prior(
-    spark: SparkSession, new_docs: DataFrame, prefix: str
+    spark: SparkSession, new_docs: DataFrame, prefix: str, use_bloom: bool = True
 ) -> DataFrame:
     """Label a new crawl snapshot against a persisted prior index.
 
     Same output contract as ``queries.text.dedup_incremental``:
     (outcome, n_docs, id_sum) with outcome in kept / dropped_exact /
-    dropped_near."""
+    dropped_near.
+
+    With ``use_bloom`` (default, round 14) the dump is split IN-SCAN by
+    the broadcast Bloom of prior fps: bloom-negative rows are definite
+    non-duplicates — they bypass the exact join entirely (no shuffle) —
+    and only the candidate mass (true dups + <=0.5% false positives)
+    pays the bucketed merge-join.  Output is bit-identical either way
+    (no false negatives; tests/test_pipeline.py proves equality), the
+    trade is one extra scan of the dump for a candidate-only shuffle."""
     from ..queries.text import JACCARD_T, N_BANDS, N_HASHES, _minhash_profile
     from .text import hash60
 
@@ -99,11 +192,31 @@ def dedup_against_prior(
     pbands = spark.table(f"{prefix}_bands")
 
     nf = new_docs.select("doc_id", "text", hash60(F.col("text")).alias("fp"))
-    flagged = nf.join(
-        pfp.hint("merge").withColumnRenamed("fp", "pfp"),
-        F.col("fp") == F.col("pfp"),
-        "left",
-    ).select("doc_id", "text", F.col("pfp").isNotNull().alias("is_exact"))
+    if use_bloom and spark.catalog.tableExists(f"{prefix}_bloom"):
+        bl = spark.table(f"{prefix}_bloom")
+        # one-row plan-build metadata read (bounded, the index_join
+        # typed-refusal class): the mask width is baked into the probe
+        m_bits = bl.select("m_bits").first()[0]
+        probed = nf.crossJoin(F.broadcast(bl.select("bits"))).withColumn(
+            "maybe", bloom_might_contain(F.col("fp"), F.col("bits"), m_bits)
+        )
+        cand = probed.filter(F.col("maybe")).select("doc_id", "text", "fp")
+        sure_new = probed.filter(~F.col("maybe")).select(
+            "doc_id", "text", F.lit(False).alias("is_exact")
+        )
+        flagged = cand.join(
+            pfp.hint("merge").withColumnRenamed("fp", "pfp"),
+            F.col("fp") == F.col("pfp"),
+            "left",
+        ).select(
+            "doc_id", "text", F.col("pfp").isNotNull().alias("is_exact")
+        ).unionByName(sure_new)
+    else:
+        flagged = nf.join(
+            pfp.hint("merge").withColumnRenamed("fp", "pfp"),
+            F.col("fp") == F.col("pfp"),
+            "left",
+        ).select("doc_id", "text", F.col("pfp").isNotNull().alias("is_exact"))
     survivors = flagged.filter(~F.col("is_exact")).select("doc_id", "text")
 
     bn = _band_key_col(
@@ -149,12 +262,24 @@ def stream_dedup_against_prior(
     index refreshes once per corpus generation while dumps stream in
     (near-dup banding stays in the per-dump batch pass — a streaming
     band probe would need watermarked aggregation state for no
-    benefit, since band verification is dump-local anyway)."""
+    benefit, since band verification is dump-local anyway).
+
+    Round 14: the broadcast Bloom splits each micro-batch the same way
+    as the batch probe — bloom-negatives emit immediately with no
+    join, only candidates anti-join the bucketed fp table."""
     from .text import hash60
 
     pfp = spark.table(f"{prefix}_fp")
-    return (
-        new_stream.withColumn("fp", hash60(F.col("text")))
-        .join(pfp, "fp", "left_anti")
-        .drop("fp")
-    )
+    hashed = new_stream.withColumn("fp", hash60(F.col("text")))
+    if spark.catalog.tableExists(f"{prefix}_bloom"):
+        bl = spark.table(f"{prefix}_bloom")
+        m_bits = bl.select("m_bits").first()[0]
+        probed = hashed.crossJoin(F.broadcast(bl.select("bits"))).withColumn(
+            "maybe", bloom_might_contain(F.col("fp"), F.col("bits"), m_bits)
+        )
+        sure_new = probed.filter(~F.col("maybe")).drop("maybe", "bits", "fp")
+        cand = probed.filter(F.col("maybe")).drop("maybe", "bits")
+        return cand.join(pfp, "fp", "left_anti").drop("fp").unionByName(
+            sure_new
+        )
+    return hashed.join(pfp, "fp", "left_anti").drop("fp")

@@ -812,3 +812,249 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     ))
+
+
+# ---------------------------------------------------------------------------
+# Learned quality-classifier gate (round 14): the fastText/CCNet-style
+# pipeline stage (Wenzek et al. 2020 §4.3; Joulin et al. 2017) — train a
+# hashed-bag-of-words LINEAR classifier on a labeled split, freeze the
+# weights, and gate the corpus with a MAP-ONLY scoring pass against the
+# broadcast weight vector.  The learned complement of docs_lm_quality's
+# count-based bigram LM.  Reference parity: presto-ml
+# MLFunctions.java learn_classifier/classify is the same
+# train-on-aggregate + predict-per-row surface (see ml.py).
+#
+# Cross-engine determinism (the ml_kmeans recipe): every float step is
+# limited to IEEE +,-,*,/ and floor — both engines execute those
+# bit-identically — and each iteration re-quantizes to integers.  The
+# one transcendental in logistic regression, sigmoid's exp(), is NOT
+# IEEE-exact across libms (java.lang.Math vs C libm differ in the last
+# ulp), so training uses the ALGEBRAIC sigmoid
+#     sigma(z) = 0.5 + z / (2 * (1 + |z|))
+# (same shape, same [0,1] range, rational arithmetic only).  The DuckDB
+# oracle replays the identical unrolled iterations as CTEs and matches
+# bit-for-bit.
+_QC_D = 64  # hashed feature buckets; slot _QC_D is the bias
+_QC_WS = 1 << 20  # residual/weight integer scale
+_QC_ZN = 64  # margin normalizer: z_real = z / (_QC_WS * _QC_ZN)
+_QC_T = 8  # unrolled full-batch gradient-descent steps
+_QC_LRK = 128  # integer learning rate: step = floor(LRK * g / n_train)
+# bias rides as _QC_BC pseudo-count "tokens" of bucket _QC_D, so the
+# intercept moves at the same rate as the ~2-3/doc word-count features
+# and the gradient/margin code paths need no special bias branch
+_QC_BC = 8
+# weak-supervision label (same thresholds as text_quality's 'good'):
+# y = 1 iff len >= 40 tokens AND distinct-token ratio >= 0.2
+_QC_MIN_TOK, _QC_MIN_RATIO = 40, 0.2
+
+
+def qc_featurize(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, y, is_train, barr): weak-supervision
+    label, 80/20 deterministic split (doc_id % 5), and the hashed
+    bucket ids of every token occurrence with the bias pseudo-counts
+    appended.  md5-based bucketing (operators/text.hash60) is the
+    engine-portable choice every dedup/sampling oracle here uses; a
+    real deployment would swap in xxhash64 (one line, same shape)."""
+    staged = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    y = (
+        (F.size("tk") >= _QC_MIN_TOK)
+        & (
+            F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
+            >= _QC_MIN_RATIO
+        )
+    ).cast("int")
+    barr = F.concat(
+        F.transform("tk", lambda t: (hash60(t) % _QC_D).cast("int")),
+        F.array_repeat(F.lit(_QC_D).cast("int"), _QC_BC),
+    )
+    return staged.select(
+        "doc_id",
+        y.alias("y"),
+        (F.col("doc_id") % 5 != 0).alias("is_train"),
+        barr.alias("barr"),
+    )
+
+
+def _qc_margin(w: "F.Column") -> "F.Column":
+    """Integer margin of one doc against the packed weight array — a
+    JVM HOF fold over the bucket ids, zero Python, zero shuffle."""
+    return F.aggregate(
+        F.col("barr"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w, b + 1),
+    )
+
+
+def _qc_residual(z: "F.Column", y: "F.Column") -> "F.Column":
+    """floor((sigma(z_real) - y) * WS) — quantized logistic residual
+    under the algebraic sigmoid; all IEEE-exact ops."""
+    zd = z.cast("double") / F.lit(float(_QC_WS * _QC_ZN))
+    p = F.lit(0.5) + zd / (F.lit(2.0) * (F.lit(1.0) + F.abs(zd)))
+    return F.floor((p - y.cast("double")) * F.lit(float(_QC_WS))).cast("long")
+
+
+def qc_learn_weights(feats: DataFrame) -> DataFrame:
+    """Full-batch gradient descent, _QC_T unrolled steps, returning the
+    frozen model as ONE row {w: array<long>[_QC_D + 1]}.
+
+    Scale shape: the train split is localCheckpointed ONCE and re-read
+    by every iteration (at 100 TB: persist the featurized corpus — one
+    tokenize+hash pass feeds all T+1 passes).  Each step is (1) a
+    map-only margin/residual pass against the KB-sized broadcast
+    weights, (2) explode(bucket ids) -> ONE map-side-combined hash agg
+    whose shuffle carries at most D+1 rows per partition, (3) a one-row
+    array repack.  No corpus-sized state ever reaches the driver; the
+    model is 65 longs.  This is MLlib's LogisticRegression layout
+    (broadcast coefficients, tree-aggregated gradient) with the
+    aggregation expressed relationally."""
+    tr = (
+        feats.filter(F.col("is_train"))
+        .select("y", "barr")
+        .localCheckpoint(eager=False)
+    )
+    n_row = tr.agg(F.count(F.lit(1)).alias("n_tr")).localCheckpoint(
+        eager=False
+    )
+    spark = feats.sparkSession
+    packed = spark.range(1).select(
+        F.array_repeat(F.lit(0).cast("long"), _QC_D + 1).alias("w")
+    )
+    for _ in range(_QC_T):
+        m = tr.crossJoin(F.broadcast(packed)).select(
+            "barr", _qc_residual(_qc_margin(F.col("w")), F.col("y")).alias("rq")
+        )
+        g = (
+            m.select(F.explode("barr").alias("b"), "rq")
+            .groupBy("b")
+            .agg(F.sum("rq").alias("g"))
+        )
+        g_packed = g.agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "g"))).alias("gm")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_QC_D)),
+                lambda i: F.coalesce(
+                    F.element_at("gm", i), F.lit(0).cast("long")
+                ),
+            ).alias("garr")
+        )
+        packed = (
+            packed.crossJoin(g_packed)
+            .crossJoin(n_row)
+            .select(
+                F.zip_with(
+                    "w",
+                    "garr",
+                    lambda wv, gv: wv
+                    - F.floor(
+                        (F.lit(_QC_LRK) * gv).cast("double") / F.col("n_tr")
+                    ).cast("long"),
+                ).alias("w")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return packed
+
+
+def qc_score(feats: DataFrame, packed: DataFrame) -> DataFrame:
+    """Gate the corpus against the frozen broadcast weights — map-only:
+    one HOF fold per doc, no shuffle, no Python."""
+    return feats.crossJoin(F.broadcast(packed)).select(
+        "doc_id",
+        "y",
+        "is_train",
+        _qc_margin(F.col("w")).alias("z"),
+    ).withColumn("predicted", (F.col("z") > 0).cast("int"))
+
+
+def _sql_quality_clf_oracle() -> str:
+    """The identical unrolled iterations as DuckDB CTEs (the
+    _sql_kmeans_oracle pattern): weights live as a (bucket, w)
+    relation, margins as LEFT-JOIN sums — relationally different from
+    the Spark HOF form, arithmetically bit-identical."""
+    zd = f"{_QC_WS * _QC_ZN}.0"
+
+    def sig(z: str) -> str:
+        return f"(0.5 + ({z}/{zd})/(2*(1+abs({z}/{zd}))))"
+
+    parts = [
+        f"""
+lab AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) >= {_QC_MIN_TOK}
+               AND len(list_distinct(tk))::DOUBLE / len(tk) >= {_QC_MIN_RATIO}
+              THEN 1 ELSE 0 END AS y,
+         (doc_id % 5 <> 0) AS is_train
+  FROM (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents) d
+),
+tok AS (
+  SELECT doc_id, CAST({sql_hash60('t')} % {_QC_D} AS INT) AS b
+  FROM lab, unnest(tk) AS u(t)
+  UNION ALL
+  SELECT doc_id, {_QC_D} AS b
+  FROM lab, unnest(generate_series(1, {_QC_BC})) AS g(i)
+),
+ntr AS (SELECT count(*) AS n FROM lab WHERE is_train),
+r0 AS (SELECT doc_id, CAST(floor((0.5 - y) * {_QC_WS}) AS BIGINT) AS rq
+       FROM lab WHERE is_train),
+g0 AS (SELECT b, CAST(sum(rq) AS BIGINT) AS g
+       FROM tok JOIN r0 USING (doc_id) GROUP BY b),
+w1 AS (SELECT b, CAST(-floor(({_QC_LRK} * g)::DOUBLE / n) AS BIGINT) AS w
+       FROM g0, ntr)"""
+    ]
+    for i in range(1, _QC_T):
+        parts.append(
+            f"""
+zt{i} AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
+          FROM tok t JOIN w{i} w USING (b)
+          JOIN lab l ON l.doc_id = t.doc_id AND l.is_train
+          GROUP BY t.doc_id),
+r{i} AS (SELECT l.doc_id,
+                CAST(floor(({sig('COALESCE(z, 0)')} - y) * {_QC_WS})
+                     AS BIGINT) AS rq
+         FROM lab l LEFT JOIN zt{i} USING (doc_id) WHERE l.is_train),
+g{i} AS (SELECT b, CAST(sum(rq) AS BIGINT) AS g
+         FROM tok JOIN r{i} USING (doc_id) GROUP BY b),
+w{i + 1} AS (SELECT b, CAST(w - floor(({_QC_LRK} * g)::DOUBLE / n)
+                            AS BIGINT) AS w
+             FROM g{i} JOIN w{i} USING (b), ntr)"""
+        )
+    parts.append(
+        f"""
+ztf AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
+        FROM tok t JOIN w{_QC_T} w USING (b) GROUP BY t.doc_id),
+zf AS (SELECT l.doc_id, l.y, l.is_train, COALESCE(z, 0) AS z
+       FROM lab l LEFT JOIN ztf USING (doc_id))"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT CASE WHEN is_train THEN 'train' ELSE 'holdout' END AS split,
+       y AS label,
+       CASE WHEN z > 0 THEN 1 ELSE 0 END AS predicted,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(z) AS BIGINT) AS sum_margin
+FROM zf GROUP BY 1, 2, 3
+"""
+    )
+
+
+@query("docs_quality_classifier", oracle=_sql_quality_clf_oracle())
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed-n-gram quality gate on the 80% split, score the
+    whole corpus map-only against the frozen broadcast weights, return
+    the per-split confusion matrix with exact integer margin sums
+    (97-98% holdout accuracy on the fixture label at sf0.01/sf0.1;
+    tests/test_pipeline.py pins the accuracy floor and the
+    planted-document invariants)."""
+    feats = qc_featurize(_docs(spark, sf_dir))
+    scored = qc_score(feats, qc_learn_weights(feats))
+    return scored.groupBy(
+        F.when(F.col("is_train"), "train").otherwise("holdout").alias("split"),
+        F.col("y").alias("label"),
+        "predicted",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").alias("sum_margin"),
+    )

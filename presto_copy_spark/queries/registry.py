@@ -42,78 +42,83 @@ def query(name: str, oracle: str | None = None):
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle on every
 # pytest run.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-13 rotation (VERDICT r12 ask #4: retire the r1/r2-
-    # vintage tail).  In: ALL 39 rows whose last driver check was
-    # round 1 or 2 — after this window no registry row's last driver
-    # check predates r3 — plus re-proof slots for the three events
-    # queries round 13 re-planned (events_json_props JSON fast path,
-    # events_stateful_profile JVM twin, events_streaming_dedup one-
-    # shuffle twin), sample_bernoulli (stalest seeded row, r5), and one
-    # representative each for the families the r1/r2 tail doesn't
-    # touch (joins, geo, spatial-join, multimodal, docs-pipeline,
-    # unnest).  Out (all r12 driver-green): the entire r12 window —
-    # §2.2 TRY, §2.6 sort/limit, subquery and sketch families rotate
-    # back next round; the whole registry stays DuckDB-value-oracled
-    # on every pytest run via tests/test_queries_vs_oracle.py.
-    # -- r01 vintage --
-    "agg_arbitrary",
-    "agg_array_collect",
-    "agg_bool_bit",
-    "agg_checksum",
-    "agg_distinct_mixed",
-    "agg_geometric_mean",
-    "agg_global",
-    "events_hourly_top_type",
-    "events_streaming_tumbling",
-    "func_datetime",
-    "func_presto_compat",
-    "func_url",
-    "setop_union_all",
-    "setop_union_distinct",
-    # -- r02 vintage --
-    "agg_decimal_exact",
-    "agg_entropy",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sim_ann_lsh_neardup",
-    "sim_norm_histogram",
-    "sql_presto_datetime",
-    "sql_presto_try_unnest",
-    "sql_presto_view",
-    "text_fingerprint",
-    "text_top_bigrams",
-    "tpch_q04",
-    "tpch_q05",
-    "tpch_q06",
-    "tpch_q08",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q19",
-    "win_lag_lead",
-    "win_ntile",
-    "win_range_frame",
-    "win_ranks",
-    "win_running_sum",
-    "win_share_of_partition",
-    # -- round-13 re-proof slots --
-    "events_json_props",  # r13 re-plan: guarded JSON fast path
-    "events_stateful_profile",  # r13 re-plan: JVM max_by twin
-    "events_streaming_dedup",  # r13 re-plan: one-shuffle twin
-    # -- staleness + family representatives --
-    "sample_bernoulli",  # stalest seeded row (r5)
-    "dedup_exact_substring",  # NEW r13: variable-offset ExactSubstr
-    # (first driver row; takes the join-family slot — all five join
-    # rows were r12-green two weeks fresher than anything else here)
-    "geo_bing_tiles",  # geo functions family (r03)
-    "geo_kdb_partition_join",  # spatial-join family (r9)
-    "multimodal_frame_sample",  # multimodal family (r11)
-    "docs_decontaminate",  # docs-pipeline family (r04)
-    "unnest_with_ordinality",  # §2.8 unnest (r03)
-    "dedup_incremental",  # NEW r13: cross-snapshot dedup (new crawl
-    # vs frozen prior corpus) — first driver row
+    # ---- Round-14 rotation (staleness policy, VERDICT r13 ask #5).
+    # In: EVERY row whose last driver check predates r10 — the whole
+    # r3/r4-vintage tail (golden-dialect + func long tail, 28 rows)
+    # plus the r5/r7/r8 tiers (11 rows) — then the new
+    # docs_quality_classifier (first driver row), 7 of the 8 r10-
+    # vintage rows, dedup_exact (r11) keeping the dedup family
+    # represented, and re-proof slots for the two code paths round 14
+    # touched: events_json_props (fast-path regex gained the
+    # exactly-once key guard) and events_stateful_profile (the
+    # streaming-state family's HALF_UP rounding fix).  Out (all
+    # r13-green): the entire r13 window.  agg_hll_sketch_merge (r10)
+    # is the one stale row bumped for the dedup representative —
+    # first slot next round.  After this window no row's last driver
+    # check predates r10.  The whole registry stays DuckDB-value-
+    # oracled on every pytest run via tests/test_queries_vs_oracle.py.
+    # -- r03 vintage --
+    "agg_classification",
+    "agg_corr_covar",
+    "agg_grouping_sets",
+    "agg_khll_uniqueness",
+    "agg_min_max_by",
+    "agg_noisy_zero_scale",
+    "agg_numeric_histogram",
+    "agg_setdigest_jaccard",
+    "agg_top_k_frequent",
+    "events_session",
+    "events_tumbling",
+    "func_array",
+    "func_map_json",
+    "func_string",
+    "func_tier2_arrays_maps",
+    "geo_point_functions",
+    "join_cross_theta",
+    "tpch_q20",
+    "win_groups_frame",
+    # -- r04 vintage --
+    "case_when_buckets",
+    "docs_vocab_coverage",
+    "setop_except",
+    "setop_intersect_all",
+    "sim_quantized_cosine",
+    "text_bpe_tokens",
+    "text_repetition",
+    "text_token_stats",
+    "tpch_q13",
+    # -- r05 vintage --
+    "agg_histogram_map",
+    "docs_mix_sample",
+    "text_quality",
+    # -- r07 vintage --
+    "tpch_q01",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q22",
+    # -- r08 vintage --
+    "func_specialty",
+    "sample_systematic",
+    "unnest_explode",
+    "values_inline",
+    # -- NEW round 14 --
+    "docs_quality_classifier",  # learned quality gate (hashed-BoW
+    # linear classifier, unrolled integer GD) — first driver row
+    # -- r10 vintage --
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "events_sliding",
+    "ml_learn_classify",
+    "multimodal_features",
+    "multimodal_meta_stats",
+    "pii_scrub",
+    # -- family representative + round-14 re-proof slots --
+    "dedup_exact",  # dedup family (r11)
+    "events_json_props",  # re-proof: exactly-once key guard (r14)
+    "events_stateful_profile",  # re-proof: HALF_UP fix in the
+    # streaming-profile family (r14)
     # ---- the 50-entry cut lands here ----
-    # (Rotation ledgers for rounds 5-12 live in git history of this
+    # (Rotation ledgers for rounds 5-13 live in git history of this
     # block.)
 ]
 
