@@ -893,77 +893,74 @@ def _qc_residual(z: "F.Column", y: "F.Column") -> "F.Column":
     return F.floor((p - y.cast("double")) * F.lit(float(_QC_WS))).cast("long")
 
 
-def qc_learn_weights(feats: DataFrame) -> DataFrame:
-    """Full-batch gradient descent, _QC_T unrolled steps, returning the
-    frozen model as ONE row {w: array<long>[_QC_D + 1]}.
+def qc_learn_weights(feats: DataFrame) -> list[int]:
+    """Full-batch gradient descent, _QC_T steps, returning the frozen
+    model as a Python list of _QC_D + 1 integer weights.
 
-    Scale shape: the train split is localCheckpointed ONCE and re-read
-    by every iteration (at 100 TB: persist the featurized corpus — one
-    tokenize+hash pass feeds all T+1 passes).  Each step is (1) a
-    map-only margin/residual pass against the KB-sized broadcast
-    weights, (2) explode(bucket ids) -> ONE map-side-combined hash agg
-    whose shuffle carries at most D+1 rows per partition, (3) a one-row
-    array repack.  No corpus-sized state ever reaches the driver; the
-    model is 65 longs.  This is MLlib's LogisticRegression layout
-    (broadcast coefficients, tree-aggregated gradient) with the
-    aggregation expressed relationally."""
+    This is MLlib's LogisticRegression iteration layout verbatim:
+    coefficients ship to the executors (as plan literals — even
+    cheaper than a broadcast), the gradient tree-aggregates back to
+    the driver, and ONLY the model-sized gradient (65 longs — the
+    bounded-collect class of engine.py's ANALYZE stats) ever crosses.
+    Each step is one corpus pass: margin/residual map against the
+    literal weights fused with explode(bucket ids) into ONE
+    map-side-combined hash agg whose shuffle carries at most D+1 rows
+    per partition.  The train split is localCheckpointed ONCE so the
+    tokenize+hash featurize pass feeds all T iterations (at 100 TB:
+    persist the featurized corpus the same way).  A first draft kept
+    the weights relational (one-row DataFrame, crossJoin + zip_with +
+    per-iteration lineage checkpoint); it was ~2.5x slower at sf0.1 —
+    ~17 jobs of checkpoint machinery to avoid a 520-byte collect the
+    reference implementation (and MLlib) happily does."""
+    import math
+
+    spark = feats.sparkSession
     tr = (
         feats.filter(F.col("is_train"))
         .select("y", "barr")
+        # the sf-scale fixture arrives as ONE row group -> spread the
+        # checkpointed featurized split so every iteration's pass is
+        # parallel (structural no-op once the scan splits on its own)
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
         .localCheckpoint(eager=False)
     )
-    n_row = tr.agg(F.count(F.lit(1)).alias("n_tr")).localCheckpoint(
-        eager=False
-    )
-    spark = feats.sparkSession
-    packed = spark.range(1).select(
-        F.array_repeat(F.lit(0).cast("long"), _QC_D + 1).alias("w")
-    )
+    n = tr.count()
+    w = [0] * (_QC_D + 1)
     for _ in range(_QC_T):
-        m = tr.crossJoin(F.broadcast(packed)).select(
-            "barr", _qc_residual(_qc_margin(F.col("w")), F.col("y")).alias("rq")
+        warr = F.array(*[F.lit(v).cast("long") for v in w])
+        # rq is STAGED in its own projection: inlined next to the
+        # generator it would be re-evaluated once per EXPLODED token
+        # (the Generate output projection), a measured 4x on the
+        # iteration pass — staged, the margin fold runs once per doc
+        staged = tr.select(
+            "barr", _qc_residual(_qc_margin(warr), F.col("y")).alias("rq")
         )
-        g = (
-            m.select(F.explode("barr").alias("b"), "rq")
+        g_rows = (
+            staged.select(F.explode("barr").alias("b"), "rq")
             .groupBy("b")
             .agg(F.sum("rq").alias("g"))
+            .collect()
         )
-        g_packed = g.agg(
-            F.map_from_entries(F.collect_list(F.struct("b", "g"))).alias("gm")
-        ).select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_QC_D)),
-                lambda i: F.coalesce(
-                    F.element_at("gm", i), F.lit(0).cast("long")
-                ),
-            ).alias("garr")
-        )
-        packed = (
-            packed.crossJoin(g_packed)
-            .crossJoin(n_row)
-            .select(
-                F.zip_with(
-                    "w",
-                    "garr",
-                    lambda wv, gv: wv
-                    - F.floor(
-                        (F.lit(_QC_LRK) * gv).cast("double") / F.col("n_tr")
-                    ).cast("long"),
-                ).alias("w")
-            )
-            .localCheckpoint(eager=False)
-        )
-    return packed
+        g = {r["b"]: r["g"] for r in g_rows}
+        # floor((LRK * g) / n) in driver floats is the same IEEE
+        # double division + floor both engines execute
+        w = [
+            w[j] - math.floor(_QC_LRK * g.get(j, 0) / n)
+            for j in range(_QC_D + 1)
+        ]
+    return w
 
 
-def qc_score(feats: DataFrame, packed: DataFrame) -> DataFrame:
-    """Gate the corpus against the frozen broadcast weights — map-only:
-    one HOF fold per doc, no shuffle, no Python."""
-    return feats.crossJoin(F.broadcast(packed)).select(
+def qc_score(feats: DataFrame, weights: list[int]) -> DataFrame:
+    """Gate the corpus against the frozen weights — map-only: one JVM
+    HOF fold per doc against the literal weight array, no shuffle, no
+    Python."""
+    warr = F.array(*[F.lit(v).cast("long") for v in weights])
+    return feats.select(
         "doc_id",
         "y",
         "is_train",
-        _qc_margin(F.col("w")).alias("z"),
+        _qc_margin(warr).alias("z"),
     ).withColumn("predicted", (F.col("z") > 0).cast("int"))
 
 
@@ -979,7 +976,7 @@ def _sql_quality_clf_oracle() -> str:
 
     parts = [
         f"""
-lab AS (
+lab AS MATERIALIZED (
   SELECT doc_id, tk,
          CASE WHEN len(tk) >= {_QC_MIN_TOK}
                AND len(list_distinct(tk))::DOUBLE / len(tk) >= {_QC_MIN_RATIO}
@@ -987,43 +984,43 @@ lab AS (
          (doc_id % 5 <> 0) AS is_train
   FROM (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents) d
 ),
-tok AS (
+tok AS MATERIALIZED (
   SELECT doc_id, CAST({sql_hash60('t')} % {_QC_D} AS INT) AS b
   FROM lab, unnest(tk) AS u(t)
   UNION ALL
   SELECT doc_id, {_QC_D} AS b
   FROM lab, unnest(generate_series(1, {_QC_BC})) AS g(i)
 ),
-ntr AS (SELECT count(*) AS n FROM lab WHERE is_train),
-r0 AS (SELECT doc_id, CAST(floor((0.5 - y) * {_QC_WS}) AS BIGINT) AS rq
+ntr AS MATERIALIZED (SELECT count(*) AS n FROM lab WHERE is_train),
+r0 AS MATERIALIZED (SELECT doc_id, CAST(floor((0.5 - y) * {_QC_WS}) AS BIGINT) AS rq
        FROM lab WHERE is_train),
-g0 AS (SELECT b, CAST(sum(rq) AS BIGINT) AS g
+g0 AS MATERIALIZED (SELECT b, CAST(sum(rq) AS BIGINT) AS g
        FROM tok JOIN r0 USING (doc_id) GROUP BY b),
-w1 AS (SELECT b, CAST(-floor(({_QC_LRK} * g)::DOUBLE / n) AS BIGINT) AS w
+w1 AS MATERIALIZED (SELECT b, CAST(-floor(({_QC_LRK} * g)::DOUBLE / n) AS BIGINT) AS w
        FROM g0, ntr)"""
     ]
     for i in range(1, _QC_T):
         parts.append(
             f"""
-zt{i} AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
+zt{i} AS MATERIALIZED (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
           FROM tok t JOIN w{i} w USING (b)
           JOIN lab l ON l.doc_id = t.doc_id AND l.is_train
           GROUP BY t.doc_id),
-r{i} AS (SELECT l.doc_id,
+r{i} AS MATERIALIZED (SELECT l.doc_id,
                 CAST(floor(({sig('COALESCE(z, 0)')} - y) * {_QC_WS})
                      AS BIGINT) AS rq
          FROM lab l LEFT JOIN zt{i} USING (doc_id) WHERE l.is_train),
-g{i} AS (SELECT b, CAST(sum(rq) AS BIGINT) AS g
+g{i} AS MATERIALIZED (SELECT b, CAST(sum(rq) AS BIGINT) AS g
          FROM tok JOIN r{i} USING (doc_id) GROUP BY b),
-w{i + 1} AS (SELECT b, CAST(w - floor(({_QC_LRK} * g)::DOUBLE / n)
+w{i + 1} AS MATERIALIZED (SELECT b, CAST(w - floor(({_QC_LRK} * g)::DOUBLE / n)
                             AS BIGINT) AS w
              FROM g{i} JOIN w{i} USING (b), ntr)"""
         )
     parts.append(
         f"""
-ztf AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
+ztf AS MATERIALIZED (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
         FROM tok t JOIN w{_QC_T} w USING (b) GROUP BY t.doc_id),
-zf AS (SELECT l.doc_id, l.y, l.is_train, COALESCE(z, 0) AS z
+zf AS MATERIALIZED (SELECT l.doc_id, l.y, l.is_train, COALESCE(z, 0) AS z
        FROM lab l LEFT JOIN ztf USING (doc_id))"""
     )
     return (
@@ -1048,7 +1045,7 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (97-98% holdout accuracy on the fixture label at sf0.01/sf0.1;
     tests/test_pipeline.py pins the accuracy floor and the
     planted-document invariants)."""
-    feats = qc_featurize(_docs(spark, sf_dir))
+    feats = qc_featurize(spread_scan(spark, _docs(spark, sf_dir)))
     scored = qc_score(feats, qc_learn_weights(feats))
     return scored.groupBy(
         F.when(F.col("is_train"), "train").otherwise("holdout").alias("split"),
