@@ -170,7 +170,7 @@ def persist_prior_index(
 
 
 def dedup_against_prior(
-    spark: SparkSession, new_docs: DataFrame, prefix: str, use_bloom: bool = True
+    spark: SparkSession, new_docs: DataFrame, prefix: str, use_bloom: bool = False
 ) -> DataFrame:
     """Label a new crawl snapshot against a persisted prior index.
 
@@ -178,13 +178,23 @@ def dedup_against_prior(
     (outcome, n_docs, id_sum) with outcome in kept / dropped_exact /
     dropped_near.
 
-    With ``use_bloom`` (default, round 14) the dump is split IN-SCAN by
-    the broadcast Bloom of prior fps: bloom-negative rows are definite
-    non-duplicates — they bypass the exact join entirely (no shuffle) —
-    and only the candidate mass (true dups + <=0.5% false positives)
-    pays the bucketed merge-join.  Output is bit-identical either way
-    (no false negatives; tests/test_pipeline.py proves equality), the
-    trade is one extra scan of the dump for a candidate-only shuffle."""
+    With ``use_bloom`` the dump is split IN-SCAN by the broadcast Bloom
+    of prior fps: bloom-negative rows are definite non-duplicates —
+    they bypass the exact join entirely (no shuffle) — and only the
+    candidate mass (true dups + <=0.5% false positives) pays the
+    bucketed merge-join.  Output is bit-identical either way (no false
+    negatives; tests/test_pipeline.py proves equality).
+
+    Default OFF on evidence (round-14 A/B, BASELINE.md §r14): the
+    split's two branches each re-derive fp = md5(text) from the scan —
+    the union arms share no common subexpression — so the probe pays
+    the expensive hash twice to save a 98%-reducible shuffle, and on
+    local[32] (where a shuffle is a memory copy) that trade LOSES:
+    1.19x/1.24x slower at sf1x/sf3x, paired in-window.  The filter
+    wins when the dump arrives pre-hashed (fp already a column: no
+    double hash, pure shuffle saving) or when shuffle means network —
+    flip the flag per deployment; the capability and its
+    no-false-negative guarantee are tested either way."""
     from ..queries.text import JACCARD_T, N_BANDS, N_HASHES, _minhash_profile
     from .text import hash60
 
@@ -250,7 +260,10 @@ def dedup_against_prior(
 
 
 def stream_dedup_against_prior(
-    new_stream: DataFrame, spark: SparkSession, prefix: str
+    new_stream: DataFrame,
+    spark: SparkSession,
+    prefix: str,
+    use_bloom: bool = False,
 ) -> DataFrame:
     """Streaming ingest form of the exact stage: an arriving crawl dump
     (readStream of (doc_id, text) files) is deduped against the FROZEN
@@ -264,14 +277,16 @@ def stream_dedup_against_prior(
     band probe would need watermarked aggregation state for no
     benefit, since band verification is dump-local anyway).
 
-    Round 14: the broadcast Bloom splits each micro-batch the same way
-    as the batch probe — bloom-negatives emit immediately with no
-    join, only candidates anti-join the bucketed fp table."""
+    Round 14: with ``use_bloom`` the broadcast Bloom splits each
+    micro-batch the same way as the batch probe — bloom-negatives emit
+    immediately with no join, only candidates anti-join the bucketed
+    fp table.  Default OFF for the same measured reason as
+    ``dedup_against_prior`` (the split re-hashes the batch twice)."""
     from .text import hash60
 
     pfp = spark.table(f"{prefix}_fp")
     hashed = new_stream.withColumn("fp", hash60(F.col("text")))
-    if spark.catalog.tableExists(f"{prefix}_bloom"):
+    if use_bloom and spark.catalog.tableExists(f"{prefix}_bloom"):
         bl = spark.table(f"{prefix}_bloom")
         m_bits = bl.select("m_bits").first()[0]
         probed = hashed.crossJoin(F.broadcast(bl.select("bits"))).withColumn(

@@ -453,22 +453,28 @@ def test_persisted_prior_index_matches_inline_and_saves_exchanges(spark, sf_dir)
             )
         )
         assert got == want and len(got) == 3, (got, want)
+        # the bloom-split probe (non-default; BASELINE.md §r14 A/B)
+        # must label identically — no false negatives by construction
+        got_bloom = sorted(
+            map(
+                tuple,
+                dedup_against_prior(
+                    spark, newc, "t_prior_idx", use_bloom=True
+                ).collect(),
+            )
+        )
+        assert got_bloom == want
 
         plan = plan_string(out, "simple")
         assert "SelectedBucketsCount" in plan, plan[:1500]
         assert "BroadcastHashJoin" not in plan.split("SelectedBucketsCount")[0]
 
-        # unbucketed control: same data, same probe (incl. the same
-        # bloom pre-filter, so the exchange count isolates the LAYOUT),
-        # plain tables
+        # unbucketed control: same data, same probe, plain tables
         spark.table("t_prior_idx_fp").write.mode("overwrite").saveAsTable(
             "t_prior_flat_fp"
         )
         spark.table("t_prior_idx_bands").write.mode("overwrite").saveAsTable(
             "t_prior_flat_bands"
-        )
-        spark.table("t_prior_idx_bloom").write.mode("overwrite").saveAsTable(
-            "t_prior_flat_bloom"
         )
         control = dedup_against_prior(spark, newc, "t_prior_flat")
         n_bucketed = plan_string(out, "simple").count("Exchange")
@@ -527,6 +533,18 @@ def test_stream_dedup_against_prior_index(spark, sf_dir, tmp_path):
         assert got == want and got
         # the planted exact re-crawls are all gone from the stream output
         assert not [i for i in got if _INC_EXACT_OFF <= i < _INC_EXACT_OFF * 4 // 3]
+        # bloom-split streaming form (non-default): identical kept set
+        stream2 = (
+            spark.readStream.schema(schema).format("parquet").load(dump)
+        )
+        out2 = run_stream_to_batch(
+            stream_dedup_against_prior(
+                stream2, spark, "t_sd_idx", use_bloom=True
+            ),
+            mode="append",
+        )
+        got2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+        assert got2 == want
     finally:
         for t in ("t_sd_idx_fp", "t_sd_idx_bands", "t_sd_idx_bloom"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
