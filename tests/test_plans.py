@@ -411,3 +411,46 @@ def test_compile_once_reexecutes_without_materializing(spark, sf_dir):
         acc2.value,
         pre_shuffle_first,
     )
+
+
+def test_quality_classifier_scoring_is_map_only(spark, sf_dir):
+    """docs_quality_classifier (round 14): with the trained weights
+    frozen as plan literals, the corpus SCORING pass must be map-only —
+    no hash exchange, no Python evaluator, margins folded by a JVM HOF
+    (the 100 TB contract: gate a corpus with one scan).  The only
+    allowed exchange below the final 8-row confusion aggregation is the
+    spread_scan round-robin parallelism floor; the confusion groupBy
+    itself hashes <= corpus-partitions x 8 partial rows."""
+    from presto_copy_spark.queries.pipeline import (
+        _QC_D,
+        qc_featurize,
+        qc_score,
+    )
+    from presto_copy_spark.queries.qutil import spread_scan
+    from presto_copy_spark.catalog import load_table
+
+    d = spread_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    scored = qc_score(qc_featurize(d), [1] * (_QC_D + 1))
+    plan = plan_string(scored, "simple")
+    assert "hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    # gradient pass: exactly one hash exchange, carrying only the
+    # (bucket, partial-sum) rows of the D+1-key aggregation
+    from pyspark.sql import functions as F
+    from presto_copy_spark.queries.pipeline import _qc_margin, _qc_residual
+
+    feats = qc_featurize(d).filter(F.col("is_train"))
+    warr = F.array(*[F.lit(0).cast("long") for _ in range(_QC_D + 1)])
+    staged = feats.select(
+        "barr", _qc_residual(_qc_margin(warr), F.col("y")).alias("rq")
+    )
+    grad = (
+        staged.select(F.explode("barr").alias("b"), "rq")
+        .groupBy("b")
+        .agg(F.sum("rq").alias("g"))
+    )
+    gplan = plan_string(grad, "simple")
+    assert gplan.count("hashpartitioning") == 1, gplan
+    assert "BatchEvalPython" not in gplan and "ArrowEval" not in gplan, gplan
