@@ -1055,3 +1055,17 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("z").alias("sum_margin"),
     )
+
+
+def qc_gate_stream(stream_docs: DataFrame, weights: list[int]) -> DataFrame:
+    """Streaming ingest form of the quality gate: score an arriving
+    document stream against the FROZEN classifier weights and keep only
+    passing docs.  Stateless by construction — featurize + the literal-
+    weight margin fold are pure projections, so Structured Streaming
+    runs the identical plan per micro-batch with no state store, no
+    watermark, no shuffle (the same map-only contract the batch scorer
+    pins in tests/test_plans.py).  This is the deployment shape of a
+    CCNet-style gate: train once per corpus generation offline, gate
+    every incoming dump with one scan (Wenzek et al. 2020 §4.3)."""
+    scored = qc_score(qc_featurize(stream_docs), weights)
+    return scored.filter(F.col("predicted") == 1).select("doc_id", "z")

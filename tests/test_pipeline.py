@@ -677,3 +677,34 @@ def test_fp_bloom_no_false_negatives_and_bounded_fpp(spark):
         .count()
     )
     assert fp_hits / 50_000 < 0.02, fp_hits
+
+
+def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """qc_gate_stream (round 14): gating a document STREAM with frozen
+    weights under Trigger.AvailableNow must keep exactly the doc_ids
+    the batch scorer passes — the stateless-map streaming form of the
+    learned gate."""
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.queries.pipeline import (
+        qc_featurize,
+        qc_gate_stream,
+        qc_learn_weights,
+        qc_score,
+    )
+    from presto_copy_spark.streaming.jobs import run_stream_to_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = qc_learn_weights(qc_featurize(d))
+    want = sorted(
+        r["doc_id"]
+        for r in qc_score(qc_featurize(d), w)
+        .filter(F.col("predicted") == 1)
+        .collect()
+    )
+    dump = str(tmp_path / "doc_dump")
+    d.write.parquet(dump)
+    schema = spark.read.parquet(dump).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(dump)
+    out = run_stream_to_batch(qc_gate_stream(stream, w), mode="append")
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert got == want and got
