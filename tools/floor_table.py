@@ -100,6 +100,21 @@ def main() -> None:
         df2.collect()
         plan = df2._jdf.queryExecution().executedPlan().toString()
         stages = len(set(re.findall(r"ShuffleQueryStage (\d+)", plan)))
+        if stages == 0:
+            # non-AQE executed plans (this session shape) carry no
+            # ShuffleQueryStage tokens — count distinct shuffle
+            # exchanges by plan_id instead (hash/range only; broadcast
+            # and the spread_scan round-robin floor are not data
+            # shuffles in the multi-stage sense)
+            stages = len(
+                set(
+                    re.findall(
+                        r"Exchange (?:hash|range)partitioning[^\n]*?"
+                        r"\[plan_id=(\d+)\]",
+                        plan,
+                    )
+                )
+            )
         ratio = solo / base[n]
         if plan_s > 0.45 * solo:
             cls = "planning (macro/HOF tree)"
