@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "persist_prior_index",
+    "append_to_prior_index",
     "dedup_against_prior",
     "stream_dedup_against_prior",
     "build_fp_bloom",
@@ -298,3 +299,41 @@ def stream_dedup_against_prior(
             sure_new
         )
     return hashed.join(pfp, "fp", "left_anti").drop("fp")
+
+
+def append_to_prior_index(
+    spark: SparkSession, accepted_docs: DataFrame, prefix: str
+) -> None:
+    """Fold a newly-ACCEPTED dump into the persisted prior index
+    WITHOUT rebuilding it — the corpus-generation maintenance op a real
+    pipeline runs after each dump is deduped and kept.
+
+    Spark routes ``insertInto`` on a bucketed datasource table through
+    the catalog's bucket spec (verified: a post-append self-join still
+    reads in place — SelectedBucketsCount, zero exchanges), so the
+    appended fp/band rows land in the same layout the probe merge-joins
+    against; only the dump-sized increment is hashed and written, never
+    the existing index.  The fp increment anti-joins the existing table
+    to preserve its table-level distinctness.  The Bloom is REBUILT
+    from the full fp table (not OR-merged): the bit-array size is a
+    function of the growing key count, and the build is one cheap
+    map-side-combined pass over longs — rebuilding keeps the fpp at
+    its design point instead of degrading as the corpus grows."""
+    from ..queries.text import N_BANDS, N_HASHES, _minhash_profile
+    from .text import hash60
+
+    fp_inc = (
+        accepted_docs.select(hash60(F.col("text")).alias("fp"))
+        .distinct()
+        .join(spark.table(f"{prefix}_fp"), "fp", "left_anti")
+    )
+    fp_inc.write.insertInto(f"{prefix}_fp", overwrite=False)
+    bands_inc = _band_key_col(
+        _minhash_profile(spark, accepted_docs), N_HASHES, N_BANDS
+    )
+    bands_inc.write.insertInto(f"{prefix}_bands", overwrite=False)
+    m_bits = _bloom_m_bits(spark.table(f"{prefix}_fp").count())
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bloom")
+    build_fp_bloom(spark.table(f"{prefix}_fp"), m_bits).write.mode(
+        "overwrite"
+    ).saveAsTable(f"{prefix}_bloom")

@@ -708,3 +708,72 @@ def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     out = run_stream_to_batch(qc_gate_stream(stream, w), mode="append")
     got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert got == want and got
+
+
+def test_append_to_prior_index_matches_fresh_rebuild(spark, sf_dir):
+    """append_to_prior_index (round 14): folding an accepted dump into
+    the persisted index must label a later dump EXACTLY like an index
+    rebuilt fresh over both generations — exact re-crawls of generation
+    1 AND generation 2 both drop — and the appended table must still be
+    probed in place (the insertInto routed the increment through the
+    catalog's bucket spec)."""
+    from presto_copy_spark.operators.incremental import (
+        append_to_prior_index,
+        dedup_against_prior,
+        persist_prior_index,
+    )
+    from presto_copy_spark.plans.inspect import plan_string
+
+    from presto_copy_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g1 = d.filter(F.col("doc_id") % 3 == 0)
+    g2 = d.filter(F.col("doc_id") % 3 == 1)
+    off = 10_000_000
+    probe = (
+        d.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            g1.filter(F.col("doc_id") % 21 == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            g2.filter(F.col("doc_id") % 22 == 1).select(
+                (F.col("doc_id") + 2 * off).alias("doc_id"), "text"
+            )
+        )
+    )
+    try:
+        persist_prior_index(spark, g1, "t_app_idx", n_buckets=4)
+        append_to_prior_index(spark, g2, "t_app_idx")
+        out = dedup_against_prior(spark, probe, "t_app_idx")
+        got = sorted(map(tuple, out.collect()))
+
+        persist_prior_index(
+            spark, g1.unionByName(g2), "t_app_fresh", n_buckets=4
+        )
+        want = sorted(
+            map(
+                tuple,
+                dedup_against_prior(spark, probe, "t_app_fresh").collect(),
+            )
+        )
+        assert got == want, (got, want)
+        dropped = {r[0]: r[1] for r in got}
+        # re-crawls of BOTH generations were caught
+        n_g1 = g1.filter(F.col("doc_id") % 21 == 0).count()
+        n_g2 = g2.filter(F.col("doc_id") % 22 == 1).count()
+        assert dropped.get("dropped_exact", 0) >= n_g1 + n_g2 > 0
+        # appended index still probed in place
+        plan = plan_string(out, "simple")
+        assert "SelectedBucketsCount" in plan
+    finally:
+        for t in (
+            "t_app_idx_fp",
+            "t_app_idx_bands",
+            "t_app_idx_bloom",
+            "t_app_fresh_fp",
+            "t_app_fresh_bands",
+            "t_app_fresh_bloom",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
