@@ -497,3 +497,62 @@ def test_json_topkey_int_fastpath_agrees_with_slow_path(spark):
     ).collect()
     for r in both:
         assert r["fast"] == r["slow"], (r["props"], r["fast"], r["slow"])
+
+
+def test_json_topkey_int_fastpath_fuzz_agreement(spark):
+    """Seeded random-document fuzz for the fast==slow contract (round
+    14, on top of the 17 hand-built rows): flat objects with random key
+    sets, values of every JSON type, duplicate keys, leading zeros,
+    nesting, arrays, escapes, and whitespace jitter — every document
+    must produce byte-identical output from the guarded fast lane and
+    get_json_object."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from presto_copy_spark.queries.qutil import json_topkey_int
+
+    rng = random.Random(1404)
+    keys = ["k", "kk", "ak", "a", "b", "key space", 'we"ird']
+
+    def value():
+        return rng.choice(
+            [
+                rng.randint(-99999, 99999),
+                rng.random() * 100,
+                "s" + str(rng.randint(0, 9)),
+                'quote " inside',
+                True,
+                None,
+                [1, 2],
+                {"inner": 1},
+            ]
+        )
+
+    docs = []
+    for _ in range(200):
+        n = rng.randint(0, 4)
+        items = [(rng.choice(keys), value()) for _ in range(n)]
+        if rng.random() < 0.7:
+            items.insert(rng.randint(0, len(items)), ("k", value()))
+        if rng.random() < 0.2 and items:
+            items.append(("k", value()))  # duplicate key
+        body = ", ".join(
+            f"{json.dumps(k)}:{' ' * rng.randint(0, 2)}{json.dumps(v)}"
+            for k, v in items
+        )
+        doc = "{" + body + "}"
+        if rng.random() < 0.1:
+            doc = doc.replace(": ", ": 0", 1)  # leading-zero corruption
+        docs.append(doc)
+    df = spark.createDataFrame([(d,) for d in docs], "props string")
+    both = (
+        json_topkey_int(df, "props", "k", "fast")
+        .select(
+            "props", "fast", F.get_json_object("props", "$.k").alias("slow")
+        )
+        .collect()
+    )
+    for r in both:
+        assert r["fast"] == r["slow"], (r["props"], r["fast"], r["slow"])
