@@ -177,7 +177,13 @@ PIPELINE_QUERIES = (
     # dedup (new r12)
     "dedup_lines,dedup_urls,"
     # round-13: incremental cross-snapshot dedup
-    "dedup_incremental"
+    "dedup_incremental,"
+    # round-14: exact-substring spans + the learned quality gate.
+    # CAVEAT for docs_quality_classifier in THIS tool: its training
+    # runs driver-side at DataFrame build, so the noop-save timing here
+    # prices scoring only — use tools/r14_classifier_decades.py for the
+    # train-inclusive decade numbers (BASELINE.md §r14).
+    "dedup_exact_substring,docs_quality_classifier"
 )
 
 
