@@ -856,15 +856,26 @@ def qc_featurize(d: DataFrame) -> DataFrame:
     engine-portable choice every dedup/sampling oracle here uses; a
     real deployment would swap in xxhash64 (one line, same shape)."""
     staged = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    y = (
+    # when/otherwise, not a bare boolean cast: NULL text makes the
+    # condition NULL, and the oracle's CASE maps that to 0, not NULL
+    y = F.when(
         (F.size("tk") >= _QC_MIN_TOK)
         & (
             F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
             >= _QC_MIN_RATIO
-        )
-    ).cast("int")
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     barr = F.concat(
-        F.transform("tk", lambda t: (hash60(t) % _QC_D).cast("int")),
+        # coalesce: a NULL text tokenizes to a NULL array, and
+        # concat(NULL, bias) would null the whole feature vector —
+        # while the oracle's unnest(NULL) emits zero token rows but
+        # keeps the bias rows.  Empty-array coalesce makes both
+        # engines score NULL docs on the bias alone.
+        F.coalesce(
+            F.transform("tk", lambda t: (hash60(t) % _QC_D).cast("int")),
+            F.array().cast("array<int>"),
+        ),
         F.array_repeat(F.lit(_QC_D).cast("int"), _QC_BC),
     )
     return staged.select(

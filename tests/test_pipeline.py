@@ -777,3 +777,25 @@ def test_append_to_prior_index_matches_fresh_rebuild(spark, sf_dir):
             "t_app_fresh_bloom",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_quality_classifier_null_text_scores_on_bias(spark):
+    """A NULL text must not null the feature vector (concat(NULL, bias)
+    trap): both engines score such a doc on the bias pseudo-counts
+    alone — Spark via the coalesced empty token array, the oracle via
+    unnest(NULL) emitting zero token rows."""
+    from presto_copy_spark.queries.pipeline import (
+        _QC_BC,
+        _QC_D,
+        qc_featurize,
+        qc_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    w = [1] * (_QC_D + 1)
+    rows = {r["doc_id"]: r for r in qc_score(qc_featurize(df), w).collect()}
+    assert rows[1]["z"] == _QC_BC  # bias-only margin
+    assert rows[1]["y"] == 0
+    assert rows[2]["z"] == 3 + _QC_BC
