@@ -394,16 +394,20 @@ def main() -> None:
         # protocol (1 prewarm + 2x3 measured runs of ONE built
         # DataFrame) prices encode+search against a materialized model
         # while the DuckDB baseline re-runs its train CTEs every run.
-        # docs_quality_classifier (r14) is the strongest case of the
-        # same class: its gradient-descent training runs DRIVER-SIDE at
-        # DataFrame build, so its timed saves price only the map-only
-        # scoring pass.  The scale-convergence tables (BASELINE.md
-        # sf1x/sf3x) rebuild and re-train per run and do NOT carry this
-        # asymmetry; tools/r14_classifier_decades.py is the classifier's
+        # docs_quality_classifier: its gradient-descent training runs
+        # DRIVER-SIDE at DataFrame build, so its timed saves price only
+        # the map-only scoring pass — and since round 15 the DuckDB
+        # denominator measures the SAME work (registry.
+        # BENCH_ORACLE_BUILDERS: refresh_baseline trains untimed and
+        # times a frozen-literal-weights score-only SQL), closing the
+        # r14 accounting asymmetry.  The scale-convergence tables
+        # (BASELINE.md sf1x/sf3x) rebuild and re-train per run on BOTH
+        # engines; tools/r14_classifier_decades.py is the classifier's
         # train-inclusive decade sweep (BASELINE.md §r14).
-        "note": "ANN + classifier rows price search/scoring against"
-        " prebuilt models; see BASELINE.md scale tables for"
-        " train-inclusive runs",
+        "note": "ANN rows price search against prebuilt models (DuckDB"
+        " denominator re-trains; disclosed); classifier row is"
+        " symmetric score-only on both engines since r15; see"
+        " BASELINE.md scale tables for train-inclusive runs",
     }
     # The driver captures only a bounded tail (~2000 chars) of stdout,
     # so the FINAL line must stay compact or the headline is lost

@@ -51,10 +51,17 @@ N_BUCKETS = 32
 # from BUILT-INS: k=3 positions from three independent xxhash64 draws
 # (seed column varies; no combining arithmetic, so ANSI overflow
 # checking never trips), bit words OR-folded with bit_or into one
-# packed array<long> row.  Everything — build and probe — stays inside whole-stage
-# codegen; the filter for a billion-fp prior at 16 bits/key is 2 GB,
-# but per-dump probes only ever broadcast the PRIOR-GENERATION build,
-# and at the fixture scales it is KBs.  fpp ≈ (1-e^(-3/16))^3 ≈ 0.5%.
+# packed array<long> row.  Everything — build and probe — stays inside
+# whole-stage codegen.  SCALE CEILING (stated honestly): the build
+# packs ALL words into ONE array<long> in ONE row via collect_list +
+# transform(sequence(...)), so it is bounded by Spark's single-object
+# limits — one task densifies the array and one row must hold it.  In
+# practice that caps m_bits around the low billions (a few hundred MB
+# per row); the docstring's former "billion-fp prior at 16 bits/key is
+# 2 GB" case does NOT fit this representation.  Past that, store the
+# bloom as a multi-row (word_range, array<long>) table and range-join
+# the probe — same no-false-negative contract, no single-row funnel.
+# At fixture scales the packed row is KBs.  fpp ≈ (1-e^(-3/16))^3 ≈ 0.5%.
 BLOOM_BITS_PER_KEY = 16
 BLOOM_K = 3
 
@@ -145,7 +152,7 @@ def persist_prior_index(
     # lazy imports: the profile/fingerprint definitions live with the
     # inline operator so the two paths can never drift apart
     from ..queries.text import N_BANDS, N_HASHES, _minhash_profile
-    from ..sources.connectors import create_bucketed_table
+    from ..sources.connectors import create_bucketed_table, preclean_managed_table
     from .text import hash60
 
     fp = prior_docs.select(hash60(F.col("text")).alias("fp")).distinct()
@@ -164,7 +171,7 @@ def persist_prior_index(
     # is a persist-time driver scalar, same bounded class as the
     # ANALYZE stats write.
     m_bits = _bloom_m_bits(spark.table(f"{prefix}_fp").count())
-    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bloom")
+    preclean_managed_table(spark, f"{prefix}_bloom")
     build_fp_bloom(spark.table(f"{prefix}_fp"), m_bits).write.mode(
         "overwrite"
     ).saveAsTable(f"{prefix}_bloom")
@@ -313,13 +320,22 @@ def append_to_prior_index(
     reads in place — SelectedBucketsCount, zero exchanges), so the
     appended fp/band rows land in the same layout the probe merge-joins
     against; only the dump-sized increment is hashed and written, never
-    the existing index.  The fp increment anti-joins the existing table
-    to preserve its table-level distinctness.  The Bloom is REBUILT
-    from the full fp table (not OR-merged): the bit-array size is a
-    function of the growing key count, and the build is one cheap
-    map-side-combined pass over longs — rebuilding keeps the fpp at
-    its design point instead of degrading as the corpus grows."""
+    the existing index.  BOTH increments anti-join the existing table
+    — fp on fp, bands on (doc_id, band_key) — so a RETRY after a
+    partial failure converges to exactly the fresh-rebuild state
+    instead of double-inserting band rows (output would survive thanks
+    to the probe's distinct(), but probe cost would silently inflate).
+    Insert order is bands first, fp LAST: fp is the increment's own
+    anti-join guard, so committing it last means a crash anywhere
+    mid-append leaves the fp rows absent and the retry redoes the whole
+    dump, with the bands anti-join absorbing whatever landed.  The
+    Bloom is REBUILT from the full fp table (not OR-merged): the
+    bit-array size is a function of the growing key count, and the
+    build is one cheap map-side-combined pass over longs — rebuilding
+    keeps the fpp at its design point instead of degrading as the
+    corpus grows."""
     from ..queries.text import N_BANDS, N_HASHES, _minhash_profile
+    from ..sources.connectors import preclean_managed_table
     from .text import hash60
 
     fp_inc = (
@@ -327,13 +343,21 @@ def append_to_prior_index(
         .distinct()
         .join(spark.table(f"{prefix}_fp"), "fp", "left_anti")
     )
-    fp_inc.write.insertInto(f"{prefix}_fp", overwrite=False)
-    bands_inc = _band_key_col(
-        _minhash_profile(spark, accepted_docs), N_HASHES, N_BANDS
+    bands_inc = (
+        _band_key_col(_minhash_profile(spark, accepted_docs), N_HASHES, N_BANDS)
+        .join(
+            spark.table(f"{prefix}_bands").select("doc_id", "band_key"),
+            ["doc_id", "band_key"],
+            "left_anti",
+        )
+        # insertInto matches by POSITION; the multi-key join hoists the
+        # join columns first, so restore the table's column order
+        .select("doc_id", "n", "sh_set", "band_key")
     )
     bands_inc.write.insertInto(f"{prefix}_bands", overwrite=False)
+    fp_inc.write.insertInto(f"{prefix}_fp", overwrite=False)
     m_bits = _bloom_m_bits(spark.table(f"{prefix}_fp").count())
-    spark.sql(f"DROP TABLE IF EXISTS {prefix}_bloom")
+    preclean_managed_table(spark, f"{prefix}_bloom")
     build_fp_bloom(spark.table(f"{prefix}_fp"), m_bits).write.mode(
         "overwrite"
     ).saveAsTable(f"{prefix}_bloom")

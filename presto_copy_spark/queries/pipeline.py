@@ -49,7 +49,7 @@ from ..operators.text import (
 )
 from .qutil import spread_scan
 from .qutil import compile_once_scalar
-from .registry import query
+from .registry import BENCH_ORACLE_BUILDERS, query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +937,11 @@ def qc_learn_weights(feats: DataFrame) -> list[int]:
     )
     n = tr.count()
     w = [0] * (_QC_D + 1)
+    if n == 0:
+        # empty train split (e.g. every doc_id % 5 == 0, or an empty
+        # fixture): the zero model is the only defined answer — the
+        # update below would divide by n
+        return w
     for _ in range(_QC_T):
         warr = F.array(*[F.lit(v).cast("long") for v in w])
         # rq is STAGED in its own projection: inlined next to the
@@ -954,7 +959,13 @@ def qc_learn_weights(feats: DataFrame) -> list[int]:
         )
         g = {r["b"]: r["g"] for r in g_rows}
         # floor((LRK * g) / n) in driver floats is the same IEEE
-        # double division + floor both engines execute
+        # double division + floor both engines execute.  Exactness
+        # bound: Python's int/int division rounds the EXACT integer
+        # quotient while the oracle casts the BIGINT product to DOUBLE
+        # first, so bit-identity holds only while |LRK*g| <= 2^53 —
+        # i.e. n_train up to ~2^26 docs at this residual scale.  Past
+        # that, switch BOTH sides to integer floor-division
+        # (LRK*g // n, BIGINT // in DuckDB) to stay exact at any n.
         w = [
             w[j] - math.floor(_QC_LRK * g.get(j, 0) / n)
             for j in range(_QC_D + 1)
@@ -975,18 +986,11 @@ def qc_score(feats: DataFrame, weights: list[int]) -> DataFrame:
     ).withColumn("predicted", (F.col("z") > 0).cast("int"))
 
 
-def _sql_quality_clf_oracle() -> str:
-    """The identical unrolled iterations as DuckDB CTEs (the
-    _sql_kmeans_oracle pattern): weights live as a (bucket, w)
-    relation, margins as LEFT-JOIN sums — relationally different from
-    the Spark HOF form, arithmetically bit-identical."""
-    zd = f"{_QC_WS * _QC_ZN}.0"
-
-    def sig(z: str) -> str:
-        return f"(0.5 + ({z}/{zd})/(2*(1+abs({z}/{zd}))))"
-
-    parts = [
-        f"""
+def _qc_feat_ctes() -> str:
+    """The featurize CTEs (label + hashed bucket ids) shared by the
+    train-inclusive correctness oracle and the score-only bench
+    denominator."""
+    return f"""
 lab AS MATERIALIZED (
   SELECT doc_id, tk,
          CASE WHEN len(tk) >= {_QC_MIN_TOK}
@@ -1001,7 +1005,29 @@ tok AS MATERIALIZED (
   UNION ALL
   SELECT doc_id, {_QC_D} AS b
   FROM lab, unnest(generate_series(1, {_QC_BC})) AS g(i)
-),
+)"""
+
+
+_QC_CONFUSION_TAIL = """
+SELECT CASE WHEN is_train THEN 'train' ELSE 'holdout' END AS split,
+       y AS label,
+       CASE WHEN z > 0 THEN 1 ELSE 0 END AS predicted,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(z) AS BIGINT) AS sum_margin
+FROM zf GROUP BY 1, 2, 3
+"""
+
+
+def _qc_train_parts() -> list[str]:
+    """Unrolled gradient-descent CTEs through the final weights w{T}."""
+    zd = f"{_QC_WS * _QC_ZN}.0"
+
+    def sig(z: str) -> str:
+        return f"(0.5 + ({z}/{zd})/(2*(1+abs({z}/{zd}))))"
+
+    parts = [
+        _qc_feat_ctes()
+        + f""",
 ntr AS MATERIALIZED (SELECT count(*) AS n FROM lab WHERE is_train),
 r0 AS MATERIALIZED (SELECT doc_id, CAST(floor((0.5 - y) * {_QC_WS}) AS BIGINT) AS rq
        FROM lab WHERE is_train),
@@ -1027,6 +1053,15 @@ w{i + 1} AS MATERIALIZED (SELECT b, CAST(w - floor(({_QC_LRK} * g)::DOUBLE / n)
                             AS BIGINT) AS w
              FROM g{i} JOIN w{i} USING (b), ntr)"""
         )
+    return parts
+
+
+def _sql_quality_clf_oracle() -> str:
+    """The identical unrolled iterations as DuckDB CTEs (the
+    _sql_kmeans_oracle pattern): weights live as a (bucket, w)
+    relation, margins as LEFT-JOIN sums — relationally different from
+    the Spark HOF form, arithmetically bit-identical."""
+    parts = _qc_train_parts()
     parts.append(
         f"""
 ztf AS MATERIALIZED (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
@@ -1034,18 +1069,42 @@ ztf AS MATERIALIZED (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
 zf AS MATERIALIZED (SELECT l.doc_id, l.y, l.is_train, COALESCE(z, 0) AS z
        FROM lab l LEFT JOIN ztf USING (doc_id))"""
     )
+    return "WITH " + ",".join(parts) + _QC_CONFUSION_TAIL
+
+
+def _qc_bench_score_oracle(con) -> str:
+    """Bench-denominator SYMMETRY (VERDICT r14 Wrong #2): Spark's timed
+    classifier row is the map-only scoring pass against weights frozen
+    at DataFrame build, so the DuckDB row it is priced against must
+    measure the SAME work.  This builder runs the training CTEs ONCE,
+    untimed (exactly what qc_learn_weights does outside bench.py's
+    timed region), freezes the final weights as literals, and returns
+    the score-only SQL — featurize + a 65-row literal weight join +
+    the confusion aggregate — for refresh_baseline to time.  The
+    correctness oracle (ORACLES entry) stays train-inclusive and
+    bit-exact; only the denominator's timed region changes."""
+    train_sql = (
+        "WITH "
+        + ",".join(_qc_train_parts())
+        + f" SELECT b, w FROM w{_QC_T} ORDER BY b"
+    )
+    rows = con.sql(train_sql).fetchall()
+    vals = ",".join(f"({int(b)},{int(w)})" for b, w in rows)
     return (
         "WITH "
-        + ",".join(parts)
-        + """
-SELECT CASE WHEN is_train THEN 'train' ELSE 'holdout' END AS split,
-       y AS label,
-       CASE WHEN z > 0 THEN 1 ELSE 0 END AS predicted,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(z) AS BIGINT) AS sum_margin
-FROM zf GROUP BY 1, 2, 3
-"""
+        + _qc_feat_ctes()
+        + f""",
+wf AS (SELECT CAST(b AS INT) AS b, CAST(w AS BIGINT) AS w
+       FROM (VALUES {vals}) AS v(b, w)),
+ztf AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS z
+        FROM tok t JOIN wf w USING (b) GROUP BY t.doc_id),
+zf AS (SELECT l.doc_id, l.y, l.is_train, COALESCE(z, 0) AS z
+       FROM lab l LEFT JOIN ztf USING (doc_id))"""
+        + _QC_CONFUSION_TAIL
     )
+
+
+BENCH_ORACLE_BUILDERS["docs_quality_classifier"] = _qc_bench_score_oracle
 
 
 @query("docs_quality_classifier", oracle=_sql_quality_clf_oracle())

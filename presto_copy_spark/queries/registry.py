@@ -20,6 +20,18 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Bench-denominator overrides (round 15, VERDICT r14 Wrong #2): a row
+# whose Spark timed region prices scoring/probing against a PREBUILT
+# model must be priced against a DuckDB denominator measuring the SAME
+# work.  Each builder takes a live duckdb connection with the fixture
+# views registered, runs whatever training/index build it needs UNTIMED
+# (temp tables / literal weights — the analogue of Spark's
+# DataFrame-build-time training), and returns the score-only SQL that
+# tools/refresh_baseline.py times INSTEAD of ORACLES[name].  The
+# ORACLES entry itself is untouched — correctness comparisons stay
+# train-inclusive and bit-exact.
+BENCH_ORACLE_BUILDERS: dict[str, Callable] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator: register a query implementation + its oracle SQL."""

@@ -27,6 +27,7 @@ __all__ = [
     "read_table",
     "write_table",
     "blackhole",
+    "preclean_managed_table",
     "create_table_as",
     "create_bucketed_table",
     "insert_into",
@@ -87,8 +88,35 @@ def blackhole(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def preclean_managed_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS *and* remove any orphaned warehouse directory.
+
+    A killed process can leave the managed location
+    ``{warehouse}/{table}`` on disk while the next session's fresh
+    in-memory metastore never knew the table — then ``DROP TABLE IF
+    EXISTS`` is a no-op (the metastore has nothing to drop) and
+    ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS.  Every
+    managed-table CTAS in this package routes through here so a dirty
+    checkout (or a driver run killed mid-write) can never poison later
+    sessions.  Presto's CTAS has the same cleanup obligation in its
+    connector metadata (HiveMetadata.beginCreateTable cleans staged
+    locations on abort)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+        loc = os.path.join(warehouse, f"{db.lower()}.db", tbl.lower())
+    else:
+        loc = os.path.join(warehouse, name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def create_table_as(spark: SparkSession, name: str, df: DataFrame, fmt: str = "parquet") -> None:
     """CTAS into the session warehouse (StatementAnalyzer CTAS path)."""
+    preclean_managed_table(spark, name)
     df.write.format(fmt).mode("overwrite").saveAsTable(name)
 
 
@@ -112,6 +140,7 @@ def create_bucketed_table(
     lever a pipeline owns.  sort_cols additionally pre-sorts within
     buckets so SortMergeJoin skips its sort.
     """
+    preclean_managed_table(spark, name)
     w = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

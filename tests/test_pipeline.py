@@ -767,6 +767,24 @@ def test_append_to_prior_index_matches_fresh_rebuild(spark, sf_dir):
         # appended index still probed in place
         plan = plan_string(out, "simple")
         assert "SelectedBucketsCount" in plan
+
+        # round 15 (ADVICE r14): a RETRIED append must be idempotent —
+        # both increments are anti-join-guarded, so re-running the same
+        # dump inserts zero rows and the index stays exactly the
+        # fresh-rebuild state (no duplicate band rows inflating probes)
+        n_fp = spark.table("t_app_idx_fp").count()
+        n_bands = spark.table("t_app_idx_bands").count()
+        append_to_prior_index(spark, g2, "t_app_idx")
+        assert spark.table("t_app_idx_fp").count() == n_fp
+        assert spark.table("t_app_idx_bands").count() == n_bands
+        assert n_bands == spark.table("t_app_fresh_bands").count()
+        retry = sorted(
+            map(
+                tuple,
+                dedup_against_prior(spark, probe, "t_app_idx").collect(),
+            )
+        )
+        assert retry == want
     finally:
         for t in (
             "t_app_idx_fp",

@@ -429,3 +429,47 @@ def test_jdbc_index_join_derby(spark, tmp_path):
                 spark, badprobe, url, "dim", key="label",
                 probe_key="lbl", driver=drv,
             )
+
+
+def test_saveastable_survives_orphan_warehouse_dir(spark):
+    """Round-15 regression (VERDICT r14 Wrong #1): a killed process can
+    leave a managed table's warehouse DIRECTORY on disk while the next
+    session's fresh in-memory metastore never knew the table.  `DROP
+    TABLE IF EXISTS` is then a no-op and a bare `saveAsTable` dies with
+    LOCATION_ALREADY_EXISTS — poisoning every later run on the dirty
+    checkout.  Both CTAS entry points must pre-clean the orphan
+    location and succeed."""
+    import os
+    import shutil
+
+    from presto_copy_spark.sources.connectors import (
+        create_bucketed_table,
+        create_table_as,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    df = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    try:
+        for name in ("t_orphan_plain", "t_orphan_bucketed"):
+            # seed the orphan: a directory the metastore knows nothing
+            # about, with a stray file so it is non-trivially occupied
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            loc = os.path.join(warehouse, name)
+            os.makedirs(loc, exist_ok=True)
+            with open(os.path.join(loc, "stray-part-00000"), "w") as f:
+                f.write("orphaned by a killed process")
+
+        create_table_as(spark, "t_orphan_plain", df)
+        assert spark.table("t_orphan_plain").count() == 10
+
+        create_bucketed_table(
+            spark, "t_orphan_bucketed", df, ["k"], 4, ["k"]
+        )
+        assert spark.table("t_orphan_bucketed").count() == 10
+        # the stray file must be gone, not absorbed into the table scan
+        files = os.listdir(os.path.join(warehouse, "t_orphan_bucketed"))
+        assert not any("stray" in f for f in files), files
+    finally:
+        for name in ("t_orphan_plain", "t_orphan_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)

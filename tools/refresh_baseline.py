@@ -57,10 +57,25 @@ def main() -> None:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # Denominator symmetry (round 15, VERDICT r14 Wrong #2): rows whose
+    # Spark timed region scores/probes against a prebuilt model get a
+    # score-only timed SQL — the builder trains UNTIMED (the analogue
+    # of Spark's DataFrame-build-time training) and returns the SQL
+    # measuring only the work bench.py times.  ORACLES stays the
+    # train-inclusive correctness SQL.
+    timed_sql: dict[str, str] = dict(registry.ORACLES)
+    symmetric_rows = []
+    for name, builder in registry.BENCH_ORACLE_BUILDERS.items():
+        if name in timed_sql:
+            timed_sql[name] = builder(con)
+            symmetric_rows.append(name)
+    if symmetric_rows:
+        print(f"score-only denominators: {sorted(symmetric_rows)}", file=sys.stderr)
+
     pass_samples: dict[str, list[float]] = {n: [] for n in registry.ORACLES}
     for pass_i in range(3):
         for name in sorted(registry.ORACLES):
-            sql = registry.ORACLES[name]
+            sql = timed_sql[name]
             if pass_i == 0:
                 con.sql(sql).fetchall()  # warm
             samples = []
@@ -77,7 +92,7 @@ def main() -> None:
     for name in sorted(registry.ORACLES):
         meds = pass_samples[name]
         if meds and min(meds) > 0 and max(meds) / min(meds) > 1.3:
-            sql = registry.ORACLES[name]
+            sql = timed_sql[name]
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -111,12 +126,18 @@ def main() -> None:
     )
     table = "\n".join(lines)
 
+    sym = (
+        f"  Score-only (model prebuilt untimed) denominators:"
+        f" {sorted(symmetric_rows)}."
+        if symmetric_rows
+        else ""
+    )
     note = (
         f"Refresh note: {time.strftime('%Y-%m-%d %H:%M')} local — canary"
         f" {gate['final_sec']} s (ref {gate['ref_sec']}, band"
         f" {gate['band']}x, in_band={gate['in_band']},"
         f" attempts={len(gate['attempts'])}); numbers below measured"
-        " only in this certified window.\n\n"
+        f" only in this certified window.{sym}\n\n"
     )
     src = open(BASELINE).read()
     start = src.index("| query | duckdb sec |")
