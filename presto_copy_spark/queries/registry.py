@@ -54,83 +54,77 @@ def query(name: str, oracle: str | None = None):
 # tests/test_queries_vs_oracle.py against the same DuckDB oracle on every
 # pytest run.
 DRIVER_PRIORITY: list[str] = [
-    # ---- Round-14 rotation (staleness policy, VERDICT r13 ask #5).
-    # In: EVERY row whose last driver check predates r10 — the whole
-    # r3/r4-vintage tail (golden-dialect + func long tail, 28 rows)
-    # plus the r5/r7/r8 tiers (11 rows) — then the new
-    # docs_quality_classifier (first driver row), 7 of the 8 r10-
-    # vintage rows, dedup_exact (r11) keeping the dedup family
-    # represented, and re-proof slots for the two code paths round 14
-    # touched: events_json_props (fast-path regex gained the
-    # exactly-once key guard) and events_stateful_profile (the
-    # streaming-state family's HALF_UP rounding fix).  Out (all
-    # r13-green): the entire r13 window.  agg_hll_sketch_merge (r10)
-    # is the one stale row bumped for the dedup representative —
-    # first slot next round.  After this window no row's last driver
-    # check predates r10.  The whole registry stays DuckDB-value-
-    # oracled on every pytest run via tests/test_queries_vs_oracle.py.
-    # -- r03 vintage --
-    "agg_classification",
-    "agg_corr_covar",
-    "agg_grouping_sets",
-    "agg_khll_uniqueness",
-    "agg_min_max_by",
-    "agg_noisy_zero_scale",
-    "agg_numeric_histogram",
-    "agg_setdigest_jaccard",
-    "agg_top_k_frequent",
-    "events_session",
-    "events_tumbling",
-    "func_array",
-    "func_map_json",
-    "func_string",
-    "func_tier2_arrays_maps",
-    "geo_point_functions",
-    "join_cross_theta",
-    "tpch_q20",
-    "win_groups_frame",
-    # -- r04 vintage --
-    "case_when_buckets",
-    "docs_vocab_coverage",
-    "setop_except",
-    "setop_intersect_all",
-    "sim_quantized_cosine",
-    "text_bpe_tokens",
-    "text_repetition",
-    "text_token_stats",
-    "tpch_q13",
-    # -- r05 vintage --
-    "agg_histogram_map",
-    "docs_mix_sample",
-    "text_quality",
-    # -- r07 vintage --
-    "tpch_q01",
-    "tpch_q11",
-    "tpch_q15",
-    "tpch_q22",
-    # -- r08 vintage --
-    "func_specialty",
-    "sample_systematic",
-    "unnest_explode",
-    "values_inline",
-    # -- NEW round 14 --
-    "docs_quality_classifier",  # learned quality gate (hashed-BoW
-    # linear classifier, unrolled integer GD) — first driver row
-    # -- r10 vintage --
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "events_sliding",
-    "ml_learn_classify",
-    "multimodal_features",
-    "multimodal_meta_stats",
-    "pii_scrub",
-    # -- family representative + round-14 re-proof slots --
-    "dedup_exact",  # dedup family (r11)
-    "events_json_props",  # re-proof: exactly-once key guard (r14)
-    "events_stateful_profile",  # re-proof: HALF_UP fix in the
-    # streaming-profile family (r14)
+    # ---- Round-15 rotation (staleness policy).  In: the NEW persisted-
+    # ANN-index probe (first driver row), agg_hll_sketch_merge (the one
+    # r10 row, promised first slot last round), the ENTIRE 17-row r11
+    # tier, re-proof slots for the three code paths round 15 touched
+    # (sim_ivfadc was refactored into shared stage functions;
+    # dedup_incremental's operators/incremental.py append path gained
+    # the idempotency guards + preclean; docs_quality_classifier's
+    # qc_learn_weights gained the empty-split guard), and 28 of the 48
+    # r12-vintage rows chosen for family coverage (incl. text_lang_id
+    # so the text family stays represented).  Out (all r14-green): the
+    # whole r14 window.  After this window no row's last driver check
+    # predates r11; the 20 remaining r12 rows are round 16's first
+    # fill.  The whole registry stays DuckDB-value-oracled on every
+    # pytest run via tests/test_queries_vs_oracle.py.
+    # -- NEW round 15 --
+    "sim_ann_index_probe",  # persisted IVFADC index: partition-pruned probe
+    # -- r10 vintage (promised first slot) --
+    "agg_hll_sketch_merge",
+    # -- r11 vintage (whole tier) --
+    "agg_kll_quantile_rollup",
+    "agg_percentiles",
+    "agg_skew_kurt",
+    "agg_theta_sketch_setops",
+    "distinct_limit",
+    "docs_lm_quality",
+    "docs_temperature_mix",
+    "events_streaming_session",
+    "geo_hull_union",
+    "join_full_outer",
+    "setop_except_all",
+    "sim_ivf_probe",
+    "sql_recursive_cte",
+    "subquery_in",
+    "tpch_q02",
+    "win_first_last_nth",
+    "win_sliding_frame",
+    # -- round-15 re-proof slots --
+    "sim_ivfadc",  # re-proof: refactored into ivfadc_* stage functions
+    "dedup_incremental",  # re-proof: incremental append idempotency + preclean
+    "docs_quality_classifier",  # re-proof: qc_learn_weights empty-split guard
+    # -- r12 vintage (28 of 48, family coverage) --
+    "agg_cube",
+    "agg_khll_privacy",
+    "agg_variance_stddev",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "docs_chunk_windows",
+    "docs_filter_funnel",
+    "events_asof_join",
+    "func_binary_hash",
+    "func_i18n_color",
+    "func_math",
+    "func_qdigest_quantile",
+    "geo_distance_join",
+    "geo_polygon_predicates",
+    "join_anti",
+    "join_inner",
+    "join_semi",
+    "lateral_view",
+    "ml_kmeans",
+    "multimodal_audio_features",
+    "setop_intersect",
+    "sim_pq_adc",
+    "sort_limit_offset",
+    "sql_presto_aggregates",
+    "subquery_scalar",
+    "text_lang_id",
     # ---- the 50-entry cut lands here ----
-    # (Rotation ledgers for rounds 5-13 live in git history of this
+    # (Rotation ledgers for rounds 5-14 live in git history of this
     # block.)
 ]
 

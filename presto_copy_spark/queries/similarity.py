@@ -31,7 +31,7 @@ from ..operators.similarity import (
     sql_qdot,
     sql_sign_bucket,
 )
-from .registry import query
+from .registry import BENCH_ORACLE_BUILDERS, query
 
 TOPK = 5
 NEARDUP_T = 0.9
@@ -634,159 +634,33 @@ IVF_RERANK = 20
 _SQL_CELL_DIST = "CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT)"
 
 
-@query(
-    "sim_ivfadc",
-    oracle=f"""
-WITH coords AS (
-  SELECT vec_id, i,
-         CAST(floor((i-1)/{PQ_SUB}) AS BIGINT) AS m, (i-1)%{PQ_SUB} AS j,
-         CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
-),
-coarse0 AS (SELECT vec_id AS cell, i, qv AS cv FROM coords WHERE vec_id < {IVF_NCELLS}),
-train AS (SELECT * FROM coords WHERE vec_id % {PQ_TRAIN_MOD} = 0),
-cdist0 AS (
-  SELECT c.vec_id, ct.cell, {_SQL_CELL_DIST} AS dist
-  FROM train c JOIN coarse0 ct ON c.i = ct.i GROUP BY 1, 2
-),
-cassign0 AS (
-  SELECT vec_id, cell FROM (
-    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM cdist0 d) t WHERE rn = 1
-),
-coarse1 AS (
-  SELECT a.cell, c.i,
-         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM train c JOIN cassign0 a ON c.vec_id = a.vec_id
-  GROUP BY 1, 2
-),
-cdist1 AS (
-  SELECT c.vec_id, ct.cell, {_SQL_CELL_DIST} AS dist
-  FROM coords c JOIN coarse1 ct ON c.i = ct.i GROUP BY 1, 2
-),
-cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-    FROM cdist1 d) t WHERE rn = 1
-),
-resid AS (
-  SELECT c.vec_id, cl.cell, c.i, c.m, c.j, c.qv - ct.cv AS rv
-  FROM coords c JOIN cells cl ON c.vec_id = cl.vec_id
-                JOIN coarse1 ct ON ct.cell = cl.cell AND ct.i = c.i
-),
-cent0 AS (SELECT vec_id AS code, m, j, rv AS cv FROM resid WHERE vec_id < {PQ_K}),
-rtrain AS (SELECT * FROM resid WHERE vec_id % {PQ_TRAIN_MOD} = 0),
-dist0 AS (
-  SELECT c.vec_id, c.m, ct.code, CAST(sum((c.rv - ct.cv) * (c.rv - ct.cv)) AS BIGINT) AS dist
-  FROM rtrain c JOIN cent0 ct ON c.m = ct.m AND c.j = ct.j GROUP BY 1, 2, 3
-),
-assign0 AS (
-  SELECT vec_id, m, code FROM (
-    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
-    FROM dist0 d) t WHERE rn = 1
-),
-cent1 AS (
-  SELECT a.code, c.m, c.j,
-         CAST(floor(CAST(sum(c.rv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM rtrain c JOIN assign0 a ON c.vec_id = a.vec_id AND c.m = a.m
-  GROUP BY 1, 2, 3
-),
-dist1 AS (
-  SELECT c.vec_id, c.cell, c.m, ct.code,
-         CAST(sum((c.rv - ct.cv) * (c.rv - ct.cv)) AS BIGINT) AS dist
-  FROM resid c JOIN cent1 ct ON c.m = ct.m AND c.j = ct.j GROUP BY 1, 2, 3, 4
-),
-codes AS (
-  SELECT vec_id, cell, m, code FROM (
-    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
-    FROM dist1 d) t WHERE rn = 1
-),
-qc AS (SELECT vec_id AS qid, i, m, j, qv FROM coords WHERE vec_id % {PQ_QMOD} = 0),
-qcell AS (
-  SELECT c.qid, ct.cell, CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
-  FROM qc c JOIN coarse1 ct ON c.i = ct.i GROUP BY 1, 2
-),
-probed AS (
-  SELECT qid, cell FROM (
-    SELECT d.*, row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn
-    FROM qcell d) t WHERE rn <= {IVF_NPROBE}
-),
-qresid AS (
-  SELECT qc.qid, p.cell, qc.i, qc.m, qc.j, qc.qv - ct.cv AS rv
-  FROM qc JOIN probed p ON p.qid = qc.qid
-          JOIN coarse1 ct ON ct.cell = p.cell AND ct.i = qc.i
-),
-lut AS (
-  SELECT q.qid, q.cell, ct.m, ct.code,
-         CAST(sum((q.rv - ct.cv) * (q.rv - ct.cv)) AS BIGINT) AS ldist
-  FROM qresid q JOIN cent1 ct ON q.m = ct.m AND q.j = ct.j
-  GROUP BY 1, 2, 3, 4
-),
-adc AS (
-  SELECT l.qid, cd.vec_id, CAST(sum(l.ldist) AS BIGINT) AS adist
-  FROM codes cd JOIN lut l ON cd.cell = l.cell AND cd.m = l.m AND cd.code = l.code
-  GROUP BY 1, 2
-),
-cand AS (
-  SELECT qid, vec_id FROM (
-    SELECT adc.*, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-    FROM adc) t WHERE rn <= {IVF_RERANK}
-),
-exact AS (
-  SELECT ca.qid, ca.vec_id, CAST(sum((qc.qv - c.qv) * (qc.qv - c.qv)) AS BIGINT) AS edist
-  FROM cand ca JOIN coords c ON c.vec_id = ca.vec_id
-               JOIN qc ON qc.qid = ca.qid AND qc.i = c.i
-  GROUP BY 1, 2
-)
-SELECT qid, vec_id AS neighbor, edist
-FROM (SELECT e.*, row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS rn
-      FROM exact e) t
-WHERE rn <= {PQ_TOPK}
-""",
-)
-def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ-ADC + exact re-rank — the composed corpus-scale ANN.
+# ---- IVFADC stages, shared by the inline query and the persisted index ----
+# (round 15): operators/ann_index.py persists exactly what these stages
+# compute — the same pattern as operators/incremental.py importing the
+# minhash profile from queries/text.py, so the inline pipeline and the
+# persist/probe/append path can never drift apart.
 
-    Round-4 rewrite: cluster/code ASSIGNMENT is vector-at-a-time HOF
-    math against packed one-row broadcast centroid tables
-    (operators/similarity.pack_centroids / hof_nearest) instead of the
-    exploded-coordinate join — the corpus side never explodes and never
-    shuffles to learn its cell or its codes.  Stage shapes at 100 TB:
 
-    - COARSE TRAIN: map-only seed assignment on the hash-sampled train
-      slice + ONE posexplode hash agg for the per-dim means (map-side
-      combine collapses to NCELLS x dim rows before the exchange).
-    - ASSIGN + RESIDUAL + ENCODE: one map-only corpus pass — nearest
-      cell, residual array (zip_with against the winning centroid), and
-      all PQ_M codes computed per row against the broadcast codebooks;
-      the only materialized output is (vec_id, cell, m, code), the
-      4-bytes-per-vector artifact you persist partitioned BY CELL.
-    - SEARCH: per (query, probed cell) residual LUTs built row-locally
-      from the same packed tables (probed cells = slice of the sorted
-      per-cell distance array — no window), ADC join restricted to
-      probed cells, then exact integer-L2 re-rank of the IVF_RERANK
-      survivors (row-local zip_with on the quantized arrays).
+def ivfadc_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, qarr): the scaled-integer embedding both engines agree on."""
+    from ..operators.similarity import quantize_arr
 
-    Arithmetic is unchanged from the exploded form (same CSCALE longs,
-    same (dist, key) tie-breaks), so the DuckDB oracle — the original
-    pipeline as CTEs — still matches bit-for-bit; recall invariants in
-    tests/test_pipeline.py.
-    """
+    return emb.select("vec_id", quantize_arr(F.col("embedding")).alias("qarr"))
+
+
+def ivfadc_train(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the index model: (packed coarse centroids c1, packed PQ
+    codebook pq1) — each a KB-sized one-row DataFrame, localCheckpointed
+    because several downstream stages consume them and collect_list
+    breaks Catalyst's exchange reuse (see the round-5 note below).
+    These two rows ARE the persisted model artifacts of a train job."""
     from ..operators.similarity import (
         EMB_DIM,
         hof_argmin,
-        hof_nearest,
         mean_update,
         pack_cent_arr,
         pack_pq,
-        pq_code_structs,
         pq_code_sub_structs,
-        pq_lut_structs,
-        quantize_arr,
-    )
-
-    corpus = _emb(spark, sf_dir).select(
-        "vec_id", quantize_arr(F.col("embedding")).alias("qarr")
     )
 
     # ---- coarse quantizer: seed -> one Lloyd iteration -----------------
@@ -804,39 +678,12 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-5 fold: ONE groupBy(cell) agg with dim sum buffers instead
     # of posexplode -> groupBy(cell, i) -> re-pack (operators/similarity
     # mean_update — same integer arithmetic, one shuffle, no inflation).
-    # The packed model tables (one KB-sized row each) are
-    # localCheckpoint'd: they are consumed by several downstream stages
-    # (assign, encode, LUT build) whose subtrees Catalyst does NOT
-    # exchange-reuse (collect_list breaks canonical equality), so
-    # without the checkpoint the whole train chain re-executes once per
-    # consumer (measured: 34 shuffle stages -> 13).  In production these
-    # are exactly the persisted model artifacts of the train job.
     c1 = pack_cent_arr(
         mean_update(cassign0, "cell", "qarr", EMB_DIM), key="cell"
     ).localCheckpoint(eager=False)
 
-    # ---- map-only assign + residual ------------------------------------
-    assigned = (
-        corpus.crossJoin(F.broadcast(c1))
-        .select(
-            "vec_id",
-            "qarr",
-            hof_nearest(F.col("qarr"), F.col("cents")).alias("best"),
-        )
-        .select(
-            "vec_id",
-            "qarr",
-            F.col("best")["k"].alias("cell"),
-            F.zip_with(
-                F.col("qarr"), F.col("best")["cv_arr"], lambda a, b: a - b
-            ).alias("rarr"),
-        )
-    )
-
     # ---- PQ codebooks on residual slices -------------------------------
-    def sub(arr, m):
-        return F.slice(arr, m * PQ_SUB + 1, PQ_SUB)
-
+    assigned = ivfadc_assign(corpus, c1)
     seeds = assigned.filter(F.col("vec_id") < PQ_K)
     seed_slices = seeds.select(
         F.col("vec_id").alias("code"),
@@ -844,28 +691,13 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(PQ_M - 1)),
                 lambda m: F.struct(
-                    m.alias("m"), F.slice(F.col("rarr"), m * PQ_SUB + 1, PQ_SUB).alias("cv_arr")
+                    m.alias("m"),
+                    F.slice(F.col("rarr"), m * PQ_SUB + 1, PQ_SUB).alias("cv_arr"),
                 ),
             )
         ).alias("s"),
     ).select("code", F.col("s")["m"].alias("m"), F.col("s")["cv_arr"].alias("cv_arr"))
-
     pq0 = pack_pq(seed_slices)
-
-    def pq_codes(src: DataFrame, pq_packed: DataFrame) -> DataFrame:
-        """All PQ_M codes per row, computed row-locally -> exploded
-        (vec_id, cell, m, code) rows (the persistable artifact)."""
-        codes_arr = pq_code_structs(F.col("rarr"), F.col("pq"), PQ_M, PQ_SUB)
-        return (
-            src.crossJoin(F.broadcast(pq_packed))
-            .select("vec_id", "cell", F.explode(codes_arr).alias("c"))
-            .select(
-                "vec_id",
-                "cell",
-                F.col("c")["m"].alias("m"),
-                F.col("c")["code"].alias("code"),
-            )
-        )
 
     rtrain = assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 0)
     # per-(code, m, j) means, round-5 fold: ONE groupBy(m, code) agg
@@ -899,17 +731,66 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cv_arr"),
     )
-    # KB-sized model row, multi-consumer (encode + LUT): checkpoint for
-    # the same reason as c1 above
     pq1 = pack_pq(cent1_rows).localCheckpoint(eager=False)
-    codes = pq_codes(assigned, pq1)
+    return c1, pq1
 
-    # ---- query side ----------------------------------------------------
-    qs = assigned.filter(F.col("vec_id") % PQ_QMOD == 0).select(
-        F.col("vec_id").alias("qid"), "qarr"
+
+def ivfadc_assign(corpus: DataFrame, c1: DataFrame) -> DataFrame:
+    """Map-only corpus pass against the broadcast packed centroids:
+    (vec_id, qarr, cell, rarr) — nearest cell + residual, no shuffle."""
+    from ..operators.similarity import hof_nearest
+
+    return (
+        corpus.crossJoin(F.broadcast(c1))
+        .select(
+            "vec_id",
+            "qarr",
+            hof_nearest(F.col("qarr"), F.col("cents")).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "qarr",
+            F.col("best")["k"].alias("cell"),
+            F.zip_with(
+                F.col("qarr"), F.col("best")["cv_arr"], lambda a, b: a - b
+            ).alias("rarr"),
+        )
     )
-    # probed cells: slice of the per-cell distance array sorted by
-    # (dist, cell) — no window, no shuffle (the query set is tiny)
+
+
+def ivfadc_encode(assigned: DataFrame, pq1: DataFrame) -> DataFrame:
+    """All PQ_M codes per row, computed row-locally against the
+    broadcast codebook -> exploded (vec_id, cell, m, code) rows — the
+    4-bytes-per-vector artifact the persisted index stores BY CELL."""
+    from ..operators.similarity import pq_code_structs
+
+    codes_arr = pq_code_structs(F.col("rarr"), F.col("pq"), PQ_M, PQ_SUB)
+    return (
+        assigned.crossJoin(F.broadcast(pq1))
+        .select("vec_id", "cell", F.explode(codes_arr).alias("c"))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("c")["m"].alias("m"),
+            F.col("c")["code"].alias("code"),
+        )
+    )
+
+
+def ivfadc_search(
+    qs: DataFrame,
+    c1: DataFrame,
+    pq1: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+) -> DataFrame:
+    """The probe: qs = (qid, qarr) queries, vectors = (vec_id, qarr)
+    for the exact re-rank.  Probed cells per query are a slice of the
+    sorted per-cell distance array (no window, no shuffle); the ADC
+    join touches only probed cells; the IVF_RERANK survivors get an
+    exact integer-L2 re-rank (row-local zip_with)."""
+    from ..operators.similarity import pq_lut_structs
+
     probed = (
         qs.crossJoin(F.broadcast(c1))
         .select(
@@ -979,7 +860,7 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer-L2 re-rank: row-local zip_with on the quantized arrays
     exact = (
-        cand.join(corpus, "vec_id")
+        cand.join(vectors, "vec_id")
         .join(
             F.broadcast(qs.select("qid", F.col("qarr").alias("q_qarr"))), "qid"
         )
@@ -1001,6 +882,235 @@ def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("qid", F.col("vec_id").alias("neighbor"), "edist")
     )
+
+
+def _sql_ivfadc_train_ctes() -> str:
+    """coords .. codes — the index-BUILD CTE chain: coarse centroids
+    (coarse1), PQ codebook (cent1), per-vector codes (codes).  These
+    are exactly the artifacts operators/ann_index.persist_ann_index
+    materializes on the Spark side; shared by the full correctness
+    oracle and the bench builder's untimed temp-table index build."""
+    return f"""coords AS (
+  SELECT vec_id, i,
+         CAST(floor((i-1)/{PQ_SUB}) AS BIGINT) AS m, (i-1)%{PQ_SUB} AS j,
+         CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+coarse0 AS (SELECT vec_id AS cell, i, qv AS cv FROM coords WHERE vec_id < {IVF_NCELLS}),
+train AS (SELECT * FROM coords WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+cdist0 AS (
+  SELECT c.vec_id, ct.cell, {_SQL_CELL_DIST} AS dist
+  FROM train c JOIN coarse0 ct ON c.i = ct.i GROUP BY 1, 2
+),
+cassign0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM cdist0 d) t WHERE rn = 1
+),
+coarse1 AS (
+  SELECT a.cell, c.i,
+         CAST(floor(CAST(sum(c.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM train c JOIN cassign0 a ON c.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+cdist1 AS (
+  SELECT c.vec_id, ct.cell, {_SQL_CELL_DIST} AS dist
+  FROM coords c JOIN coarse1 ct ON c.i = ct.i GROUP BY 1, 2
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM cdist1 d) t WHERE rn = 1
+),
+resid AS (
+  SELECT c.vec_id, cl.cell, c.i, c.m, c.j, c.qv - ct.cv AS rv
+  FROM coords c JOIN cells cl ON c.vec_id = cl.vec_id
+                JOIN coarse1 ct ON ct.cell = cl.cell AND ct.i = c.i
+),
+cent0 AS (SELECT vec_id AS code, m, j, rv AS cv FROM resid WHERE vec_id < {PQ_K}),
+rtrain AS (SELECT * FROM resid WHERE vec_id % {PQ_TRAIN_MOD} = 0),
+dist0 AS (
+  SELECT c.vec_id, c.m, ct.code, CAST(sum((c.rv - ct.cv) * (c.rv - ct.cv)) AS BIGINT) AS dist
+  FROM rtrain c JOIN cent0 ct ON c.m = ct.m AND c.j = ct.j GROUP BY 1, 2, 3
+),
+assign0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+    FROM dist0 d) t WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.code, c.m, c.j,
+         CAST(floor(CAST(sum(c.rv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM rtrain c JOIN assign0 a ON c.vec_id = a.vec_id AND c.m = a.m
+  GROUP BY 1, 2, 3
+),
+dist1 AS (
+  SELECT c.vec_id, c.cell, c.m, ct.code,
+         CAST(sum((c.rv - ct.cv) * (c.rv - ct.cv)) AS BIGINT) AS dist
+  FROM resid c JOIN cent1 ct ON c.m = ct.m AND c.j = ct.j GROUP BY 1, 2, 3, 4
+),
+codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+    FROM dist1 d) t WHERE rn = 1
+)"""
+
+
+def _sql_ivfadc_search_ctes(
+    qc_src: str, coarse: str, cent: str, codes: str, coords: str
+) -> str:
+    """qc .. final top-k — the PROBE chain, parameterized on where the
+    index lives: CTE names for the inline correctness oracle, temp
+    TABLE names for the bench builder's probe-only timed SQL."""
+    return f"""qc AS ({qc_src}),
+qcell AS (
+  SELECT c.qid, ct.cell, CAST(sum((c.qv - ct.cv) * (c.qv - ct.cv)) AS BIGINT) AS dist
+  FROM qc c JOIN {coarse} ct ON c.i = ct.i GROUP BY 1, 2
+),
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY qid ORDER BY dist, cell) AS rn
+    FROM qcell d) t WHERE rn <= {IVF_NPROBE}
+),
+qresid AS (
+  SELECT qc.qid, p.cell, qc.i, qc.m, qc.j, qc.qv - ct.cv AS rv
+  FROM qc JOIN probed p ON p.qid = qc.qid
+          JOIN {coarse} ct ON ct.cell = p.cell AND ct.i = qc.i
+),
+lut AS (
+  SELECT q.qid, q.cell, ct.m, ct.code,
+         CAST(sum((q.rv - ct.cv) * (q.rv - ct.cv)) AS BIGINT) AS ldist
+  FROM qresid q JOIN {cent} ct ON q.m = ct.m AND q.j = ct.j
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT l.qid, cd.vec_id, CAST(sum(l.ldist) AS BIGINT) AS adist
+  FROM {codes} cd JOIN lut l ON cd.cell = l.cell AND cd.m = l.m AND cd.code = l.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT adc.*, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+    FROM adc) t WHERE rn <= {IVF_RERANK}
+),
+exact AS (
+  SELECT ca.qid, ca.vec_id, CAST(sum((qc.qv - c.qv) * (qc.qv - c.qv)) AS BIGINT) AS edist
+  FROM cand ca JOIN {coords} c ON c.vec_id = ca.vec_id
+               JOIN qc ON qc.qid = ca.qid AND qc.i = c.i
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id AS neighbor, edist
+FROM (SELECT e.*, row_number() OVER (PARTITION BY qid ORDER BY edist, vec_id) AS rn
+      FROM exact e) t
+WHERE rn <= {PQ_TOPK}
+"""
+
+
+def _sql_ivfadc_oracle() -> str:
+    """Train-inclusive correctness oracle — identical text to the
+    original round-4 oracle, now assembled from the two shared parts."""
+    qc_src = f"SELECT vec_id AS qid, i, m, j, qv FROM coords WHERE vec_id % {PQ_QMOD} = 0"
+    return (
+        "WITH "
+        + _sql_ivfadc_train_ctes()
+        + ",\n"
+        + _sql_ivfadc_search_ctes(qc_src, "coarse1", "cent1", "codes", "coords")
+    )
+
+
+@query(
+    "sim_ivfadc",
+    oracle=_sql_ivfadc_oracle(),
+)
+def sim_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC + exact re-rank — the composed corpus-scale ANN.
+
+    Round-4 rewrite: cluster/code ASSIGNMENT is vector-at-a-time HOF
+    math against packed one-row broadcast centroid tables
+    (operators/similarity.pack_centroids / hof_nearest) instead of the
+    exploded-coordinate join — the corpus side never explodes and never
+    shuffles to learn its cell or its codes.  Stage shapes at 100 TB:
+
+    - COARSE TRAIN: map-only seed assignment on the hash-sampled train
+      slice + ONE posexplode hash agg for the per-dim means (map-side
+      combine collapses to NCELLS x dim rows before the exchange).
+    - ASSIGN + RESIDUAL + ENCODE: one map-only corpus pass — nearest
+      cell, residual array (zip_with against the winning centroid), and
+      all PQ_M codes computed per row against the broadcast codebooks;
+      the only materialized output is (vec_id, cell, m, code), the
+      4-bytes-per-vector artifact you persist partitioned BY CELL.
+    - SEARCH: per (query, probed cell) residual LUTs built row-locally
+      from the same packed tables (probed cells = slice of the sorted
+      per-cell distance array — no window), ADC join restricted to
+      probed cells, then exact integer-L2 re-rank of the IVF_RERANK
+      survivors (row-local zip_with on the quantized arrays).
+
+    Arithmetic is unchanged from the exploded form (same CSCALE longs,
+    same (dist, key) tie-breaks), so the DuckDB oracle — the original
+    pipeline as CTEs — still matches bit-for-bit; recall invariants in
+    tests/test_pipeline.py.
+    """
+    corpus = ivfadc_quantize(_emb(spark, sf_dir))
+    c1, pq1 = ivfadc_train(corpus)
+    assigned = ivfadc_assign(corpus, c1)
+    codes = ivfadc_encode(assigned, pq1)
+    qs = corpus.filter(F.col("vec_id") % PQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), "qarr"
+    )
+    return ivfadc_search(qs, c1, pq1, codes, corpus)
+
+
+def _ann_bench_probe_oracle(con) -> str:
+    """Bench-denominator symmetry for the persisted-index probe (the
+    classifier pattern, registry.BENCH_ORACLE_BUILDERS): Spark's timed
+    region probes a PREBUILT index, so the DuckDB denominator builds
+    the same index UNTIMED into temp tables (coarse centroids, PQ
+    codebook, per-vector codes, quantized vectors) and the timed SQL is
+    the probe chain alone.  The correctness oracle (ORACLES entry)
+    stays the full train-inclusive pipeline."""
+    train = "WITH " + _sql_ivfadc_train_ctes()
+    for tbl, src in (
+        ("ann_coarse1", "SELECT * FROM coarse1"),
+        ("ann_cent1", "SELECT * FROM cent1"),
+        ("ann_codes", "SELECT * FROM codes"),
+        ("ann_coords", "SELECT vec_id, i, qv FROM coords"),
+    ):
+        con.sql(f"CREATE OR REPLACE TEMP TABLE {tbl} AS {train} {src}")
+    qc_src = f"""SELECT vec_id AS qid, i,
+         CAST(floor((i-1)/{PQ_SUB}) AS BIGINT) AS m, (i-1)%{PQ_SUB} AS j,
+         CAST(floor(embedding[i]::DOUBLE * {CSCALE}) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  WHERE vec_id % {PQ_QMOD} = 0"""
+    return "WITH " + _sql_ivfadc_search_ctes(
+        qc_src, "ann_coarse1", "ann_cent1", "ann_codes", "ann_coords"
+    )
+
+
+BENCH_ORACLE_BUILDERS["sim_ann_index_probe"] = _ann_bench_probe_oracle
+
+
+@query(
+    "sim_ann_index_probe",
+    oracle=_sql_ivfadc_oracle(),
+)
+def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN-index probe (round 15): train + persist the IVFADC
+    index (operators/ann_index.persist_ann_index — centroids/codebook
+    as KB-sized packed rows, codes + rerank vectors PARTITIONED BY
+    CELL), then search it.  Output is bit-identical to the inline
+    sim_ivfadc (same stage functions, same queries), which is why the
+    oracle is the same SQL; the difference is the PLAN — the probe's
+    code and vector scans carry PartitionFilters restricting the read
+    to the probed cells (asserted in tests/test_pipeline.py), the
+    frozen-index deployment shape of a 100 TB similarity pipeline."""
+    from ..operators.ann_index import persist_ann_index, probe_ann_index
+
+    emb = _emb(spark, sf_dir)
+    persist_ann_index(spark, emb, "t_ann_idx")
+    qs = ivfadc_quantize(emb).filter(F.col("vec_id") % PQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), "qarr"
+    )
+    return probe_ann_index(spark, qs, "t_ann_idx")
 
 
 # ---------------------------------------------------------------------------

@@ -817,3 +817,96 @@ def test_quality_classifier_null_text_scores_on_bias(spark):
     assert rows[1]["z"] == _QC_BC  # bias-only margin
     assert rows[1]["y"] == 0
     assert rows[2]["z"] == 3 + _QC_BC
+
+
+def test_persisted_ann_index_matches_inline_and_prunes(spark, sf_dir):
+    """operators/ann_index.py (round 15): the persisted IVFADC index
+    must (a) answer queries bit-identically to the inline sim_ivfadc,
+    (b) actually exploit the BY-CELL layout — a probe's codes scan
+    carries a PartitionFilters literal restricted to the probed cells
+    (for one query: at most IVF_NPROBE of the IVF_NCELLS partitions) —
+    and (c) fold a new dump in map-only against the frozen model,
+    retry-idempotently, landing exactly where encoding the full corpus
+    against that same frozen model would."""
+    import re
+
+    from presto_copy_spark.catalog import load_table
+    from presto_copy_spark.operators.ann_index import (
+        append_to_ann_index,
+        persist_ann_index,
+        probe_ann_index,
+    )
+    from presto_copy_spark.queries import registry
+    from presto_copy_spark.queries.similarity import (
+        IVF_NPROBE,
+        PQ_QMOD,
+        ivfadc_assign,
+        ivfadc_encode,
+        ivfadc_quantize,
+        ivfadc_search,
+        ivfadc_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        # (a) registry probe == inline pipeline, non-trivially many rows
+        got = sorted(
+            map(
+                tuple,
+                registry.QUERIES["sim_ann_index_probe"](spark, sf_dir).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, registry.QUERIES["sim_ivfadc"](spark, sf_dir).collect())
+        )
+        assert got == want and len(got) > 0
+
+        # (b) one-query probe reads at most NPROBE of the NCELLS
+        # partitions, enforced at the SCAN (PartitionFilters, not a
+        # post-read filter)
+        corpus_all = ivfadc_quantize(emb)
+        q1 = corpus_all.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), "qarr"
+        )
+        out1 = probe_ann_index(spark, q1, "t_ann_idx")
+        plan = out1._jdf.queryExecution().toString()
+        m = re.search(r"PartitionFilters: \[cell#\d+L? IN \(([-\d,]+)\)", plan)
+        assert m, plan[:2000]
+        assert len(m.group(1).split(",")) <= IVF_NPROBE, m.group(1)
+        assert len(out1.collect()) > 0
+
+        # (c) append against the frozen model == encoding the full
+        # corpus with that model (the IVFADC offline-codebook contract)
+        g1 = emb.filter(F.col("vec_id") % 2 == 0)
+        g2 = emb.filter(F.col("vec_id") % 2 == 1)
+        persist_ann_index(spark, g1, "t_ann_app")
+        append_to_ann_index(spark, g2, "t_ann_app")
+        qs = corpus_all.filter(F.col("vec_id") % PQ_QMOD == 0).select(
+            F.col("vec_id").alias("qid"), "qarr"
+        )
+        got_app = sorted(
+            map(tuple, probe_ann_index(spark, qs, "t_ann_app").collect())
+        )
+        c1, pq1 = ivfadc_train(ivfadc_quantize(g1))
+        assigned_all = ivfadc_assign(corpus_all, c1)
+        want_app = sorted(
+            map(
+                tuple,
+                ivfadc_search(
+                    qs, c1, pq1, ivfadc_encode(assigned_all, pq1), corpus_all
+                ).collect(),
+            )
+        )
+        assert got_app == want_app and len(got_app) > 0
+
+        # retry-idempotency: a second append of the same dump inserts 0 rows
+        n_codes = spark.table("t_ann_app_codes").count()
+        n_vecs = spark.table("t_ann_app_vectors").count()
+        append_to_ann_index(spark, g2, "t_ann_app")
+        assert spark.table("t_ann_app_codes").count() == n_codes
+        assert spark.table("t_ann_app_vectors").count() == n_vecs
+        assert n_vecs == emb.count()
+    finally:
+        for p in ("t_ann_idx", "t_ann_app"):
+            for s in ("centroids", "pq", "codes", "vectors"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{s}")
