@@ -97,41 +97,18 @@ def probe_ann_index(spark: SparkSession, qs: DataFrame, prefix: str) -> DataFram
     needed).  At 100 TB with thousands of cells this is the difference
     between scanning the whole code table and scanning NPROBE cells per
     query batch."""
-    from ..queries.similarity import IVF_NPROBE, ivfadc_search
+    from ..queries.similarity import ivfadc_probes_col, ivfadc_search
 
     c1 = spark.table(f"{prefix}_centroids")
     pq1 = spark.table(f"{prefix}_pq")
 
-    # probed cells per query: same sorted-slice expression the search
-    # uses; only the cell ids cross to the driver
+    # probed cells per query: THE SAME expression the search uses
+    # (shared helper — no drift possible); only the cell ids cross to
+    # the driver
     probed_cells = sorted(
         r[0]
         for r in qs.crossJoin(F.broadcast(c1))
-        .select(
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("cents"),
-                            lambda c: F.struct(
-                                F.aggregate(
-                                    F.zip_with(
-                                        F.col("qarr"),
-                                        c["cv_arr"],
-                                        lambda a, b: (a - b) * (a - b),
-                                    ),
-                                    F.lit(0).cast("long"),
-                                    lambda acc, v: acc + v,
-                                ).alias("dist"),
-                                c["k"].alias("cell"),
-                            ),
-                        )
-                    ),
-                    1,
-                    IVF_NPROBE,
-                )
-            ).alias("p")
-        )
+        .select(F.explode(ivfadc_probes_col()).alias("p"))
         .select(F.col("p")["cell"].alias("cell"))
         .distinct()
         .collect()

@@ -777,6 +777,36 @@ def ivfadc_encode(assigned: DataFrame, pq1: DataFrame) -> DataFrame:
     )
 
 
+def ivfadc_probes_col():
+    """The probed-cells expression: per query, the IVF_NPROBE nearest
+    cells as a slice of the (dist, cell, cv_arr)-struct array sorted by
+    integer L2 distance — no window, no shuffle.  Shared by
+    ivfadc_search and operators/ann_index.probe_ann_index's
+    partition-prune cell collect so the two can never drift."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qarr"),
+                            c["cv_arr"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    c["k"].alias("cell"),
+                    c["cv_arr"].alias("cv_arr"),
+                ),
+            )
+        ),
+        1,
+        IVF_NPROBE,
+    )
+
+
 def ivfadc_search(
     qs: DataFrame,
     c1: DataFrame,
@@ -796,28 +826,7 @@ def ivfadc_search(
         .select(
             "qid",
             "qarr",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        F.col("cents"),
-                        lambda c: F.struct(
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("qarr"),
-                                    c["cv_arr"],
-                                    lambda a, b: (a - b) * (a - b),
-                                ),
-                                F.lit(0).cast("long"),
-                                lambda acc, v: acc + v,
-                            ).alias("dist"),
-                            c["k"].alias("cell"),
-                            c["cv_arr"].alias("cv_arr"),
-                        ),
-                    )
-                ),
-                1,
-                IVF_NPROBE,
-            ).alias("probes"),
+            ivfadc_probes_col().alias("probes"),
         )
         .select("qid", "qarr", F.explode("probes").alias("p"))
         .select(
