@@ -55,6 +55,28 @@ __all__ = [
 
 FEATURE_DIM = 16
 
+
+def _python_stage_parallelism(spark: SparkSession) -> int:
+    """Partition count for the Arrow/Python codec stages (round 15).
+
+    The single-row-group fixture scan drags the whole chained
+    encode->decode->stats Python pipeline through ONE task / ONE Python
+    worker (stage profile: 0.35 s wall, 0.03 s JVM CPU — the rest was
+    one worker working serially).  Full core-count fan-out overshoots
+    the other way: each task of a chained two-Python-stage pipeline
+    holds TWO workers, and at 32 partitions the per-task worker
+    round-trips cost more than the ~0.3 s of actual Python compute
+    (measured 0.64 s wall at 32 vs 0.35 s single-task).  A modest
+    fan-out amortizes worker startup while still parallelizing the
+    codec work; env-overridable for clusters where the Python work per
+    row is heavier (then raise toward the core count).
+    """
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_PY_STAGE_PARTITIONS", "0") or 0
+    ) or max(2, spark.sparkContext.defaultParallelism // 4)
+
 # media_id + raw bytes + typed metadata: the multimodal table layout.
 MEDIA_SCHEMA = StructType(
     [
@@ -155,10 +177,15 @@ def bmp_closed_form_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_features rows-only residue)."""
     from ..catalog import load_table
 
+    # spread BEFORE the Python stages (round 15; rationale + measured
+    # sweet spot in _python_stage_parallelism): parallelism must be
+    # established before the opaque Python boundary (guide §4), Spark
+    # cannot re-split inside it.
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id", "n_chars")
+        .repartition(_python_stage_parallelism(spark))
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -461,10 +488,14 @@ def wav_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle recompute every statistic without parsing a byte."""
     from ..catalog import load_table
 
+    # spread BEFORE the Python stages (round 15) — same starved-scan fix
+    # as bmp_closed_form_media: without it the encode->decode->stats
+    # chain runs in ONE Python worker.
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 1)
         .select("doc_id")
+        .repartition(_python_stage_parallelism(spark))
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

@@ -130,6 +130,31 @@ def get_spark(
         # broadcast blocks stay pinned until a driver full-GC happens to
         # run, which in a long-lived session means unbounded growth.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # Throughput GC for batch work (round 15): this engine is a
+        # classic allocation-heavy batch workload (hash aggs,
+        # collect_list buffers, exploded shingle rows), where G1's
+        # concurrent marking + region bookkeeping costs throughput it
+        # only repays in pause-time SLAs we don't have.  Measured on
+        # the 10-query heavy subset, 5 interleaved fresh-JVM pairs:
+        # ParallelGC won every paired window (totals 5.9/4.4/4.9/4.3/4.9
+        # vs G1 7.3/4.6/8.0/5.5/5.5 s) and 8/10 per-query minima, -6%
+        # on the sum of minima.  Same recommendation class as the Spark
+        # tuning guide's GC section for throughput-bound executors —
+        # not a local-mode trick; override with SPARK_GRAFT_GC (e.g.
+        # "-XX:+UseG1GC") where pause times matter.  Takes effect only
+        # at JVM launch (bench/driver/tests all start fresh JVMs
+        # through here).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+        )
+        # Generated-class cache sized to the workload (round 15): the
+        # bench loop carries 104 distinct queries x several codegen
+        # units each; the default 100-entry cache thrashes between
+        # queries, so every pass re-Janino-compiles most units.  A few
+        # thousand entries holds the whole suite (classes are KB-sized;
+        # static conf, read at JVM start).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if is_local:
         # Single-host executors: shuffle blocks never cross a network,

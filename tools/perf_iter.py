@@ -34,6 +34,15 @@ register_all(spark)
 SF_DIR = "/root/testdata/sf0.1"
 
 _QUERY_MODULES = [
+    "presto_copy_spark.operators.aggregates",
+    "presto_copy_spark.operators.ann_index",
+    "presto_copy_spark.operators.incremental",
+    "presto_copy_spark.operators.join",
+    "presto_copy_spark.operators.ml",
+    "presto_copy_spark.operators.multimodal",
+    "presto_copy_spark.operators.similarity",
+    "presto_copy_spark.operators.spatial",
+    "presto_copy_spark.operators.text",
     "presto_copy_spark.queries.qutil",
     "presto_copy_spark.queries.aggregates",
     "presto_copy_spark.queries.events",
