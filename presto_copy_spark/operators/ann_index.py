@@ -74,12 +74,20 @@ def persist_ann_index(spark: SparkSession, emb: DataFrame, prefix: str) -> None:
     # partitioned writes put the partition column LAST in the table
     # schema; select data columns first so insertInto (position-based)
     # in append_to_ann_index lines up
+    # Cluster by cell before the partitioned write (round 15, guide §6
+    # small-files): a 32-task write under partitionBy(cell) emitted up
+    # to tasks x cells tiny files (measured 256 x ~8 KB per table at
+    # sf0.1), and the PROBE paid for it — its scan stages read
+    # 4.3 s/2.8 s of task time at only 0.55/0.66 s CPU, i.e. almost all
+    # file-open/footer overhead.  One hash exchange on the partition
+    # column at persist time (once per corpus generation) collapses the
+    # layout to one file per cell.
     preclean_managed_table(spark, f"{prefix}_codes")
-    codes.select("vec_id", "m", "code", "cell").write.mode(
+    codes.select("vec_id", "m", "code", "cell").repartition("cell").write.mode(
         "overwrite"
     ).partitionBy("cell").saveAsTable(f"{prefix}_codes")
     preclean_managed_table(spark, f"{prefix}_vectors")
-    assigned.select("vec_id", "qarr", "cell").write.mode(
+    assigned.select("vec_id", "qarr", "cell").repartition("cell").write.mode(
         "overwrite"
     ).partitionBy("cell").saveAsTable(f"{prefix}_vectors")
 
@@ -149,7 +157,10 @@ def append_to_ann_index(spark: SparkSession, emb: DataFrame, prefix: str) -> Non
 
     existing = spark.table(f"{prefix}_vectors").select("vec_id")
     vec_inc = assigned.join(existing, "vec_id", "left_anti")
-    vec_inc.select("vec_id", "qarr", "cell").write.insertInto(
+    # cluster the increment by cell too (same small-files rationale as
+    # persist_ann_index — one appended file per touched cell, not one
+    # per task per cell)
+    vec_inc.select("vec_id", "qarr", "cell").repartition("cell").write.insertInto(
         f"{prefix}_vectors", overwrite=False
     )
 
@@ -162,6 +173,6 @@ def append_to_ann_index(spark: SparkSession, emb: DataFrame, prefix: str) -> Non
         ),
         pq1,
     )
-    codes_inc.select("vec_id", "m", "code", "cell").write.insertInto(
+    codes_inc.select("vec_id", "m", "code", "cell").repartition("cell").write.insertInto(
         f"{prefix}_codes", overwrite=False
     )
