@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SUBSET = [
+    "dedup_semantic",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ann_lsh_neardup",
@@ -43,6 +44,9 @@ def main() -> None:
     extra = {}
     if java_opts:
         extra["spark.driver.extraJavaOptions"] = java_opts
+    cg = os.environ.get("R15_CODEGEN_CACHE", "")
+    if cg:
+        extra["spark.sql.codegen.cache.maxEntries"] = cg
     spark = get_spark("r15-subset", extra_conf=extra)
     register_all(spark)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
