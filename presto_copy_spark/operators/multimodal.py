@@ -73,9 +73,29 @@ def _python_stage_parallelism(spark: SparkSession) -> int:
     """
     import os
 
-    return int(
-        os.environ.get("SPARK_GRAFT_PY_STAGE_PARTITIONS", "0") or 0
-    ) or max(2, spark.sparkContext.defaultParallelism // 4)
+    try:
+        n = int(os.environ.get("SPARK_GRAFT_PY_STAGE_PARTITIONS", "0") or 0)
+    except ValueError:
+        # non-numeric override: fall back to the computed default rather
+        # than failing every multimodal query at build time (ADVICE r15)
+        n = 0
+    if n > 0:
+        return n
+    return max(2, spark.sparkContext.defaultParallelism // 4)
+
+
+def _spread_for_python(df, spark: SparkSession):
+    """Establish the Python-stage parallelism floor WITHOUT coalescing a
+    naturally-split scan (ADVICE r15): the unconditional repartition was
+    right for the single-row-group fixtures but on a production scan
+    with more partitions than the floor it would CONCENTRATE Arrow
+    batches into cores/4 huge partitions.  Same guarded-no-op contract
+    as qutil.spread_scan — repartition only when the scan is below the
+    floor."""
+    floor = _python_stage_parallelism(spark)
+    if df.rdd.getNumPartitions() >= floor:
+        return df
+    return df.repartition(floor)
 
 # media_id + raw bytes + typed metadata: the multimodal table layout.
 MEDIA_SCHEMA = StructType(
@@ -180,12 +200,13 @@ def bmp_closed_form_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread BEFORE the Python stages (round 15; rationale + measured
     # sweet spot in _python_stage_parallelism): parallelism must be
     # established before the opaque Python boundary (guide §4), Spark
-    # cannot re-split inside it.
-    d = (
+    # cannot re-split inside it.  Guarded no-op on a naturally-split
+    # scan (ADVICE r15 — see _spread_for_python).
+    d = _spread_for_python(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
-        .select("doc_id", "n_chars")
-        .repartition(_python_stage_parallelism(spark))
+        .select("doc_id", "n_chars"),
+        spark,
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -490,12 +511,13 @@ def wav_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread BEFORE the Python stages (round 15) — same starved-scan fix
     # as bmp_closed_form_media: without it the encode->decode->stats
-    # chain runs in ONE Python worker.
-    d = (
+    # chain runs in ONE Python worker.  Guarded no-op on a naturally-
+    # split scan (ADVICE r15 — see _spread_for_python).
+    d = _spread_for_python(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 1)
-        .select("doc_id")
-        .repartition(_python_stage_parallelism(spark))
+        .select("doc_id"),
+        spark,
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

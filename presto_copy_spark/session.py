@@ -144,9 +144,25 @@ def get_spark(
         # "-XX:+UseG1GC") where pause times matter.  Takes effect only
         # at JVM launch (bench/driver/tests all start fresh JVMs
         # through here).
+        # ADVICE r15: the flag must reach EXECUTORS too (on a cluster the
+        # batch work runs there; in local mode executor opts are unused
+        # and harmless), and a deployment-provided extraJavaOptions must
+        # not be silently clobbered — SPARK_GRAFT_GC_EXTRA appends.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+            (
+                os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+                + " "
+                + os.environ.get("SPARK_GRAFT_GC_EXTRA", "")
+            ).strip(),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            (
+                os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+                + " "
+                + os.environ.get("SPARK_GRAFT_GC_EXTRA", "")
+            ).strip(),
         )
         # Generated-class cache sized to the workload (round 15): the
         # bench loop carries 104 distinct queries x several codegen
