@@ -508,8 +508,8 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import (
         pack_pq,
-        pq_code_structs,
         pq_code_sub_structs,
+        pq_lut_indexes,
         pq_lut_structs,
         quantize_arr,
     )
@@ -532,18 +532,6 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("code", F.col("s")["m"].alias("m"), F.col("s")["cv_arr"].alias("cv_arr"))
     pq0 = pack_pq(seed_slices)
-
-    def codes_of(src: DataFrame, pq_packed: DataFrame) -> DataFrame:
-        """All PQ_M codes per row, row-locally (map-only encode) ->
-        exploded (vec_id, m, code) rows."""
-        arr = pq_code_structs(F.col("qarr"), F.col("pq"), PQ_M, PQ_SUB)
-        return (
-            src.crossJoin(F.broadcast(pq_packed))
-            .select("vec_id", F.explode(arr).alias("c"))
-            .select(
-                "vec_id", F.col("c")["m"].alias("m"), F.col("c")["code"].alias("code")
-            )
-        )
 
     # TRAIN on the hash-sampled slice, ENCODE the full corpus: codebook
     # quality saturates in thousands of points per cell, so the Lloyd
@@ -587,29 +575,46 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stops the whole train chain re-executing per consumer (Catalyst
     # can't exchange-reuse across collect_list subtrees)
     pq1 = pack_pq(cent1_rows).localCheckpoint(eager=False)
-    codes = codes_of(corpus, pq1)
+    # Round-16 ADC restructure (VERDICT r15 ask #3, guide §2.3/§2.4):
+    # the old form exploded every vector to PQ_M (vec_id, m, code) rows,
+    # broadcast-joined them to per-(qid, m, code) LUT rows (inflating to
+    # N x PQ_M x |queries| rows), and hash-aggregated back down to
+    # (qid, vec_id) — the suite's biggest intermediate (11.5M rows at
+    # sf0.1) plus an aggregation exchange.  Codes now stay PACKED per
+    # vector (lidx: the PQ_M flat LUT indexes, computed once row-locally
+    # at encode), the per-query LUT is a flat 128-long array, and adist
+    # is PQ_M array lookups per (vector, query) pair — the join emits
+    # exactly the N x |queries| scoring rows with no aggregation at all.
+    # Same integer ldist values summed in m-order: adist is bit-exact,
+    # oracle CTEs unchanged.
+    codes_packed = corpus.crossJoin(F.broadcast(pq1)).select(
+        "vec_id",
+        pq_lut_indexes(F.col("qarr"), F.col("pq"), PQ_M, PQ_SUB).alias("lidx"),
+    )
     # per-query LUT: the M x K integer table built row-locally from the
-    # packed codebooks (one tiny crossJoin; the corpus never sees it
-    # until the broadcast ADC join)
+    # packed codebooks, kept as ONE flat array<long> per query in
+    # (m, code) order — lidx above holds each vector's POSITIONS into
+    # exactly this order (codebooks may be sparse, hence positions)
     lut = (
         corpus.filter(F.col("vec_id") % PQ_QMOD == 0)
         .select(F.col("vec_id").alias("qid"), "qarr")
         .crossJoin(F.broadcast(pq1))
         .select(
             "qid",
-            F.explode(pq_lut_structs(F.col("qarr"), F.col("pq"), PQ_SUB)).alias("e"),
-        )
-        .select(
-            "qid",
-            F.col("e")["m"].alias("m"),
-            F.col("e")["code"].alias("code"),
-            F.col("e")["ldist"].alias("ldist"),
+            F.transform(
+                pq_lut_structs(F.col("qarr"), F.col("pq"), PQ_SUB),
+                lambda e: e["ldist"],
+            ).alias("larr"),
         )
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("ldist").cast("long").alias("adist"))
+    adc = codes_packed.join(F.broadcast(lut)).select(
+        "qid",
+        "vec_id",
+        F.aggregate(
+            F.col("lidx"),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc + F.element_at(F.col("larr"), j),
+        ).alias("adist"),
     )
     w = Window.partitionBy("qid").orderBy("adist", "vec_id")
     return (
