@@ -21,8 +21,10 @@ Layout per ``prefix``:
   cv_arr>>), the coarse quantizer.  KB-sized, broadcast at probe time.
 - ``{prefix}_pq``        — ONE packed row (pq), the product-quantizer
   codebook.  KB-sized, broadcast at probe time.
-- ``{prefix}_codes``     — (vec_id, m, code) PARTITIONED BY cell: the
-  4-bytes-per-vector search structure.  A probe's ADC join only ever
+- ``{prefix}_codes``     — (vec_id, lidx) PARTITIONED BY cell: the
+  per-vector packed PQ code row (lidx = the PQ_M positions into a
+  query's flat residual-LUT array — round 16; was PQ_M exploded
+  (m, code) rows per vector).  A probe's ADC join only ever
   needs the probed cells, and because cell is the partition column the
   pruning happens at the SCAN (PartitionFilters in the plan — asserted
   in tests/test_pipeline.py), not as a post-read filter.
@@ -83,7 +85,7 @@ def persist_ann_index(spark: SparkSession, emb: DataFrame, prefix: str) -> None:
     # column at persist time (once per corpus generation) collapses the
     # layout to one file per cell.
     preclean_managed_table(spark, f"{prefix}_codes")
-    codes.select("vec_id", "m", "code", "cell").repartition("cell").write.mode(
+    codes.select("vec_id", "lidx", "cell").repartition("cell").write.mode(
         "overwrite"
     ).partitionBy("cell").saveAsTable(f"{prefix}_codes")
     preclean_managed_table(spark, f"{prefix}_vectors")
@@ -125,7 +127,7 @@ def probe_ann_index(spark: SparkSession, qs: DataFrame, prefix: str) -> DataFram
     codes = (
         spark.table(f"{prefix}_codes")
         .filter(F.col("cell").isin(probed_cells))
-        .select("vec_id", "cell", "m", "code")
+        .select("vec_id", "cell", "lidx")
     )
     vectors = (
         spark.table(f"{prefix}_vectors")
@@ -173,6 +175,6 @@ def append_to_ann_index(spark: SparkSession, emb: DataFrame, prefix: str) -> Non
         ),
         pq1,
     )
-    codes_inc.select("vec_id", "m", "code", "cell").repartition("cell").write.insertInto(
+    codes_inc.select("vec_id", "lidx", "cell").repartition("cell").write.insertInto(
         f"{prefix}_codes", overwrite=False
     )
