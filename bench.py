@@ -276,18 +276,34 @@ def main() -> None:
         else:
             timings[name] = -1.0
 
-    # one measured run of the REAL streaming path; premium = full
-    # streaming run minus the batch-parity plan price
+    # measured runs of the REAL streaming path; premium = full streaming
+    # run minus the batch-parity plan price.  Measurement fix (round 16,
+    # declared in OPTIMIZATION_r16.md): this used to be ONE run with no
+    # prewarm while every batch row gets 1 prewarm + median-of-runs, so
+    # the recorded "premium" conflated one-time JIT/codegen of the
+    # streaming plans (measured 5.9 s cold -> 1.0 s warm on the tumbling
+    # row) with the actual machinery cost (state store commits,
+    # checkpoint WAL, microbatch planning, query lifecycle).  Now: the
+    # first run is the prewarm (still recorded, as *_cold_sec, so the
+    # old statistic stays available), the recorded figure is the median
+    # of the next 3 full lifecycle runs — each run re-executes the
+    # entire stream from a fresh checkpoint; nothing is reused across
+    # runs except JVM warmth, exactly like the batch protocol.
     streaming_machinery: dict[str, float] = {}
+    streaming_machinery_cold: dict[str, float] = {}
     for name in BATCH_PARITY:
         if name not in dfs:
             continue
         sweep()
-        t0 = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        streaming_machinery[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        streaming_machinery_cold[name] = round(runs[0], 4)
+        streaming_machinery[name] = round(statistics.median(runs[1:]), 4)
 
     # --- sf1x section: the design target is 100 TB, so the headline is
     # also measured at the 10x key-shifted layout (32-file tables, join
@@ -386,8 +402,11 @@ def main() -> None:
         # full streaming-path runs (state store + checkpoint + query
         # lifecycle) for the streaming rows; their `queries` entries
         # above price the identical plan on the batch source
-        # (row-for-row-equal twins)
+        # (row-for-row-equal twins).  Since round 16: median of 3
+        # post-prewarm lifecycle runs; the first (cold) run is kept in
+        # *_cold_sec for continuity with r15-and-earlier artifacts.
         "streaming_machinery_sec": streaming_machinery,
+        "streaming_machinery_cold_sec": streaming_machinery_cold,
         # Accounting caveat the judge flagged round 5: the ANN rows
         # (sim_ivfadc / sim_pq_adc / ml_kmeans / dedup_semantic) build
         # localCheckpoint'd model tables once per DataFrame, so this
